@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)     — flagship: full KG pipeline (pages → mentions → triples →
+                   canonical nodes/edges) over sf0.001, returns top entities.
+queries()        — one entry per implemented operator from SURVEY.md §2.
+oracle_sql()     — DuckDB-equivalent ANSI SQL per query (same column names,
+                   doubles rounded identically on both sides).
 """
 
 from __future__ import annotations
@@ -12,27 +12,206 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _kg_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from codebased_spark.synth.pages import pages_from_documents_spark
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pages_from_documents_spark(docs)
+
+
+def _doc_gazetteer(spark: SparkSession) -> DataFrame:
+    from codebased_spark.graph.queries import DOC_GAZETTEER
+
+    return spark.createDataFrame(
+        [(w, c, t, 1.0) for w, c, t in DOC_GAZETTEER],
+        ["surface_form", "canonical_id", "entity_type", "weight"],
+    )
+
+
+def _run_pipeline(spark: SparkSession, sf_dir: str):
+    from codebased_spark.graph.pipeline import extract_triples
+
+    pages = _kg_pages(spark, sf_dir)
+    gaz = _doc_gazetteer(spark)
+    return extract_triples(spark, pages, gaz)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: KG pipeline over sf0.001 documents-as-pages, top entities."""
+    res = _run_pipeline(spark, SF_DEFAULT)
+    return (
+        res.triples.where(F.col("pred") == "MENTIONS")
+        .groupBy(F.col("obj").alias("entity_id"))
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .orderBy(F.desc("n_pages"), F.asc("entity_id"))
+    )
+
+
+def kg_pipeline_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline (Arrow-UDF text extraction → automaton mention scan →
+    linking → CC canonicalization), projected to MENTIONS triples — the
+    SQL-checkable slice of the north-rule pipeline."""
+    res = _run_pipeline(spark, sf_dir)
+    return res.triples.where(F.col("pred") == "MENTIONS").select(
+        "url", "subj", "pred", "obj"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from codebased_spark.graph import queries as q
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "kg_pipeline_mentions": kg_pipeline_mentions,
+        "kg_mentions": q.kg_mentions,
+        "kg_top_entities": q.kg_top_entities,
+        "kg_cooccurrence": q.kg_cooccurrence,
+        "kg_unlinked_entities": q.kg_unlinked_entities,
+        "kg_doc_fingerprint": q.kg_doc_fingerprint,
+        "q_agg_pricing": q.q_agg_pricing,
+        "q_top_customers": q.q_top_customers,
+        "q_customers_no_orders": q.q_customers_no_orders,
+        "q_nation_revenue": q.q_nation_revenue,
+        "q_latest_order_per_customer": q.q_latest_order_per_customer,
+        "q_distinct_parts_per_supplier": q.q_distinct_parts_per_supplier,
+        "q_order_priority_counts": q.q_order_priority_counts,
+        "q_event_type_stats": q.q_event_type_stats,
+        "q_self_join_events": q.q_self_join_events,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from codebased_spark.graph.queries import GAZ_SQL_VALUES
+
+    gaz_cte = (
+        f"gaz(surface_form, canonical_id, entity_type) AS (VALUES {GAZ_SQL_VALUES})"
+    )
+    toks_cte = (
+        "toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word "
+        "FROM documents)"
+    )
+    return {
+        "kg_pipeline_mentions": f"""
+            WITH {gaz_cte},
+            pages AS (
+              SELECT 'https://' || source || '.example.org/' || lang || '/doc/' || doc_id AS url,
+                     text, lang FROM documents
+            ),
+            toks AS (
+              SELECT url, unnest(string_split(text, ' ')) AS word
+              FROM pages WHERE lang = 'en'
+            )
+            SELECT DISTINCT url, 'page:' || url AS subj, 'MENTIONS' AS pred,
+                   canonical_id AS obj
+            FROM toks JOIN gaz ON word = surface_form
+        """,
+        "kg_mentions": f"""
+            WITH {gaz_cte}, {toks_cte}
+            SELECT doc_id, canonical_id, entity_type,
+                   count(*) AS n_mentions
+            FROM toks JOIN gaz ON word = surface_form
+            GROUP BY doc_id, canonical_id, entity_type
+        """,
+        "kg_top_entities": f"""
+            WITH {gaz_cte}, {toks_cte}
+            SELECT canonical_id, count(*) AS n_mentions
+            FROM toks JOIN gaz ON word = surface_form
+            GROUP BY canonical_id
+            ORDER BY n_mentions DESC, canonical_id ASC
+            LIMIT 20
+        """,
+        "kg_cooccurrence": f"""
+            WITH {gaz_cte}, {toks_cte},
+            m AS (
+              SELECT DISTINCT doc_id, canonical_id
+              FROM toks JOIN gaz ON word = surface_form
+            )
+            SELECT a.canonical_id AS src, b.canonical_id AS dst,
+                   count(*) AS n_docs
+            FROM m a JOIN m b ON a.doc_id = b.doc_id
+            WHERE a.canonical_id < b.canonical_id
+            GROUP BY a.canonical_id, b.canonical_id
+        """,
+        "kg_unlinked_entities": f"""
+            WITH {gaz_cte}, {toks_cte},
+            mentioned AS (
+              SELECT DISTINCT canonical_id
+              FROM toks JOIN gaz ON word = surface_form
+            )
+            SELECT g.canonical_id, g.surface_form, g.entity_type
+            FROM gaz g ANTI JOIN mentioned m ON g.canonical_id = m.canonical_id
+        """,
+        "kg_doc_fingerprint": """
+            SELECT doc_id, sha256(text) AS text_sha256,
+                   length(text) AS text_len
+            FROM documents
+        """,
+        "q_agg_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q_top_customers": """
+            SELECT c_custkey, c_name,
+                   round(sum(o_totalprice), 2) AS total_spent
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_name
+            ORDER BY total_spent DESC, c_custkey ASC
+            LIMIT 10
+        """,
+        "q_customers_no_orders": """
+            SELECT c_custkey, c_name, c_mktsegment
+            FROM customer ANTI JOIN (
+              SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+            ) o ON c_custkey = o_custkey
+        """,
+        "q_nation_revenue": """
+            SELECT n_name, round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "q_latest_order_per_customer": """
+            SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY o_custkey
+                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+              FROM orders
+            ) WHERE rn = 1
+        """,
+        "q_distinct_parts_per_supplier": """
+            SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts
+            FROM lineitem GROUP BY l_suppkey
+        """,
+        "q_order_priority_counts": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders
+            WHERE EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+            GROUP BY o_orderpriority
+        """,
+        "q_event_type_stats": """
+            SELECT event_type, count(*) AS n_events,
+                   round(avg(value), 4) AS avg_value,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "q_self_join_events": """
+            SELECT DISTINCT a.user_id
+            FROM events a JOIN events b ON a.user_id = b.user_id
+            WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+        """,
+    }

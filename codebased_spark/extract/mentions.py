@@ -1,0 +1,124 @@
+"""Gazetteer mention detection + pattern-based open triple extraction.
+
+Reference analog: the per-document extractors (SURVEY.md §2.2) — a parser
+walks one document and emits typed entities plus `unresolved:` relationship
+rows (python.py:380-396 call-site emit is the open-triple pattern). Here the
+"parser" is a dictionary automaton over web text:
+
+- The gazetteer (surface_form → canonical_id) is broadcast; each executor
+  compiles ONE matching automaton per gazetteer version (lazy module-level
+  cache — the lru_cache'd tree-sitter language load of the reference,
+  treesitter_setup.py:14-47, is the same pattern).
+- The automaton is a single C-compiled regex alternation, longest-
+  alternative-first with word boundaries: leftmost-longest, non-overlapping —
+  Aho-Corasick semantics for our fixed dictionary without per-row Python
+  bytecode in the match loop. (A pure-Python AC trie would run the match
+  loop in Python; `re` runs it in C. At 100 TB the match loop dominates.)
+- Relation triples: for consecutive mention pairs, the gap text is looked up
+  in a verb-phrase table ("{A} works for {B}" → WORKS_FOR) — the analog of
+  the reference's AST-node→relationship tables (javascript.py:25-46).
+- Unmatched capitalized sequences are emitted as *candidate* mentions for
+  the fuzzy linker (reference's suffix fuzzy-match fallback,
+  extractor.py:386-390, upgraded to TF-IDF char-ngram scoring in link/).
+
+All of this runs inside ONE Arrow-batched pandas UDF returning struct arrays
+that Spark explodes — one pass over the text per batch.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+# gap-text → predicate (surrounding spaces significant: exact gap match)
+VERB_GAPS = {
+    " acquired ": "ACQUIRED",
+    " works for ": "WORKS_FOR",
+    " is located in ": "LOCATED_IN",
+    " produces ": "PRODUCES",
+    " partnered with ": "PARTNERED_WITH",
+    " was born in ": "BORN_IN",
+}
+
+_CAPSEQ = re.compile(r"\b[A-Z][a-z]+(?: [A-Z][a-z]+)+\b")
+
+_AUTOMATON_CACHE: dict[int, re.Pattern] = {}
+
+
+def build_automaton(surfaces: tuple[str, ...]) -> re.Pattern:
+    """Compile the dictionary automaton: longest-first alternation."""
+    key = hash(surfaces)
+    pat = _AUTOMATON_CACHE.get(key)
+    if pat is None:
+        alts = sorted(surfaces, key=len, reverse=True)
+        pat = re.compile(r"(?<![\w])(?:" + "|".join(re.escape(s) for s in alts) + r")(?![\w])")
+        _AUTOMATON_CACHE[key] = pat
+    return pat
+
+
+MENTION_SCHEMA = (
+    "struct<"
+    "mentions: array<struct<surface: string, mstart: int, mend: int, exact: boolean>>, "
+    "rels: array<struct<subj: string, pred: string, obj: string>>"
+    ">"
+)
+
+
+def scan_doc(text: str, automaton: re.Pattern) -> tuple[list, list]:
+    """One document: exact mentions, fuzzy candidates, gap-pattern relations."""
+    if not text:
+        return [], []
+    mentions = [(m.group(0), m.start(), m.end(), True) for m in automaton.finditer(text)]
+    # capitalized sequences that overlap no exact mention → fuzzy candidates
+    taken = [(s, e) for _, s, e, _ in mentions]
+    for m in _CAPSEQ.finditer(text):
+        s, e = m.span()
+        if not any(s < te and ts < e for ts, te in taken):
+            mentions.append((m.group(0), s, e, False))
+    mentions.sort(key=lambda t: t[1])
+    rels = []
+    for (s1, a1, b1, _), (s2, a2, b2, _) in zip(mentions, mentions[1:]):
+        pred = VERB_GAPS.get(text[b1:a2])
+        if pred is not None:
+            rels.append((s1, pred, s2))
+    return mentions, rels
+
+
+def scan_mentions_series(text: pd.Series, surfaces: tuple[str, ...]) -> pd.DataFrame:
+    """Batch scan (pure pandas core, testable without Spark).
+
+    Returns a DataFrame with columns `mentions` / `rels` (list-of-dict each),
+    the shape Arrow needs for a struct-typed scalar pandas UDF.
+    """
+    automaton = build_automaton(surfaces)
+    m_col, r_col = [], []
+    for t in text:
+        mentions, rels = scan_doc(t, automaton)
+        m_col.append(
+            [
+                {"surface": s, "mstart": a, "mend": b, "exact": ex}
+                for s, a, b, ex in mentions
+            ]
+        )
+        r_col.append([{"subj": s, "pred": p, "obj": o} for s, p, o in rels])
+    return pd.DataFrame({"mentions": m_col, "rels": r_col})
+
+
+def with_mentions(df: DataFrame, surfaces: list[str], text_col: str = "text") -> DataFrame:
+    """Add an `extraction` struct column (mentions + rels) via Arrow UDF.
+
+    `surfaces` travels in the UDF closure (Spark broadcasts closures to
+    executors once per stage); the compiled automaton is rebuilt at most once
+    per executor per gazetteer version via the module cache.
+    """
+    surf_tuple = tuple(surfaces)
+
+    @pandas_udf(MENTION_SCHEMA)
+    def _scan(batch: pd.Series) -> pd.DataFrame:
+        return scan_mentions_series(batch, surf_tuple)
+
+    return df.withColumn("extraction", _scan(F.col(text_col)))

@@ -1,0 +1,224 @@
+"""End-to-end KG construction: pages → triples → canonical nodes/edges.
+
+Mirror of the reference's `codebased update` lifecycle (SURVEY.md §3.1),
+restated as Spark stages:
+
+  read pages → [route by lang, S4/S5 analog]
+      → Arrow-UDF text extraction (byte-identical invariant)
+      → JVM-side href extraction → LINKS_TO triples
+      → Arrow-UDF mention scan + gap-pattern relations (one pass)
+      → exact link: broadcast join vs alias table (J1/J2)
+      → fuzzy link: blocking join + TF-IDF char-ngram scoring (J4 upgrade)
+      → external stubs for unlinked candidates (J7 anti-join)
+      → connected components over alias edges → canonical ids (J8 fixpoint)
+      → nodes/edges with deterministic sha2 uids (E11), deduped (A8)
+
+Shuffle budget (the thing that matters at 100 TB): one shuffle for the
+mention explode→join (broadcast, so none), one for the distinct on fuzzy
+surfaces (tiny), CC rounds over the *alias vocabulary* (≪ corpus size —
+distinct surfaces, not mentions), and one dedup per output table. The corpus
+itself is never shuffled: every per-document stage is map-only.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from codebased_spark.extract.html_text import href_targets, with_text
+from codebased_spark.extract.mentions import with_mentions
+from codebased_spark.link.alias import build_alias_table, link_fuzzy_mentions
+from codebased_spark.link.cc import connected_components
+
+MENTION_LANGS = ("en",)  # gazetteer is English; routing analog of file_types.py:47-74
+
+
+@dataclass
+class GraphResult:
+    triples: DataFrame  # (url, subj, pred, obj)
+    nodes: DataFrame  # (id, uid, name, type, meta)
+    edges: DataFrame  # (src, dst, rel_type, meta)
+    mentions: DataFrame  # (url, surface, mstart, mend, exact, entity_id)
+
+
+def extract_triples(
+    spark: SparkSession,
+    pages: DataFrame,
+    gazetteer: DataFrame,
+    fuzzy_threshold: float = 0.55,
+    use_given_text: bool = False,
+) -> GraphResult:
+    """Run extraction + linking + canonicalization; all outputs lazy."""
+    alias_table = build_alias_table(gazetteer)
+    surfaces = [r.alias_key for r in alias_table.select("alias_key").collect()]
+
+    pages = pages if use_given_text else with_text(pages, "html", "text")
+    pages = pages.withColumn("links", href_targets(F.col("html")))
+
+    # LINKS_TO — all languages, pure JVM
+    link_triples = (
+        pages.select(F.col("url"), F.explode("links").alias("href"))
+        .select(
+            F.col("url"),
+            F.concat(F.lit("page:"), F.col("url")).alias("subj"),
+            F.lit("LINKS_TO").alias("pred"),
+            F.concat(F.lit("page:"), F.col("href")).alias("obj"),
+        )
+        .distinct()
+    )
+
+    scanned = with_mentions(
+        pages.where(F.col("lang").isin(*MENTION_LANGS)), surfaces, "text"
+    ).select("url", "extraction")
+
+    mentions = scanned.select(
+        "url", F.explode("extraction.mentions").alias("m")
+    ).select("url", "m.surface", "m.mstart", "m.mend", "m.exact")
+    rels = scanned.select("url", F.explode("extraction.rels").alias("r")).select(
+        "url", "r.subj", "r.pred", "r.obj"
+    )
+
+    # exact surface → entity (broadcast: the alias table is the small dim)
+    exact_map = alias_table.select(
+        F.col("alias_key").alias("surface"),
+        "entity_id",
+        "entity_type",
+        F.lit(1.0).alias("link_score"),
+    )
+    fuzzy_surfaces = mentions.where(~F.col("exact")).select("surface").distinct()
+    fuzzy_map = link_fuzzy_mentions(
+        spark, fuzzy_surfaces, alias_table, threshold=fuzzy_threshold
+    )
+    # unlinked candidates → external stubs (J7: no dangling refs)
+    ext_map = (
+        fuzzy_surfaces.join(fuzzy_map, "surface", "left_anti")
+        .withColumn(
+            "entity_id", F.concat(F.lit("ext:"), F.sha2(F.col("surface"), 256))
+        )
+        .withColumn("entity_type", F.lit("External"))
+        .withColumn("link_score", F.lit(0.0))
+    )
+    surface_map = exact_map.unionByName(fuzzy_map).unionByName(ext_map)
+
+    # canonicalization: CC over alias edges (sf:surface ↔ entity id).
+    # The vocabulary is tiny relative to the corpus — CC never touches pages.
+    alias_edges = surface_map.select(
+        F.concat(F.lit("sf:"), F.col("surface")).alias("src"),
+        F.col("entity_id").alias("dst"),
+    )
+    comps = connected_components(alias_edges)
+    canon = (
+        surface_map.join(
+            comps.withColumnRenamed("id", "entity_id"), "entity_id", "left"
+        )
+        .withColumn("canonical_id", F.coalesce("comp", "entity_id"))
+        .select("surface", "entity_id", "canonical_id", "entity_type", "link_score")
+    )
+    canon_b = F.broadcast(canon)
+
+    linked = mentions.join(canon_b, "surface", "left").select(
+        "url", "surface", "mstart", "mend", "exact",
+        F.col("canonical_id").alias("entity_id"), "entity_type",
+    )
+
+    mention_triples = linked.where(F.col("entity_id").isNotNull()).select(
+        "url",
+        F.concat(F.lit("page:"), F.col("url")).alias("subj"),
+        F.lit("MENTIONS").alias("pred"),
+        F.col("entity_id").alias("obj"),
+    ).distinct()
+
+    rel_triples = (
+        rels.join(
+            canon_b.select(F.col("surface").alias("subj"), F.col("canonical_id").alias("subj_id")),
+            "subj",
+        )
+        .join(
+            canon_b.select(F.col("surface").alias("obj"), F.col("canonical_id").alias("obj_id")),
+            "obj",
+        )
+        .select(
+            "url",
+            F.col("subj_id").alias("subj"),
+            F.col("pred"),
+            F.col("obj_id").alias("obj"),
+        )
+        .distinct()
+    )
+
+    triples = mention_triples.unionByName(rel_triples).unionByName(link_triples)
+
+    nodes, edges = _materialize_graph(pages, canon, triples)
+    return GraphResult(triples=triples, nodes=nodes, edges=edges, mentions=linked)
+
+
+def _materialize_graph(
+    pages: DataFrame, canon: DataFrame, triples: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Typed node/edge tables with deterministic content-hash uids.
+
+    uid = sha2(type:name, 256) — the determinism that makes task retries and
+    re-runs idempotent (reference E11, python.py:445-462). Dedup is
+    first-seen-indifferent because ids are content hashes (A8).
+    """
+    page_nodes = pages.select(
+        F.concat(F.lit("page:"), F.col("url")).alias("id"),
+        F.col("url").alias("name"),
+        F.lit("Page").alias("type"),
+        F.col("url").alias("source_url"),
+    )
+    # only entities actually referenced by a triple become nodes (the
+    # reference materializes extracted entities, not the whole gazetteer)
+    used_ids = (
+        triples.where(F.col("pred") != "LINKS_TO")
+        .select(F.col("obj").alias("canonical_id"))
+        .union(
+            triples.where(~F.col("pred").isin("LINKS_TO", "MENTIONS")).select(
+                F.col("subj").alias("canonical_id")
+            )
+        )
+        .distinct()
+    )
+    entity_nodes = (
+        canon.join(used_ids, "canonical_id", "left_semi")
+        .groupBy(F.col("canonical_id").alias("id"))
+        .agg(
+            F.max_by("surface", "link_score").alias("name"),
+            F.max_by("entity_type", "link_score").alias("type"),
+        )
+        .withColumn("source_url", F.lit(None).cast("string"))
+    )
+    # LINKS_TO targets outside the corpus → external Page stubs (J7)
+    stub_pages = (
+        triples.where(F.col("pred") == "LINKS_TO")
+        .select(F.col("obj").alias("id"))
+        .distinct()
+        .join(page_nodes.select("id"), "id", "left_anti")
+        .select(
+            "id",
+            F.regexp_replace("id", "^page:", "").alias("name"),
+            F.lit("ExternalPage").alias("type"),
+            F.lit(None).cast("string").alias("source_url"),
+        )
+    )
+    nodes = (
+        page_nodes.unionByName(entity_nodes).unionByName(stub_pages)
+        .dropDuplicates(["id"])
+        .withColumn("uid", F.sha2(F.concat_ws(":", "type", "name"), 256))
+        .select("id", "uid", "name", "type", "source_url")
+    )
+    edges = triples.select(
+        F.col("subj").alias("src"),
+        F.col("obj").alias("dst"),
+        F.col("pred").alias("rel_type"),
+        F.create_map(F.lit("source_url"), F.col("url")).alias("meta"),
+    ).dropDuplicates(["src", "dst", "rel_type"])
+    return nodes, edges
+
+
+def build_graph(
+    spark: SparkSession, pages: DataFrame, gazetteer: DataFrame, **kw
+) -> GraphResult:
+    return extract_triples(spark, pages, gazetteer, **kw)

@@ -1,0 +1,321 @@
+"""Deterministic synthetic `pages` corpus with known golden triples.
+
+Shape mandated by BASELINE.json input_hint:
+    pages(url string, warc_ts timestamp, html binary, text string, lang string)
+
+Mirrors the reference's test strategy (tests/test_parser.py:37-340: inline
+snippets with exactly-known entities/relationships): each page embeds known
+gazetteer mentions, relation sentences, and hyperlinks, so the expected
+(subj, pred, obj) set is known at generation time — that is the golden set
+for the P/R ≥ 0.95 gate.
+
+Skew fixtures built in (reference analog: hot-key name truncation,
+extractor.py:806-832): Zipf-distributed entity popularity (head entities in
+a large fraction of docs), Zipf-distributed hot domains, and one stopword-
+like surface form ("the company") shared by many entities.
+
+Everything is seeded; no wall-clock, no external data.
+"""
+
+from __future__ import annotations
+
+import html as html_mod
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+EPOCH_2025 = pd.Timestamp("2025-01-01T00:00:00", tz="UTC")
+
+ENTITY_TYPES = ["Person", "Org", "Place", "Product"]
+
+# surface-form templates per type; {i} is the entity ordinal
+_NAME_PARTS = {
+    "Person": (
+        ["Ada", "Grace", "Alan", "Edsger", "Barbara", "Donald", "Leslie", "Tony"],
+        ["Lovelock", "Hopperfield", "Turingson", "Dijkstrand", "Liskovitz", "Knuthson", "Lamportin", "Hoarele"],
+    ),
+    "Org": (
+        ["Acme", "Globex", "Initech", "Umbra", "Vandelay", "Wayne", "Stark", "Tyrell"],
+        ["Corporation", "Industries", "Systems", "Holdings", "Labs", "Group", "Dynamics", "Analytics"],
+    ),
+    "Place": (
+        ["North", "South", "East", "West", "New", "Old", "Upper", "Lower"],
+        ["Haven", "Ridge", "Falls", "Harbor", "Field", "Gate", "Bridge", "Crest"],
+    ),
+    "Product": (
+        ["Hyper", "Quantum", "Turbo", "Nano", "Mega", "Ultra", "Omni", "Flex"],
+        ["Widget", "Engine", "Router", "Drive", "Frame", "Lens", "Core", "Array"],
+    ),
+}
+
+# relation patterns: (predicate, "{A} <verb phrase> {B}", subj_type, obj_type)
+RELATION_PATTERNS = [
+    ("ACQUIRED", "{a} acquired {b}", "Org", "Org"),
+    ("WORKS_FOR", "{a} works for {b}", "Person", "Org"),
+    ("LOCATED_IN", "{a} is located in {b}", "Org", "Place"),
+    ("PRODUCES", "{a} produces {b}", "Org", "Product"),
+    ("PARTNERED_WITH", "{a} partnered with {b}", "Org", "Org"),
+    ("BORN_IN", "{a} was born in {b}", "Person", "Place"),
+]
+RELATION_VERBS = {p[0]: p[1].replace("{a} ", "").replace(" {b}", "") for p in RELATION_PATTERNS}
+
+_FILLER = (
+    "quarterly results were announced on schedule",
+    "analysts expect steady growth next year",
+    "the announcement surprised several observers",
+    "markets reacted calmly to the news",
+    "no further details were disclosed",
+    "a spokesperson declined to comment",
+    "the report cites multiple independent sources",
+)
+
+DOMAINS = [
+    "news.example.com", "wire.example.org", "daily.example.net", "post.example.io",
+    "herald.example.com", "times.example.org", "globe.example.net", "sun.example.io",
+    "tribune.example.com", "courier.example.org", "journal.example.net", "star.example.io",
+    "gazette.example.com", "observer.example.org", "chronicle.example.net", "echo.example.io",
+    "mirror.example.com", "record.example.org", "bulletin.example.net", "register.example.io",
+]
+
+
+@dataclass
+class Corpus:
+    """In-memory fixture bundle (pandas) — convert with spark.createDataFrame."""
+
+    pages: pd.DataFrame
+    gazetteer: pd.DataFrame
+    golden_triples: pd.DataFrame
+    golden_text: pd.DataFrame = field(default=None)  # (url, text_sha256)
+
+
+def _entity_surfaces(etype: str, i: int, rng: np.random.RandomState) -> list[str]:
+    """1-3 deterministic surface forms; form 0 is canonical-ish, others aliases."""
+    first, second = _NAME_PARTS[etype]
+    a, b = first[i % len(first)], second[(i // len(first)) % len(second)]
+    n = (i % 97) % len(second)
+    full = f"{a} {b}{'' if i < len(first) * len(second) else ' ' + str(i)}"
+    surfaces = [full]
+    if etype == "Org":
+        surfaces.append(full.split(" ")[0] + f" {second[n][:3]}Co" if i % 3 == 0 else full + " Inc")
+    elif etype == "Person" and i % 2 == 0:
+        surfaces.append(f"{a[0]}. {full.split(' ', 1)[1]}")
+    elif etype == "Product" and i % 4 == 0:
+        surfaces.append(full.replace(" ", "-"))
+    return surfaces
+
+
+def gen_gazetteer(n_entities: int = 120, seed: int = 42) -> pd.DataFrame:
+    """gazetteer(surface_form, canonical_id, entity_type, weight).
+
+    Includes the skew fixture: 'the company' maps (ambiguously, low weight)
+    to the head Org entity — a stopword-like hot surface form.
+    """
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n_entities):
+        etype = ENTITY_TYPES[i % len(ENTITY_TYPES)]
+        cid = f"ent:{etype.lower()}:{i:05d}"
+        for rank, s in enumerate(_entity_surfaces(etype, i // len(ENTITY_TYPES), rng)):
+            rows.append((s, cid, etype, 1.0 if rank == 0 else 0.6))
+    rows.append(("the company", "ent:org:00001", "Org", 0.05))
+    df = pd.DataFrame(rows, columns=["surface_form", "canonical_id", "entity_type", "weight"])
+    # one surface form may collide across entities; keep highest weight (J2 analog)
+    df = df.sort_values(["surface_form", "weight"], ascending=[True, False])
+    df = df.drop_duplicates(subset=["surface_form"], keep="first").reset_index(drop=True)
+    return df
+
+
+def _zipf_choice(rng: np.random.RandomState, n: int, size: int, a: float = 1.3) -> np.ndarray:
+    """Zipf-skewed indices in [0, n) — the head-entity / hot-domain fixture."""
+    ranks = np.arange(1, n + 1, dtype=np.float64)
+    p = ranks**-a
+    p /= p.sum()
+    return rng.choice(n, size=size, p=p)
+
+
+def gen_pages(
+    n_docs: int = 200,
+    n_entities: int = 120,
+    seed: int = 42,
+    sentences_per_doc: tuple[int, int] = (4, 10),
+    lang_mix: tuple[float, float, float] = (0.9, 0.05, 0.05),
+) -> Corpus:
+    """Generate the full fixture bundle.
+
+    The html is templated so that ``extract_text_series`` (our canonical
+    extraction spec) recovers ``text`` byte-identically: paragraphs wrap
+    sentences, a <script> block of junk must be dropped, entities are
+    HTML-escaped in the html and unescaped by extraction. A small fraction
+    of docs carry edge cases: empty body, non-UTF8 bytes, malformed tags.
+    """
+    gaz = gen_gazetteer(n_entities=n_entities, seed=seed)
+    by_type: dict[str, list[tuple[str, str]]] = {}
+    canon_surface = {}
+    for _, r in gaz.iterrows():
+        if r.canonical_id not in canon_surface and r.weight == 1.0:
+            canon_surface[r.canonical_id] = r.surface_form
+            by_type.setdefault(r.entity_type, []).append((r.canonical_id, r.surface_form))
+    alias_rows = gaz[gaz.weight == 0.6]
+
+    rng = np.random.RandomState(seed + 1)
+    page_rows, triple_rows = [], []
+    langs = np.array(["en", "de", "fr"])
+    lang_pick = rng.choice(3, size=n_docs, p=list(lang_mix))
+    dom_pick = _zipf_choice(rng, len(DOMAINS), n_docs)
+
+    for d in range(n_docs):
+        lang = langs[lang_pick[d]]
+        domain = DOMAINS[dom_pick[d]]
+        url = f"https://{domain}/{lang}/article/{d:06d}"
+        n_sent = rng.randint(*sentences_per_doc)
+        sentences, links = [], []
+        for s in range(n_sent):
+            kind = rng.rand()
+            if kind < 0.55 and lang == "en":
+                pred, tmpl, st, ot = RELATION_PATTERNS[rng.randint(len(RELATION_PATTERNS))]
+                subs = by_type[st]
+                objs = by_type[ot]
+                si = _zipf_choice(rng, len(subs), 1)[0]
+                oi = _zipf_choice(rng, len(objs), 1)[0]
+                if st == ot and si == oi:
+                    oi = (oi + 1) % len(objs)
+                (sc, ss), (oc, os_) = subs[si], objs[oi]
+                # sometimes refer via an alias surface (linking fixture)
+                if rng.rand() < 0.25:
+                    al = alias_rows[alias_rows.canonical_id == sc]
+                    if len(al):
+                        ss = al.iloc[0].surface_form
+                if rng.rand() < 0.25:
+                    al = alias_rows[alias_rows.canonical_id == oc]
+                    if len(al):
+                        os_ = al.iloc[0].surface_form
+                sentences.append(tmpl.format(a=ss, b=os_) + ".")
+                triple_rows.append((url, sc, pred, oc))
+                triple_rows.append((url, f"page:{url}", "MENTIONS", sc))
+                triple_rows.append((url, f"page:{url}", "MENTIONS", oc))
+            elif kind < 0.7 and lang == "en":
+                etype = ENTITY_TYPES[rng.randint(len(ENTITY_TYPES))]
+                ents = by_type[etype]
+                ci, surf = ents[_zipf_choice(rng, len(ents), 1)[0]]
+                # fuzzy-linking fixture: occasionally corrupt the surface so
+                # only char-ngram similarity (not the gazetteer) can link it
+                words = surf.split(" ")
+                if rng.rand() < 0.15 and len(words) >= 2 and len(words[-1]) > 6 and words[-1][1:].islower():
+                    surf = " ".join(words[:-1] + [words[-1][:-2]])
+                sentences.append(f"{surf} {_FILLER[rng.randint(len(_FILLER))]}.")
+                triple_rows.append((url, f"page:{url}", "MENTIONS", ci))
+            elif kind < 0.8:
+                tgt = f"https://{DOMAINS[_zipf_choice(rng, len(DOMAINS), 1)[0]]}/{lang}/article/{rng.randint(n_docs):06d}"
+                links.append(tgt)
+                sentences.append("See the related coverage here.")
+                triple_rows.append((url, f"page:{url}", "LINKS_TO", f"page:{tgt}"))
+            elif kind < 0.86 and lang == "en":
+                # stopword-like hot surface form (skew fixture)
+                sentences.append("Meanwhile the company declined further comment.")
+                triple_rows.append((url, f"page:{url}", "MENTIONS", "ent:org:00001"))
+            else:
+                sentences.append(_FILLER[rng.randint(len(_FILLER))].capitalize() + ".")
+
+        text = " ".join(sentences)
+        # html construction — extraction must invert this exactly
+        paras = "".join(f"<p>{html_mod.escape(s)}</p>" for s in sentences)
+        atags = "".join(f'<a href="{t}"></a>' for t in links)
+        body = paras + atags
+        edge = d % 50
+        if edge == 47:
+            body = ""  # empty body edge case
+            text = ""
+            triple_rows = [t for t in triple_rows if t[0] != url]
+        raw = (
+            f"<html><head><title>t{d}</title><script>var x = 1 < 2 && 3 > 2;</script>"
+            f"<style>p {{ color: red }}</style></head><body>{body}</body></html>"
+        )
+        hb = raw.encode("utf-8")
+        if edge == 48:
+            hb = hb + b"\xff\xfe trailing-junk"  # non-UTF8 bytes → errors='ignore'
+            text = (text + "  trailing-junk").strip()
+            text = " ".join(text.split())
+        if edge == 49:
+            hb = hb.replace(b"</body>", b"<p>unclosed</body>")
+            text = (text + " unclosed").strip()
+        ts = EPOCH_2025 + pd.Timedelta(seconds=int(d) * 37)
+        page_rows.append((url, ts, hb, text, lang))
+
+    pages = pd.DataFrame(page_rows, columns=["url", "warc_ts", "html", "text", "lang"])
+    # MENTIONS dedup: one golden mention per (url, entity)
+    golden = pd.DataFrame(triple_rows, columns=["url", "subj", "pred", "obj"]).drop_duplicates()
+    import hashlib
+
+    golden_text = pd.DataFrame(
+        {
+            "url": pages.url,
+            "text_sha256": [hashlib.sha256(t.encode("utf-8")).hexdigest() for t in pages.text],
+        }
+    )
+    return Corpus(pages=pages, gazetteer=gaz, golden_triples=golden, golden_text=golden_text)
+
+
+def pages_from_documents(docs: pd.DataFrame) -> pd.DataFrame:
+    """Deterministically wrap the driver's documents table into pages shape.
+
+    Used by bench.py so the benchmark input derives from the provided
+    /root/testdata parquet (TESTDATA.md) rather than ad-hoc data. Extraction
+    of the resulting html recovers ``text`` byte-identically.
+    """
+    url = (
+        "https://" + docs["source"].astype(str) + ".example.org/"
+        + docs["lang"].astype(str) + "/doc/" + docs["doc_id"].astype(str)
+    )
+    ts = EPOCH_2025 + pd.to_timedelta(docs["doc_id"].astype(int) * 13, unit="s")
+    esc = docs["text"].map(html_mod.escape)
+    html_bytes = (
+        "<html><head><title>d</title><script>junk()</script></head><body><p>"
+        + esc + "</p></body></html>"
+    ).map(lambda s: s.encode("utf-8"))
+    return pd.DataFrame(
+        {"url": url, "warc_ts": ts, "html": html_bytes, "text": docs["text"], "lang": docs["lang"]}
+    )
+
+
+def pages_from_documents_spark(docs):
+    """Spark-native pages adapter — pure column expressions, scales to any
+    documents row count without driver materialization (unlike the pandas
+    twin above, which exists for small in-memory tests)."""
+    from pyspark.sql import functions as F
+
+    esc = F.col("text")
+    for a, b in [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"), ('"', "&quot;"), ("'", "&#x27;")]:
+        esc = F.replace(esc, F.lit(a), F.lit(b))
+    html = F.encode(
+        F.concat(
+            F.lit("<html><head><title>d</title><script>junk()</script></head><body><p>"),
+            esc,
+            F.lit("</p></body></html>"),
+        ),
+        "UTF-8",
+    )
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.org/"),
+        F.col("lang"), F.lit("/doc/"), F.col("doc_id").cast("string"),
+    )
+    ts = F.timestamp_seconds(
+        F.unix_timestamp(F.lit("2025-01-01 00:00:00")) + F.col("doc_id") * 13
+    )
+    return docs.select(
+        url.alias("url"), ts.alias("warc_ts"), html.alias("html"),
+        F.col("text"), F.col("lang"),
+    )
+
+
+def write_fixture(out_dir: str, n_docs: int = 200, n_entities: int = 120, seed: int = 42) -> Corpus:
+    """Write the fixture bundle as parquet files under out_dir."""
+    import os
+
+    c = gen_pages(n_docs=n_docs, n_entities=n_entities, seed=seed)
+    os.makedirs(out_dir, exist_ok=True)
+    c.pages.to_parquet(f"{out_dir}/pages.parquet", index=False)
+    c.gazetteer.to_parquet(f"{out_dir}/gazetteer.parquet", index=False)
+    c.golden_triples.to_parquet(f"{out_dir}/golden_triples.parquet", index=False)
+    c.golden_text.to_parquet(f"{out_dir}/golden_text.parquet", index=False)
+    return c
