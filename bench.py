@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Benchmark runner (driver contract).
+
+Runs the flagship KG pipeline plus every registered driver query at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Extra keys (triples, triples_per_sec, docs) are informational — the
+authoritative metric per BASELINE.json is triples/sec throughput of the KG
+construction pipeline. Scaling-efficiency evidence (same job at local[8] vs
+local[32]) lives in tools/bench_scaling.py → BENCH.md; this script is the
+per-round single-config run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def main() -> None:
+    from codebased_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark(
+        app_name="codebased-spark-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/Arrow path so the flagship number isn't dominated by
+    # one-time session init (the driver compares repeated rounds).
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+
+    # flagship: full KG construction (extract → link → canonicalize →
+    # materialize), measured as triples/sec over the sf documents corpus.
+    t0 = time.perf_counter()
+    res = entry_mod._run_pipeline(spark, SF_DIR)
+    n_triples = res.triples.count()
+    kg_sec = time.perf_counter() - t0
+    timings["kg_pipeline_e2e"] = round(kg_sec, 3)
+
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+
+    for name, fn in entry_mod.queries().items():
+        if name == "kg_pipeline_mentions":
+            continue  # already measured as the flagship
+        t0 = time.perf_counter()
+        try:
+            fn(spark, SF_DIR).count()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # pragma: no cover - surfaced in JSON
+            timings[name] = -1.0
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+
+    total = round(sum(v for v in timings.values() if v > 0), 3)
+    out = {
+        "metric": "kg_pipeline_e2e_sec",
+        "value": timings["kg_pipeline_e2e"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "total_sec": total,
+        "docs": n_docs,
+        "triples": n_triples,
+        "triples_per_sec": round(n_triples / kg_sec, 1) if kg_sec > 0 else 0,
+        "cpus": CPUS,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
