@@ -63,9 +63,11 @@ def kg_pipeline_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from codebased_spark import dataops
     from codebased_spark.graph import queries as q
 
     return {
+        **dataops.QUERIES,
         "kg_pipeline_mentions": kg_pipeline_mentions,
         "kg_mentions": q.kg_mentions,
         "kg_top_entities": q.kg_top_entities,
@@ -85,6 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from codebased_spark import dataops
     from codebased_spark.graph.queries import GAZ_SQL_VALUES
 
     gaz_cte = (
@@ -95,6 +98,7 @@ def oracle_sql() -> dict[str, str]:
         "FROM documents)"
     )
     return {
+        **dataops.ORACLES,
         "kg_pipeline_mentions": f"""
             WITH {gaz_cte},
             pages AS (

@@ -1,0 +1,297 @@
+"""Driver-facing registry for the training-data pipeline operators.
+
+QUERIES maps name -> (spark, sf_dir) -> DataFrame; ORACLES maps the same
+name -> DuckDB ANSI-SQL twin. __spark_entry__ merges these into its
+queries()/oracle_sql() dicts. Column names/rounding match exactly on both
+sides (the driver hashes values after sorting columns by name).
+
+Naming: dd_* dedup, ann_* similarity search, tx_* text analysis,
+mm_* multimodal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from codebased_spark.dedup.embedding import (
+    embedding_near_dupes_exact,
+    embedding_near_dupes_lsh,
+)
+from codebased_spark.dedup.exact import exact_dedup
+from codebased_spark.dedup.minhash import minhash_near_dupes
+from codebased_spark.dedup.ngram import ngram_jaccard_pairs
+from codebased_spark.dedup.simhash import simhash_near_dupes
+from codebased_spark.media.decode import media_from_documents, media_metadata
+from codebased_spark.similarity.ann import ann_bruteforce_topk, ann_ivf_topk
+from codebased_spark.textops.fingerprint import winnow_fingerprints
+from codebased_spark.textops.langid import lang_id
+from codebased_spark.textops.quality import STOPWORDS, doc_quality
+
+NGRAM_T = 0.6
+NEARDUP_T = 0.8
+EMB_PAIR_T = 0.4  # driver tables have no true near-dup embeddings; 0.4 keeps the check non-empty
+EMB_LSH_T = 0.9
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=NGRAM_T)
+
+
+def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_near_dupes(_docs(spark, sf_dir), n=3, threshold=NEARDUP_T)
+
+
+def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_near_dupes(
+        _docs(spark, sf_dir), n=3, threshold=NEARDUP_T
+    ).select("doc_a", "doc_b", "jaccard")
+
+
+def dd_embedding_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_dupes_exact(_emb(spark, sf_dir), threshold=EMB_PAIR_T)
+
+
+def dd_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_dupes_lsh(_emb(spark, sf_dir), threshold=EMB_LSH_T)
+
+
+def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_bruteforce_topk(_emb(spark, sf_dir), query_id=0, k=10)
+
+
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_ivf_topk(_emb(spark, sf_dir), query_id=0, k=10, n_probe=1)
+
+
+def tx_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(_docs(spark, sf_dir))
+
+
+def tx_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_quality(_docs(spark, sf_dir))
+
+
+def tx_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winnow_fingerprints(_docs(spark, sf_dir), k=3, w=4)
+
+
+def mm_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return media_metadata(media_from_documents(_docs(spark, sf_dir)))
+
+
+QUERIES = {
+    "dd_exact": dd_exact,
+    "dd_ngram_jaccard": dd_ngram_jaccard,
+    "dd_minhash_lsh": dd_minhash_lsh,
+    "dd_simhash": dd_simhash,
+    "dd_embedding_exact": dd_embedding_exact,
+    "dd_embedding_lsh": dd_embedding_lsh,
+    "ann_topk": ann_topk,
+    "ann_ivf": ann_ivf,
+    "tx_lang_id": tx_lang_id,
+    "tx_quality": tx_quality,
+    "tx_winnow": tx_winnow,
+    "mm_media_meta": mm_media_meta,
+}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL
+# ---------------------------------------------------------------------------
+
+_TOKS = (
+    "t AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '')"
+    " AS toks FROM documents)"
+)
+_SHINGLES3 = (
+    "sh AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')"
+    " for i in generate_series(1, len(toks)-2)]) AS s"
+    " FROM t WHERE len(toks) >= 3)"
+)
+
+
+def _jaccard_pairs_sql(threshold: float) -> str:
+    return f"""
+        WITH {_TOKS}, {_SHINGLES3},
+        p AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 len(list_intersect(a.s, b.s)) AS inter,
+                 len(a.s) AS la, len(b.s) AS lb
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               floor((inter::DOUBLE / (la + lb - inter)) * 10000 + 0.5) / 10000 AS jaccard
+        FROM p WHERE inter::DOUBLE / (la + lb - inter) >= {threshold}
+    """
+
+
+_EMB = "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
+_EMB_N = (
+    "n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM e)"
+)
+_DOT64 = "list_sum([a.v[i] * b.v[i] for i in generate_series(1, 64)])"
+
+
+def _emb_pairs_sql(threshold: float) -> str:
+    return f"""
+        WITH {_EMB}, {_EMB_N},
+        p AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 {_DOT64} / (a.nrm * b.nrm) AS c
+          FROM n a JOIN n b ON a.vec_id < b.vec_id
+        )
+        SELECT vec_a, vec_b, floor((c) * 10000 + 0.5) / 10000 AS cos_sim FROM p WHERE c >= {threshold}
+    """
+
+
+_STOP_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+
+ORACLES = {
+    "dd_exact": """
+        SELECT min(doc_id) AS doc_id, sha256(text) AS text_sha256,
+               count(*) AS group_size
+        FROM documents GROUP BY sha256(text)
+    """,
+    "dd_ngram_jaccard": _jaccard_pairs_sql(NGRAM_T),
+    "dd_minhash_lsh": _jaccard_pairs_sql(NEARDUP_T),
+    "dd_simhash": _jaccard_pairs_sql(NEARDUP_T),
+    "dd_embedding_exact": _emb_pairs_sql(EMB_PAIR_T),
+    "dd_embedding_lsh": _emb_pairs_sql(EMB_LSH_T),
+    "ann_topk": f"""
+        WITH {_EMB},
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        SELECT e.vec_id,
+               floor((list_sum([e.v[i] * q.qv[i] for i in generate_series(1, 64)])
+                     / (sqrt(list_sum([x*x for x in e.v]))
+                        * sqrt(list_sum([y*y for y in q.qv])))) * 10000 + 0.5) / 10000 AS cos_sim
+        FROM e, q WHERE e.vec_id <> 0
+        ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10
+    """,
+    "ann_ivf": f"""
+        WITH el AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        flat AS (
+          SELECT label, g.i, v[g.i] AS val FROM el, generate_series(1, 64) AS g(i)
+        ),
+        cent AS (SELECT label, i, avg(val) AS cv FROM flat GROUP BY label, i),
+        centv AS (SELECT label, list(cv ORDER BY i) AS c FROM cent GROUP BY label),
+        q AS (SELECT v AS qv FROM el WHERE vec_id = 0),
+        best AS (
+          SELECT label FROM centv, q
+          ORDER BY list_sum([c[i] * qv[i] for i in generate_series(1, 64)])
+                   / (sqrt(list_sum([x*x for x in c]))
+                      * sqrt(list_sum([y*y for y in qv]))) DESC, label ASC
+          LIMIT 1
+        )
+        SELECT el.vec_id,
+               floor((list_sum([el.v[i] * q.qv[i] for i in generate_series(1, 64)])
+                     / (sqrt(list_sum([x*x for x in el.v]))
+                        * sqrt(list_sum([y*y for y in q.qv])))) * 10000 + 0.5) / 10000 AS cos_sim
+        FROM el, q
+        WHERE el.label IN (SELECT label FROM best) AND el.vec_id <> 0
+        ORDER BY cos_sim DESC, el.vec_id ASC LIMIT 10
+    """,
+    "tx_lang_id": """
+        WITH toks AS (
+          SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+          FROM documents
+        ),
+        t2 AS (SELECT * FROM toks WHERE tok <> ''),
+        tc AS (SELECT tok, lang, count(*) AS n FROM t2 GROUP BY tok, lang),
+        model AS (
+          SELECT tok, lang AS pred_lang FROM (
+            SELECT tok, lang,
+                   row_number() OVER (PARTITION BY tok ORDER BY n DESC, lang ASC) AS rn
+            FROM tc
+          ) WHERE rn = 1
+        ),
+        votes AS (
+          SELECT doc_id, pred_lang, count(*) AS n
+          FROM t2 JOIN model USING (tok)
+          GROUP BY doc_id, pred_lang
+        )
+        SELECT doc_id, pred_lang FROM (
+          SELECT doc_id, pred_lang,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, pred_lang ASC) AS rn
+          FROM votes
+        ) WHERE rn = 1
+    """,
+    "tx_quality": f"""
+        WITH {_TOKS},
+        m AS (
+          SELECT doc_id, len(toks) AS n_tokens,
+                 len(list_distinct(toks)) AS n_distinct,
+                 len(list_filter(toks, w -> list_contains({_STOP_SQL}, w))) AS n_stop,
+                 list_sum([length(w) for w in toks]) AS tok_chars
+          FROM t WHERE len(toks) > 0
+        ),
+        r AS (
+          SELECT doc_id, n_tokens, n_distinct,
+                 floor((n_distinct::DOUBLE / n_tokens) * 10000 + 0.5) / 10000 AS distinct_ratio,
+                 floor((n_stop::DOUBLE / n_tokens) * 10000 + 0.5) / 10000 AS stopword_ratio,
+                 floor((tok_chars::DOUBLE / n_tokens) * 10000 + 0.5) / 10000 AS mean_tok_len
+          FROM m
+        )
+        SELECT doc_id, n_tokens, n_distinct, distinct_ratio, stopword_ratio,
+               mean_tok_len,
+               floor((least(1.0::DOUBLE, n_tokens::DOUBLE / 100.0) * 0.25
+                     + least(1.0::DOUBLE, stopword_ratio * 5) * 0.25
+                     + distinct_ratio * 0.25
+                     + (CASE WHEN mean_tok_len >= 3 AND mean_tok_len <= 10
+                             THEN 0.25 ELSE 0 END)) * 10000 + 0.5) / 10000 AS quality_score
+        FROM r
+    """,
+    "tx_winnow": f"""
+        WITH {_TOKS},
+        h AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) >= 3
+                      THEN [substr(md5(array_to_string(toks[i:i+2], ' ')), 1, 8)
+                            for i in generate_series(1, len(toks)-2)]
+                      ELSE [] END AS hs
+          FROM t
+        ),
+        w AS (
+          SELECT doc_id,
+                 CASE WHEN len(hs) >= 4
+                      THEN list_distinct([list_min(hs[i:i+3])
+                                          for i in generate_series(1, len(hs)-3)])
+                      ELSE list_distinct(hs) END AS fps
+          FROM h
+        )
+        SELECT DISTINCT doc_id, unnest(fps) AS fingerprint
+        FROM w WHERE len(fps) > 0
+    """,
+    "mm_media_meta": """
+        WITH m AS (
+          SELECT doc_id,
+                 CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                      ELSE 'video' END AS media_type,
+                 octet_length(encode(text)) AS n_bytes,
+                 md5(text) AS h
+          FROM documents
+        )
+        SELECT doc_id, media_type, n_bytes, h AS payload_md5,
+               CASE WHEN media_type IN ('image', 'video')
+                    THEN 1 + ('0x' || substr(h, 1, 4))::BIGINT % 4096
+                    ELSE 0 END AS width,
+               CASE WHEN media_type IN ('image', 'video')
+                    THEN 1 + ('0x' || substr(h, 5, 4))::BIGINT % 4096
+                    ELSE 0 END AS height,
+               CASE WHEN media_type IN ('audio', 'video')
+                    THEN 1 + ('0x' || substr(h, 9, 6))::BIGINT % 600000
+                    ELSE 0 END AS duration_ms
+        FROM m
+    """,
+}

@@ -1,0 +1,130 @@
+"""Embedding-cosine near-duplicate detection.
+
+Two paths over an `array<float>` embedding column:
+
+- exact: all-pairs cosine via a join on a coarse block (or full cross join
+  for the brute-force twin). Cosine is computed JVM-side with
+  zip_with + aggregate over doubles — no Python, no UDF.
+- lsh: random-hyperplane signatures (sign-bit sketch, Charikar'02) bucket
+  the vectors so only same-bucket pairs are compared. Hyperplanes are
+  seeded numpy constants broadcast as literal arrays — deterministic across
+  runs and executors.
+
+At 100 TB the exact path is the oracle/baseline; the LSH path's shuffle is
+O(N * n_tables) bucket rows instead of O(N^2) pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from codebased_spark.util import round_stable
+
+
+def _as_double(col) -> Column:
+    return F.col(col).cast("array<double>") if isinstance(col, str) else col.cast("array<double>")
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    """Sequential-order double dot product (same fold order as the oracle)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(dot_col(a, a))
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+def embedding_near_dupes_exact(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine pairs >= threshold: (vec_a, vec_b, cos_sim)."""
+    a = emb.select(
+        F.col(id_col).alias("vec_a"), _as_double(vec_col).alias("va")
+    ).withColumn("na", norm_col(F.col("va")))
+    b = emb.select(
+        F.col(id_col).alias("vec_b"), _as_double(vec_col).alias("vb")
+    ).withColumn("nb", norm_col(F.col("vb")))
+    return (
+        a.crossJoin(b)
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_sim", dot_col(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+        .where(F.col("cos_sim") >= threshold)
+        .select("vec_a", "vec_b", round_stable(F.col("cos_sim")).alias("cos_sim"))
+    )
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int = 7) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_bits, dim)
+
+
+def signbit_signature_col(vec: Column, planes: np.ndarray) -> Column:
+    """int bucket id: sign bits of <vec, plane_i> packed into a long."""
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(dot_col(vec, lit_plane) >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        sig = sig + bit
+    return sig
+
+
+def embedding_near_dupes_lsh(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_bits: int = 12,
+    n_tables: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Hyperplane-LSH candidates verified with exact cosine >= threshold.
+
+    Recall margin: P(two vectors at angle theta agree on one sign bit) =
+    1 - theta/pi; at cos >= 0.9 (theta <= 25.8deg) a 12-bit table agrees
+    fully with p = (1 - 0.144)^12 = 0.155, so >= 1 of 4 tables agrees with
+    p = 0.49 per table set... LSH here is a CANDIDATE stage: use more
+    tables (or fewer bits) for higher recall; the defaults favor precision
+    of the pruning, and every emitted pair is exact-verified.
+    """
+    vecs = emb.select(
+        F.col(id_col).alias("vec"), _as_double(vec_col).alias("v")
+    ).withColumn("nrm", norm_col(F.col("v")))
+    buckets = None
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_bits, seed=seed + t)
+        bt = vecs.select(
+            "vec",
+            F.lit(t).alias("table_idx"),
+            signbit_signature_col(F.col("v"), planes).alias("bucket"),
+        )
+        buckets = bt if buckets is None else buckets.unionByName(bt)
+    cand = (
+        buckets.alias("a")
+        .join(buckets.alias("b"), ["table_idx", "bucket"])
+        .where(F.col("a.vec") < F.col("b.vec"))
+        .select(F.col("a.vec").alias("vec_a"), F.col("b.vec").alias("vec_b"))
+        .distinct()
+    )
+    va = vecs.select(F.col("vec").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    vb = vecs.select(F.col("vec").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn("cos_sim", dot_col(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+        .where(F.col("cos_sim") >= threshold)
+        .select("vec_a", "vec_b", round_stable(F.col("cos_sim")).alias("cos_sim"))
+    )

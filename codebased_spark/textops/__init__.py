@@ -1,0 +1,10 @@
+"""Text-analysis operators for training-data pipelines.
+
+- langid:      corpus-trained n-gram/token language identification
+- quality:     per-document quality metrics (length/punct/stopword ratios)
+- fingerprint: winnowing document fingerprints (rolling k-gram hashes)
+"""
+
+from codebased_spark.textops.langid import lang_id  # noqa: F401
+from codebased_spark.textops.quality import doc_quality  # noqa: F401
+from codebased_spark.textops.fingerprint import winnow_fingerprints  # noqa: F401

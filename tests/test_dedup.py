@@ -1,0 +1,93 @@
+"""Dedup operator tests: each approximate candidate path must agree with
+its brute-force twin on a corpus with planted near-duplicates."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from codebased_spark.dedup.embedding import (
+    embedding_near_dupes_exact,
+    embedding_near_dupes_lsh,
+)
+from codebased_spark.dedup.exact import exact_dedup, exact_duplicate_pairs
+from codebased_spark.dedup.minhash import minhash_near_dupes
+from codebased_spark.dedup.ngram import ngram_jaccard_bruteforce, ngram_jaccard_pairs
+from codebased_spark.dedup.simhash import simhash_near_dupes
+
+BASE = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lamda mu nu xi "
+    "omicron pi rho sigma tau upsilon phi chi psi omega one two three four five six"
+)
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    """10 distinct docs + near-dupe of doc 0 + exact dupes of docs 1, 2."""
+    rows = []
+    words = BASE.split()
+    for i in range(10):
+        # rotate so docs are pairwise dissimilar
+        rot = words[3 * i:] + words[: 3 * i]
+        rows.append((i, " ".join(rot) + f" suffix{i} tail{i} end{i}"))
+    near = rows[0][1].split()
+    near[5] = "REPLACED"
+    rows.append((100, " ".join(near)))  # near-dupe of 0
+    rows.append((101, rows[1][1]))  # exact dupe of 1
+    rows.append((102, rows[2][1]))  # exact dupe of 2
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_exact_dedup(dup_docs):
+    surv = exact_dedup(dup_docs).toPandas()
+    assert len(surv) == 11  # 13 docs, 2 exact dupes collapsed
+    assert set(surv[surv.group_size == 2].doc_id) == {1, 2}
+    pairs = exact_duplicate_pairs(dup_docs).toPandas()
+    assert {(r.doc_id, r.dup_of) for r in pairs.itertuples()} == {(101, 1), (102, 2)}
+
+
+def test_ngram_prefix_filter_equals_bruteforce(dup_docs):
+    fast = ngram_jaccard_pairs(dup_docs, n=3, threshold=0.5).toPandas()
+    slow = ngram_jaccard_bruteforce(dup_docs, n=3, threshold=0.5).toPandas()
+    key = lambda df: sorted(map(tuple, df.values.tolist()))
+    assert key(fast) == key(slow)
+    got = {(a, b) for a, b, _ in fast.values.tolist()}
+    assert {(0, 100), (1, 101), (2, 102)} <= got
+
+
+def test_minhash_lsh_finds_planted_pairs(dup_docs):
+    got = minhash_near_dupes(dup_docs, n=3, threshold=0.8).toPandas()
+    pairs = {(a, b) for a, b, _ in got.values.tolist()}
+    assert (1, 101) in pairs and (2, 102) in pairs  # jaccard 1.0, always caught
+    oracle = ngram_jaccard_bruteforce(dup_docs, n=3, threshold=0.8).toPandas()
+    assert pairs == {(a, b) for a, b, _ in oracle.values.tolist()}
+
+
+def test_simhash_finds_planted_pairs(dup_docs):
+    got = simhash_near_dupes(dup_docs, n=3, threshold=0.8).toPandas()
+    pairs = {(a, b) for a, b, *_ in got.values.tolist()}
+    assert (1, 101) in pairs and (2, 102) in pairs  # hamming 0
+    # every emitted pair is exact-verified
+    oracle = ngram_jaccard_bruteforce(dup_docs, n=3, threshold=0.8).toPandas()
+    assert pairs <= {(a, b) for a, b, _ in oracle.values.tolist()}
+
+
+@pytest.fixture(scope="module")
+def vec_df(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(8, 16).astype("float32")
+    rows = [(i, base[i].tolist()) for i in range(8)]
+    # vector 100 = tiny perturbation of vector 0 (cos ~ 0.999)
+    rows.append((100, (base[0] + 0.01 * rng.randn(16).astype("float32")).tolist()))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_embedding_exact_and_lsh(vec_df):
+    exact = embedding_near_dupes_exact(vec_df, threshold=0.95).toPandas()
+    assert [(r.vec_a, r.vec_b) for r in exact.itertuples()] == [(0, 100)]
+    lsh = embedding_near_dupes_lsh(
+        vec_df, threshold=0.95, n_bits=8, n_tables=6, dim=16
+    ).toPandas()
+    assert [(r.vec_a, r.vec_b) for r in lsh.itertuples()] == [(0, 100)]

@@ -1,0 +1,95 @@
+"""Text-analysis and multimodal operator tests."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pytest
+
+from codebased_spark.media.decode import media_from_documents, media_metadata
+from codebased_spark.textops.fingerprint import winnow_fingerprints
+from codebased_spark.textops.langid import lang_id, train_token_lang
+from codebased_spark.textops.quality import doc_quality
+
+
+@pytest.fixture(scope="module")
+def lang_docs(spark):
+    rows = [
+        (0, "the cat sat on the mat and the dog ran", "en"),
+        (1, "the dog and the cat are in the house", "en"),
+        (2, "der hund und die katze sind im haus", "de"),
+        (3, "die katze sitzt auf der matte und der hund", "de"),
+        (4, "le chat et le chien sont dans la maison", "fr"),
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text", "lang"]))
+
+
+def test_lang_id_self_train(lang_docs):
+    got = lang_id(lang_docs).toPandas().set_index("doc_id").pred_lang.to_dict()
+    assert got == {0: "en", 1: "en", 2: "de", 3: "de", 4: "fr"}
+
+
+def test_lang_id_with_external_model(spark, lang_docs):
+    model = train_token_lang(lang_docs)
+    unseen = spark.createDataFrame(
+        [(10, "the cat and the dog"), (11, "der hund und die katze")],
+        ["doc_id", "text"],
+    )
+    got = lang_id(unseen, model=model).toPandas().set_index("doc_id").pred_lang.to_dict()
+    assert got == {10: "en", 11: "de"}
+
+
+def test_doc_quality_values(spark):
+    df = spark.createDataFrame([(0, "the cat the cat runs")], ["doc_id", "text"])
+    row = doc_quality(df).head()
+    assert row.n_tokens == 5
+    assert row.n_distinct == 3
+    assert row.distinct_ratio == 0.6
+    assert row.stopword_ratio == 0.4  # 'the' twice / 5
+    assert row.mean_tok_len == 3.2  # (3+3+3+3+4)/5
+    # score: len 5/100*.25=0.0125 + min(1,0.4*5)*.25=0.25 + 0.6*.25=0.15 + 0.25
+    assert row.quality_score == pytest.approx(0.6625)
+
+
+def test_winnow_shared_substring(spark):
+    shared = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [
+            (0, "prefix words here " + shared),
+            (1, shared + " totally different ending words"),
+            (2, "no overlap with anything else at all whatsoever today"),
+        ],
+        ["doc_id", "text"],
+    )
+    fps = winnow_fingerprints(df, k=3, w=4).toPandas()
+    by_doc = fps.groupby("doc_id").fingerprint.apply(set)
+    # winnowing guarantee: docs sharing a >= w+k-1 token run share a fingerprint
+    assert by_doc[0] & by_doc[1]
+    assert not (by_doc[0] & by_doc[2])
+    assert not (by_doc[1] & by_doc[2])
+
+
+def test_media_metadata_deterministic(spark):
+    docs = spark.createDataFrame(
+        [(0, "hello world"), (1, "audio doc"), (2, "video doc"), (3, "x")],
+        ["doc_id", "text"],
+    )
+    out = media_metadata(media_from_documents(docs)).toPandas().set_index("doc_id")
+    assert out.loc[0, "media_type"] == "image"
+    assert out.loc[1, "media_type"] == "audio"
+    assert out.loc[2, "media_type"] == "video"
+    h = hashlib.md5(b"hello world").hexdigest()
+    assert out.loc[0, "payload_md5"] == h
+    assert out.loc[0, "n_bytes"] == 11
+    assert out.loc[0, "width"] == 1 + int(h[:4], 16) % 4096
+    assert out.loc[0, "height"] == 1 + int(h[4:8], 16) % 4096
+    assert out.loc[0, "duration_ms"] == 0
+    assert out.loc[1, "width"] == 0 and out.loc[1, "duration_ms"] > 0
+    assert out.loc[2, "width"] > 0 and out.loc[2, "duration_ms"] > 0
+
+
+def test_media_real_decode_is_stubbed(spark):
+    docs = spark.createDataFrame([(0, "payload")], ["doc_id", "text"])
+    with pytest.raises(Exception, match="NotImplementedError|real image decode"):
+        media_metadata(media_from_documents(docs), real=True).collect()
