@@ -1,0 +1,277 @@
+"""Resumable, partition-manifested graph materialization.
+
+North-rule requirement: "every stage writes per-partition lineage and
+counter metrics to a manifest table so the pipeline resumes from the last
+committed snapshot" — the Spark restatement of the reference's incremental
+updater (incremental.py:37-38, 159-274: file-hash change detection, delete
++ re-extract of changed files).
+
+Design:
+
+- The corpus is bucketed deterministically: bucket = pmod(xxhash64(url),
+  n_buckets). A bucket is the unit of lineage, commit, retry, and
+  incremental recompute (the reference's unit is a file; at 10^12 rows a
+  per-doc manifest is itself big data, so we coarsen to buckets).
+- Outputs land under {out}/nodes and {out}/edges, partitioned by bucket,
+  written with dynamic partition overwrite — re-running a bucket replaces
+  exactly its own partitions, so task/batch retries are idempotent
+  (entity uids are content hashes, E11, so recomputed rows are identical).
+- {out}/manifest gets one row per committed bucket: row counts, the
+  bucket's aggregate content hash (order-independent XOR of page sha2s —
+  the change-detection key), and a run id. The manifest row is appended
+  AFTER the bucket's data is fully written: on crash, uncommitted buckets
+  may have partial data, but resume() rewrites (overwrites) them, so the
+  manifest is the single source of truth.
+- resume_run() processes only buckets absent from the manifest;
+  incremental_update() additionally re-processes buckets whose content
+  hash changed (the bucket-granular analog of sha256 file diffing).
+
+On a production cluster these three directories are Iceberg tables and the
+data+manifest pair becomes a single atomic snapshot commit; parquet +
+manifest-last gives the same resume semantics in this container, because
+a partial bucket write without a manifest row is invisible to resume.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from codebased_spark.graph.pipeline import extract_triples
+
+MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("n_pages", T.LongType()),
+        T.StructField("n_triples", T.LongType()),
+        T.StructField("n_nodes", T.LongType()),
+        T.StructField("n_edges", T.LongType()),
+        T.StructField("content_hash", T.LongType()),
+        T.StructField("run_id", T.StringType()),
+        T.StructField("committed_at", T.DoubleType()),
+    ]
+)
+
+
+def with_bucket(pages: DataFrame, n_buckets: int) -> DataFrame:
+    return pages.withColumn(
+        "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
+    )
+
+
+def bucket_content_hashes(pages_b: DataFrame) -> DataFrame:
+    """(bucket, n_pages, content_hash) — order-independent change key.
+
+    XOR of xxhash64(url, sha2(html)) commutes, so the aggregate is stable
+    under any row order/partitioning. bit_xor is a built-in aggregate.
+    """
+    return pages_b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.bit_xor(F.xxhash64("url", F.sha2("html", 256))).alias("content_hash"),
+    )
+
+
+def committed_buckets(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Manifest rows of committed buckets (empty DF if no manifest yet)."""
+    try:
+        return spark.read.schema(MANIFEST_SCHEMA).parquet(f"{out_dir}/manifest")
+    except Exception:
+        return spark.createDataFrame([], MANIFEST_SCHEMA)
+
+
+@dataclass
+class RunReport:
+    run_id: str
+    buckets_processed: list[int]
+    buckets_skipped: int
+
+
+def _process_buckets(
+    spark: SparkSession,
+    pages_b: DataFrame,
+    gazetteer: DataFrame,
+    out_dir: str,
+    buckets: list[int],
+    run_id: str,
+    batch_size: int,
+    max_batches: int | None,
+) -> list[int]:
+    """Run the pipeline per batch of buckets; overwrite their partitions,
+    then append manifest rows. Returns the buckets actually committed."""
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    done: list[int] = []
+    batches = [
+        buckets[i : i + batch_size] for i in range(0, len(buckets), batch_size)
+    ]
+    if max_batches is not None:
+        batches = batches[:max_batches]
+    for batch in batches:
+        sub = pages_b.where(F.col("bucket").isin(batch))
+        res = extract_triples(spark, sub, gazetteer)
+        # Attribute every output row to the bucket(s) whose pages produced
+        # it. Entity nodes are referenced from many buckets — they get one
+        # row per referencing bucket (content-hash ids make the read-side
+        # dropDuplicates order-indifferent), so overwriting one bucket's
+        # partitions never destroys another bucket's lineage.
+        url_buckets = sub.select("url", "bucket")
+        t_b = res.triples.join(url_buckets, "url")
+        node_buckets = (
+            t_b.select("bucket", F.col("subj").alias("id"))
+            .unionByName(t_b.select("bucket", F.col("obj").alias("id")))
+            .unionByName(
+                url_buckets.select(
+                    "bucket", F.concat(F.lit("page:"), F.col("url")).alias("id")
+                )
+            )
+            .distinct()
+        )
+        nodes = res.nodes.join(node_buckets, "id")
+        edges = res.edges.join(
+            url_buckets.select(F.col("url").alias("_u"), F.col("bucket")),
+            F.element_at(F.col("meta"), "source_url") == F.col("_u"),
+        ).select("src", "dst", "rel_type", "meta", "bucket")
+        (
+            nodes.write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(f"{out_dir}/nodes")
+        )
+        (
+            edges.write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(f"{out_dir}/edges")
+        )
+        # lineage/counters, computed from what was actually written
+        nodes_w = spark.read.parquet(f"{out_dir}/nodes").where(
+            F.col("bucket").isin(batch)
+        )
+        edges_w = spark.read.parquet(f"{out_dir}/edges").where(
+            F.col("bucket").isin(batch)
+        )
+        stats = (
+            bucket_content_hashes(sub)
+            .join(
+                nodes_w.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_nodes")),
+                "bucket",
+                "left",
+            )
+            .join(
+                edges_w.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_edges")),
+                "bucket",
+                "left",
+            )
+        )
+        n_triples_by_bucket = (
+            res.triples.join(
+                sub.select("url", "bucket"), "url", "left"
+            )
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_triples"))
+        )
+        manifest_rows = (
+            stats.join(n_triples_by_bucket, "bucket", "left")
+            .select(
+                "bucket",
+                "n_pages",
+                F.coalesce("n_triples", F.lit(0)).alias("n_triples"),
+                F.coalesce("n_nodes", F.lit(0)).alias("n_nodes"),
+                F.coalesce("n_edges", F.lit(0)).alias("n_edges"),
+                "content_hash",
+                F.lit(run_id).alias("run_id"),
+                F.lit(time.time()).alias("committed_at"),
+            )
+        )
+        manifest_rows.write.mode("append").parquet(f"{out_dir}/manifest")
+        done.extend(batch)
+    return done
+
+
+def run_partitioned(
+    spark: SparkSession,
+    pages: DataFrame,
+    gazetteer: DataFrame,
+    out_dir: str,
+    n_buckets: int = 8,
+    batch_size: int = 4,
+    max_batches: int | None = None,
+) -> RunReport:
+    """Fresh or resumed run: process every bucket not yet in the manifest.
+
+    `max_batches` exists so tests (and operators) can stop mid-run and
+    exercise resume; a killed job behaves identically.
+    """
+    run_id = uuid.uuid4().hex[:12]
+    pages_b = with_bucket(pages, n_buckets)
+    committed = [
+        r.bucket for r in committed_buckets(spark, out_dir).select("bucket").collect()
+    ]
+    todo = [b for b in range(n_buckets) if b not in committed]
+    done = _process_buckets(
+        spark, pages_b, gazetteer, out_dir, todo, run_id, batch_size, max_batches
+    )
+    return RunReport(run_id=run_id, buckets_processed=done, buckets_skipped=len(committed))
+
+
+def incremental_update(
+    spark: SparkSession,
+    pages: DataFrame,
+    gazetteer: DataFrame,
+    out_dir: str,
+    n_buckets: int = 8,
+    batch_size: int = 4,
+) -> RunReport:
+    """Re-process buckets that are new OR whose content hash changed.
+
+    Bucket-granular restatement of the reference's sha256 file diff
+    (incremental.py:159-214): current per-bucket hash vs manifest hash;
+    changed buckets get their partitions overwritten and a fresh manifest
+    row (latest row per bucket wins on read).
+    """
+    run_id = uuid.uuid4().hex[:12]
+    pages_b = with_bucket(pages, n_buckets)
+    current = bucket_content_hashes(pages_b).select(
+        "bucket", F.col("content_hash").alias("new_hash")
+    )
+    manifest = committed_buckets(spark, out_dir)
+    latest = (
+        manifest.groupBy("bucket")
+        .agg(F.max_by("content_hash", "committed_at").alias("content_hash"))
+    )
+    todo_df = current.join(latest, "bucket", "left").where(
+        F.col("content_hash").isNull()
+        | (F.col("content_hash") != F.col("new_hash"))
+    )
+    todo = sorted(r.bucket for r in todo_df.select("bucket").collect())
+    done = _process_buckets(
+        spark, pages_b, gazetteer, out_dir, todo, run_id, batch_size, None
+    )
+    return RunReport(
+        run_id=run_id, buckets_processed=done, buckets_skipped=n_buckets - len(todo)
+    )
+
+
+def read_graph(spark: SparkSession, out_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Committed nodes/edges only (manifest-gated), deduped across buckets.
+
+    Cross-bucket duplicates exist by design (the same entity can be
+    referenced from many buckets); content-hash uids make dropDuplicates
+    order-indifferent (A8).
+    """
+    committed = committed_buckets(spark, out_dir).select("bucket").distinct()
+    nodes = (
+        spark.read.parquet(f"{out_dir}/nodes")
+        .join(committed, "bucket", "left_semi")
+        .drop("bucket")
+        .dropDuplicates(["id"])
+    )
+    edges = (
+        spark.read.parquet(f"{out_dir}/edges")
+        .join(committed, "bucket", "left_semi")
+        .drop("bucket")
+        .dropDuplicates(["src", "dst", "rel_type"])
+    )
+    return nodes, edges

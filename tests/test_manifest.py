@@ -1,0 +1,88 @@
+"""Resumable manifest runs: interrupt/resume equivalence, lineage counters,
+incremental change detection (reference incremental.py semantics)."""
+
+from __future__ import annotations
+
+import pytest
+
+from codebased_spark.graph.manifest import (
+    committed_buckets,
+    incremental_update,
+    read_graph,
+    run_partitioned,
+)
+
+N_BUCKETS = 6
+
+
+@pytest.fixture(scope="module")
+def pages_gaz(spark, corpus):
+    return spark.createDataFrame(corpus.pages), spark.createDataFrame(corpus.gazetteer)
+
+
+def _graph_sets(spark, out):
+    nodes, edges = read_graph(spark, out)
+    return (
+        {r.id for r in nodes.select("id").collect()},
+        {(r.src, r.dst, r.rel_type) for r in edges.select("src", "dst", "rel_type").collect()},
+    )
+
+
+def test_interrupted_run_resumes_to_same_graph(spark, pages_gaz, tmp_path_factory):
+    pages, gaz = pages_gaz
+    full = str(tmp_path_factory.mktemp("full"))
+    partial = str(tmp_path_factory.mktemp("partial"))
+
+    rep = run_partitioned(spark, pages, gaz, full, n_buckets=N_BUCKETS, batch_size=3)
+    assert sorted(rep.buckets_processed) == list(range(N_BUCKETS))
+
+    # simulate a crash: only the first batch commits
+    rep1 = run_partitioned(
+        spark, pages, gaz, partial, n_buckets=N_BUCKETS, batch_size=3, max_batches=1
+    )
+    assert len(rep1.buckets_processed) == 3
+    assert committed_buckets(spark, partial).count() == 3
+
+    # resume: picks up exactly the missing buckets
+    rep2 = run_partitioned(spark, pages, gaz, partial, n_buckets=N_BUCKETS, batch_size=3)
+    assert rep2.buckets_skipped == 3
+    assert sorted(rep1.buckets_processed + rep2.buckets_processed) == list(range(N_BUCKETS))
+
+    assert _graph_sets(spark, partial) == _graph_sets(spark, full)
+
+
+def test_manifest_lineage_counters(spark, pages_gaz, tmp_path_factory):
+    pages, gaz = pages_gaz
+    out = str(tmp_path_factory.mktemp("lineage"))
+    run_partitioned(spark, pages, gaz, out, n_buckets=N_BUCKETS, batch_size=N_BUCKETS)
+    m = committed_buckets(spark, out).toPandas()
+    assert len(m) == N_BUCKETS
+    assert m.n_pages.sum() == pages.count()
+    assert (m.n_pages > 0).all()
+    assert m.content_hash.nunique() == N_BUCKETS  # per-bucket change keys
+    assert m.run_id.nunique() == 1
+
+
+def test_incremental_update_reprocesses_only_changed_buckets(
+    spark, pages_gaz, corpus, tmp_path_factory
+):
+    import pandas as pd
+
+    pages, gaz = pages_gaz
+    out = str(tmp_path_factory.mktemp("incr"))
+    run_partitioned(spark, pages, gaz, out, n_buckets=N_BUCKETS, batch_size=N_BUCKETS)
+
+    # unchanged input -> nothing to do
+    rep = incremental_update(spark, pages, gaz, out, n_buckets=N_BUCKETS)
+    assert rep.buckets_processed == []
+
+    # mutate one page's html -> exactly its bucket is reprocessed
+    pdf = corpus.pages.copy()
+    pdf.loc[0, "html"] = pdf.loc[0, "html"] + b"<p>changed</p>"
+    changed = spark.createDataFrame(pd.DataFrame(pdf))
+    rep = incremental_update(spark, changed, gaz, out, n_buckets=N_BUCKETS)
+    assert len(rep.buckets_processed) == 1
+    # manifest now has a newer row for that bucket
+    m = committed_buckets(spark, out).toPandas()
+    b = rep.buckets_processed[0]
+    assert (m.bucket == b).sum() == 2
