@@ -22,6 +22,8 @@ from codebased_spark.dedup.exact import exact_dedup
 from codebased_spark.dedup.minhash import minhash_near_dupes
 from codebased_spark.dedup.ngram import ngram_jaccard_pairs
 from codebased_spark.dedup.simhash import simhash_near_dupes
+from codebased_spark.graph.paths import cycle_members, k_hop_reach
+from codebased_spark.link.cc import connected_components
 from codebased_spark.media.decode import media_from_documents, media_metadata
 from codebased_spark.similarity.ann import ann_bruteforce_topk, ann_ivf_topk
 from codebased_spark.textops.fingerprint import winnow_fingerprints
@@ -92,6 +94,57 @@ def mm_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_metadata(media_from_documents(_docs(spark, sf_dir)))
 
 
+def _doc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic directed graph over documents (2 out-edges per doc).
+
+    Stand-in for a hyperlink graph: dst = f(doc_id, n_chars) mod N. Purely
+    derived from table columns so the DuckDB oracle builds the identical
+    graph; functional-graph structure guarantees cycles exist.
+    """
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    # ring edges: docs form 6-rings per cell, broken where n_chars % 3 == 0
+    # -> cells whose members all keep their edge are 6-cycles (a nontrivial
+    # deterministic subset for the cycle query)
+    ring_dst = (F.floor(F.col("doc_id") / 6) * 6 + (F.col("doc_id") % 6 + 1) % 6)
+    e1 = (
+        docs.where(F.col("n_chars") % 3 != 0)
+        .select(F.col("doc_id").alias("src"), ring_dst.alias("dst"))
+        .where(F.col("dst") < n)
+    )
+    # long-range chords make k-hop reach non-trivial
+    e2 = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") + F.col("n_chars") % 13 + 2) % n).alias("dst"),
+    )
+    return e1.unionByName(e2).distinct()
+
+
+def g_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nodes reachable within 3 hops per origin (Q4 bounded path)."""
+    reach = k_hop_reach(_doc_edges(spark, sf_dir), k=3)
+    return reach.groupBy(F.col("origin").alias("doc_id")).agg(
+        F.countDistinct("node").alias("n_reach")
+    )
+
+
+def g_cycle_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs on a directed cycle of length <= 6 (circular-dependency Q4)."""
+    return cycle_members(_doc_edges(spark, sf_dir), max_len=6).select(
+        F.col("node").alias("doc_id")
+    )
+
+
+def g_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weak components of the doc graph via iterative min-label CC.
+
+    Non-SQL-expressible fixpoint (rows-only driver check); unit-tested
+    against networkx-free brute force in tests/test_linking.py.
+    """
+    comps = connected_components(_doc_edges(spark, sf_dir))
+    return comps.groupBy("comp").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
 QUERIES = {
     "dd_exact": dd_exact,
     "dd_ngram_jaccard": dd_ngram_jaccard,
@@ -105,6 +158,9 @@ QUERIES = {
     "tx_quality": tx_quality,
     "tx_winnow": tx_winnow,
     "mm_media_meta": mm_media_meta,
+    "g_khop_reach": g_khop_reach,
+    "g_cycle_members": g_cycle_members,
+    "g_components": g_components,
 }
 
 # ---------------------------------------------------------------------------
@@ -157,6 +213,19 @@ def _emb_pairs_sql(threshold: float) -> str:
 
 
 _STOP_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+
+_EDGES_SQL = """
+        cnt AS (SELECT count(*) AS n FROM documents),
+        edges AS (
+          SELECT doc_id AS src,
+                 (doc_id // 6) * 6 + (doc_id % 6 + 1) % 6 AS dst
+          FROM documents, cnt
+          WHERE n_chars % 3 <> 0 AND (doc_id // 6) * 6 + (doc_id % 6 + 1) % 6 < n
+          UNION
+          SELECT doc_id AS src, (doc_id + n_chars % 13 + 2) % n AS dst
+          FROM documents, cnt
+        )
+"""
 
 ORACLES = {
     "dd_exact": """
@@ -294,4 +363,27 @@ ORACLES = {
                     ELSE 0 END AS duration_ms
         FROM m
     """,
+    "g_khop_reach": f"""
+        WITH RECURSIVE {_EDGES_SQL},
+        r AS (
+          SELECT src AS origin, dst AS node, 1 AS depth FROM edges
+          UNION ALL
+          SELECT r.origin, e.dst, r.depth + 1
+          FROM r JOIN edges e ON r.node = e.src WHERE r.depth < 3
+        )
+        SELECT origin AS doc_id, count(DISTINCT node) AS n_reach
+        FROM r GROUP BY origin
+    """,
+    "g_cycle_members": f"""
+        WITH RECURSIVE {_EDGES_SQL},
+        r AS (
+          SELECT src AS origin, dst AS node, 1 AS depth FROM edges
+          UNION ALL
+          SELECT r.origin, e.dst, r.depth + 1
+          FROM r JOIN edges e ON r.node = e.src WHERE r.depth < 6
+        )
+        SELECT DISTINCT origin AS doc_id FROM r WHERE node = origin
+    """,
+    # g_components intentionally absent: iterative CC fixpoint is not
+    # SQL-expressible; the driver records a rows-only check.
 }

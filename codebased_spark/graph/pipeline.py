@@ -49,8 +49,18 @@ def extract_triples(
     gazetteer: DataFrame,
     fuzzy_threshold: float = 0.55,
     use_given_text: bool = False,
+    persist: bool = True,
 ) -> GraphResult:
-    """Run extraction + linking + canonicalization; all outputs lazy."""
+    """Run extraction + linking + canonicalization.
+
+    `persist=True` (default) caches the two fan-out points — the scanned
+    extraction output (consumed by mention-, relation- and node-building
+    branches) and the canonical surface map — at MEMORY_AND_DISK. Without
+    this every downstream branch re-runs the scan UDFs over the corpus
+    (measured 2.5x end-to-end at 20k docs). At cluster scale the same
+    role is played by the manifest runner materializing per-bucket output;
+    MEMORY_AND_DISK spills rather than OOMs on big partitions.
+    """
     alias_table = build_alias_table(gazetteer)
     surfaces = [r.alias_key for r in alias_table.select("alias_key").collect()]
 
@@ -72,6 +82,10 @@ def extract_triples(
     scanned = with_mentions(
         pages.where(F.col("lang").isin(*MENTION_LANGS)), surfaces, "text"
     ).select("url", "extraction")
+    if persist:
+        from pyspark import StorageLevel
+
+        scanned = scanned.persist(StorageLevel.MEMORY_AND_DISK)
 
     mentions = scanned.select(
         "url", F.explode("extraction.mentions").alias("m")
@@ -88,9 +102,18 @@ def extract_triples(
         F.lit(1.0).alias("link_score"),
     )
     fuzzy_surfaces = mentions.where(~F.col("exact")).select("surface").distinct()
-    fuzzy_map = link_fuzzy_mentions(
-        spark, fuzzy_surfaces, alias_table, threshold=fuzzy_threshold
-    )
+    # short-circuit: clean corpora have no fuzzy candidates, and the TF-IDF
+    # scoring stage costs several fixed jobs. fuzzy_surfaces is vocabulary-
+    # sized (distinct surfaces, not mentions), so isEmpty() is cheap and
+    # doubles as the materialization point for the persisted scan.
+    if fuzzy_surfaces.isEmpty():
+        fuzzy_map = spark.createDataFrame(
+            [], "surface string, entity_id string, entity_type string, link_score double"
+        )
+    else:
+        fuzzy_map = link_fuzzy_mentions(
+            spark, fuzzy_surfaces, alias_table, threshold=fuzzy_threshold
+        )
     # unlinked candidates → external stubs (J7: no dangling refs)
     ext_map = (
         fuzzy_surfaces.join(fuzzy_map, "surface", "left_anti")
@@ -116,6 +139,10 @@ def extract_triples(
         .withColumn("canonical_id", F.coalesce("comp", "entity_id"))
         .select("surface", "entity_id", "canonical_id", "entity_type", "link_score")
     )
+    if persist:
+        from pyspark import StorageLevel
+
+        canon = canon.persist(StorageLevel.MEMORY_AND_DISK)
     canon_b = F.broadcast(canon)
 
     linked = mentions.join(canon_b, "surface", "left").select(

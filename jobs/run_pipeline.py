@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the KG construction pipeline.
+
+Cluster usage (the north-rule deployment shape):
+
+    zip -r codebased_spark.zip codebased_spark
+    spark-submit --py-files codebased_spark.zip jobs/run_pipeline.py \\
+        --pages /path/to/pages_parquet --gazetteer /path/to/gazetteer \\
+        --out /path/to/graph --n-buckets 1024 --batch-size 64
+
+    # synthetic input instead of --pages (scale/soak testing):
+    spark-submit --py-files codebased_spark.zip jobs/run_pipeline.py \\
+        --synth-docs 1000000 --out /tmp/graph
+
+Modes:
+    default      fresh-or-resume: process buckets missing from the manifest
+    --incremental  also re-process buckets whose content hash changed
+
+The job is driver-light: all state lives in the out-dir manifest, so a
+killed job resumes from the last committed bucket batch on re-submit.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--pages", help="parquet dir/file with (url, warc_ts, html, text, lang)")
+    ap.add_argument("--gazetteer", help="parquet with (surface_form, canonical_id, entity_type, weight)")
+    ap.add_argument("--synth-docs", type=int, help="generate N synthetic pages instead of --pages")
+    ap.add_argument("--out", required=True, help="output dir (nodes/, edges/, manifest/)")
+    ap.add_argument("--n-buckets", type=int, default=64)
+    ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--incremental", action="store_true")
+    ap.add_argument("--master", default=None, help="override master (tests); cluster runs leave unset")
+    args = ap.parse_args(argv)
+
+    from codebased_spark.graph.manifest import incremental_update, run_partitioned
+    from codebased_spark.session import get_spark
+
+    spark = get_spark("codebased-kg-pipeline", master=args.master)
+    t0 = time.time()
+    if args.synth_docs:
+        from codebased_spark.synth.scale import synth_pages_spark
+
+        pages, gaz = synth_pages_spark(spark, args.synth_docs)
+    else:
+        if not (args.pages and args.gazetteer):
+            ap.error("--pages and --gazetteer required unless --synth-docs")
+        pages = spark.read.parquet(args.pages)
+        gaz = spark.read.parquet(args.gazetteer)
+
+    run = incremental_update if args.incremental else run_partitioned
+    report = run(
+        spark, pages, gaz, args.out,
+        n_buckets=args.n_buckets, batch_size=args.batch_size,
+    )
+    print(
+        json.dumps(
+            {
+                "run_id": report.run_id,
+                "buckets_processed": len(report.buckets_processed),
+                "buckets_skipped": report.buckets_skipped,
+                "seconds": round(time.time() - t0, 2),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, ".")
+    main()
