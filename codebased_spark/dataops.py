@@ -63,11 +63,11 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dd_embedding_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return embedding_near_dupes_exact(_emb(spark, sf_dir), threshold=EMB_PAIR_T)
+    return embedding_near_dupes_exact(_emb(spark, sf_dir), threshold=EMB_PAIR_T, dim=64)
 
 
 def dd_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return embedding_near_dupes_lsh(_emb(spark, sf_dir), threshold=EMB_LSH_T)
+    return embedding_near_dupes_lsh(_emb(spark, sf_dir), threshold=EMB_LSH_T)  # dim=64 default
 
 
 def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

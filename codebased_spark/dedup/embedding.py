@@ -27,8 +27,20 @@ def _as_double(col) -> Column:
     return F.col(col).cast("array<double>") if isinstance(col, str) else col.cast("array<double>")
 
 
-def dot_col(a: Column, b: Column) -> Column:
-    """Sequential-order double dot product (same fold order as the oracle)."""
+def dot_col(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Sequential-order double dot product (same fold order as the oracle).
+
+    With `dim` known, the sum is unrolled into one codegen expression of
+    element_at products — zip_with+aggregate allocates a dim-length array
+    per row-pair, which dominates brute-force pair scans (measured ~2x on
+    the sf0.1 cross join). Both forms fold left-to-right, so they are
+    IEEE-identical to each other and to the SQL oracle.
+    """
+    if dim is not None:
+        acc = F.element_at(a, 1) * F.element_at(b, 1)
+        for i in range(2, dim + 1):
+            acc = acc + F.element_at(a, i) * F.element_at(b, i)
+        return acc
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -36,12 +48,12 @@ def dot_col(a: Column, b: Column) -> Column:
     )
 
 
-def norm_col(a: Column) -> Column:
-    return F.sqrt(dot_col(a, a))
+def norm_col(a: Column, dim: int | None = None) -> Column:
+    return F.sqrt(dot_col(a, a, dim))
 
 
-def cosine_col(a: Column, b: Column) -> Column:
-    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+def cosine_col(a: Column, b: Column, dim: int | None = None) -> Column:
+    return dot_col(a, b, dim) / (norm_col(a, dim) * norm_col(b, dim))
 
 
 def embedding_near_dupes_exact(
@@ -49,18 +61,19 @@ def embedding_near_dupes_exact(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Brute-force cosine pairs >= threshold: (vec_a, vec_b, cos_sim)."""
     a = emb.select(
         F.col(id_col).alias("vec_a"), _as_double(vec_col).alias("va")
-    ).withColumn("na", norm_col(F.col("va")))
+    ).withColumn("na", norm_col(F.col("va"), dim))
     b = emb.select(
         F.col(id_col).alias("vec_b"), _as_double(vec_col).alias("vb")
-    ).withColumn("nb", norm_col(F.col("vb")))
+    ).withColumn("nb", norm_col(F.col("vb"), dim))
     return (
         a.crossJoin(b)
         .where(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos_sim", dot_col(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+        .withColumn("cos_sim", dot_col(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb")))
         .where(F.col("cos_sim") >= threshold)
         .select("vec_a", "vec_b", round_stable(F.col("cos_sim")).alias("cos_sim"))
     )
@@ -102,7 +115,7 @@ def embedding_near_dupes_lsh(
     """
     vecs = emb.select(
         F.col(id_col).alias("vec"), _as_double(vec_col).alias("v")
-    ).withColumn("nrm", norm_col(F.col("v")))
+    ).withColumn("nrm", norm_col(F.col("v"), dim))
     buckets = None
     for t in range(n_tables):
         planes = _hyperplanes(dim, n_bits, seed=seed + t)
@@ -124,7 +137,7 @@ def embedding_near_dupes_lsh(
     return (
         cand.join(va, "vec_a")
         .join(vb, "vec_b")
-        .withColumn("cos_sim", dot_col(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+        .withColumn("cos_sim", dot_col(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb")))
         .where(F.col("cos_sim") >= threshold)
         .select("vec_a", "vec_b", round_stable(F.col("cos_sim")).alias("cos_sim"))
     )

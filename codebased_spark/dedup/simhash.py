@@ -95,20 +95,24 @@ def simhash_near_dupes(
             )
         ).alias("band_idx", "band_val"),
     )
+    # Hamming filter BEFORE the distinct: the 4-bit bands admit ~64% of
+    # random pairs, so the filter must prune the join output stream inside
+    # codegen rather than shuffling it into a distinct first.
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), ["band_idx", "band_val"])
         .where(F.col("a.doc") < F.col("b.doc"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))),
+        )
+        .where(F.col("hamming") <= max_hamming)
         .select(
             F.col("a.doc").alias("doc_a"),
             F.col("b.doc").alias("doc_b"),
-            F.col("a.simhash").alias("sh1"),
-            F.col("b.simhash").alias("sh2"),
+            "hamming",
         )
         .distinct()
-        .withColumn("hamming", F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2"))))
-        .where(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
     )
     sh_a = signed.select(F.col("doc").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sh_b = signed.select(F.col("doc").alias("doc_b"), F.col("shingles").alias("sh_b"))

@@ -82,17 +82,52 @@ def extract_triples(
     scanned = with_mentions(
         pages.where(F.col("lang").isin(*MENTION_LANGS)), surfaces, "text"
     ).select("url", "extraction")
+
+    # Flatten BOTH extraction arrays in one explode and persist the flat
+    # rows. Caching the nested array<struct> column instead is a trap: the
+    # columnar cache cannot codegen-decode nested arrays, so every
+    # downstream branch re-pays an object-materialization decode that
+    # dominates the whole pipeline (measured ~40s per pass at 1M docs vs
+    # ~4s for flat rows) and does not scale with cores.
+    null_s = F.lit(None).cast("string")
+    m_structs = F.transform(
+        "extraction.mentions",
+        lambda m: F.struct(
+            F.lit("m").alias("kind"),
+            m["surface"].alias("surface"),
+            m["mstart"].alias("mstart"),
+            m["mend"].alias("mend"),
+            m["exact"].alias("exact"),
+            null_s.alias("subj"),
+            null_s.alias("pred"),
+            null_s.alias("obj"),
+        ),
+    )
+    r_structs = F.transform(
+        "extraction.rels",
+        lambda r: F.struct(
+            F.lit("r").alias("kind"),
+            null_s.alias("surface"),
+            F.lit(None).cast("int").alias("mstart"),
+            F.lit(None).cast("int").alias("mend"),
+            F.lit(None).cast("boolean").alias("exact"),
+            r["subj"].alias("subj"),
+            r["pred"].alias("pred"),
+            r["obj"].alias("obj"),
+        ),
+    )
+    flat = scanned.select(
+        "url", F.explode(F.concat(m_structs, r_structs)).alias("x")
+    ).select("url", "x.*")
     if persist:
         from pyspark import StorageLevel
 
-        scanned = scanned.persist(StorageLevel.MEMORY_AND_DISK)
+        flat = flat.persist(StorageLevel.MEMORY_AND_DISK)
 
-    mentions = scanned.select(
-        "url", F.explode("extraction.mentions").alias("m")
-    ).select("url", "m.surface", "m.mstart", "m.mend", "m.exact")
-    rels = scanned.select("url", F.explode("extraction.rels").alias("r")).select(
-        "url", "r.subj", "r.pred", "r.obj"
+    mentions = flat.where(F.col("kind") == "m").select(
+        "url", "surface", "mstart", "mend", "exact"
     )
+    rels = flat.where(F.col("kind") == "r").select("url", "subj", "pred", "obj")
 
     # exact surface → entity (broadcast: the alias table is the small dim)
     exact_map = alias_table.select(

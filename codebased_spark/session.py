@@ -54,6 +54,9 @@ def get_spark(
         # The sandbox has 128 GiB; real clusters size executor heaps per
         # core count the same way.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # sandbox disk is slow virtio; tmpfs shuffle dirs keep local-mode
+        # shuffles memory-speed (cluster deployments use NVMe local dirs)
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-tmp"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

@@ -61,26 +61,29 @@ def run_child(cpus: int, docs: int) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--child", type=int, default=None)
-    ap.add_argument("--docs", type=int, default=400_000)
+    ap.add_argument("--docs", type=int, default=1_500_000)
+    ap.add_argument("--lo", type=int, default=2, help="N cores")
+    ap.add_argument("--hi", type=int, default=8, help="4N cores")
     ap.add_argument("--out", default=None, help="append a markdown report to this file")
     args = ap.parse_args()
     if args.child is not None:
         child(args.child, args.docs)
         return
 
-    lo = run_child(8, args.docs)
-    hi = run_child(32, args.docs)
+    lo = run_child(args.lo, args.docs)
+    hi = run_child(args.hi, args.docs)
     thr_lo = lo["triples"] / lo["seconds"]
     thr_hi = hi["triples"] / hi["seconds"]
-    eff = thr_hi / (4 * thr_lo)
+    ratio = args.hi / args.lo
+    eff = thr_hi / (ratio * thr_lo)
     report = {
         "docs": args.docs,
         "triples": hi["triples"],
-        "local8_sec": lo["seconds"],
-        "local32_sec": hi["seconds"],
-        "local8_triples_per_sec": round(thr_lo, 1),
-        "local32_triples_per_sec": round(thr_hi, 1),
-        "scaling_efficiency_8_to_32": round(eff, 3),
+        f"local{args.lo}_sec": lo["seconds"],
+        f"local{args.hi}_sec": hi["seconds"],
+        f"local{args.lo}_triples_per_sec": round(thr_lo, 1),
+        f"local{args.hi}_triples_per_sec": round(thr_hi, 1),
+        f"scaling_efficiency_{args.lo}_to_{args.hi}": round(eff, 3),
     }
     print(json.dumps(report))
     if args.out:
@@ -90,9 +93,9 @@ def main() -> None:
                 f"Input: {args.docs:,} synthetic pages (synth/scale.py, seed 42); "
                 "job: full extract_triples -> triples.count().\n\n"
                 "| config | seconds | triples/sec |\n|---|---|---|\n"
-                f"| local[8] (N) | {lo['seconds']} | {thr_lo:,.1f} |\n"
-                f"| local[32] (4N) | {hi['seconds']} | {thr_hi:,.1f} |\n\n"
-                f"**Scaling efficiency** = thr(4N) / (4 x thr(N)) = "
+                f"| local[{args.lo}] (N) | {lo['seconds']} | {thr_lo:,.1f} |\n"
+                f"| local[{args.hi}] ({ratio:.0f}N) | {hi['seconds']} | {thr_hi:,.1f} |\n\n"
+                f"**Scaling efficiency** = thr({ratio:.0f}N) / ({ratio:.0f} x thr(N)) = "
                 f"**{eff:.3f}** (target >= 0.8).\n"
             )
 
