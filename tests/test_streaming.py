@@ -1,0 +1,93 @@
+"""Structured Streaming: micro-batch execution must agree with batch SQL."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from codebased_spark.streaming.ingest import (
+    stream_event_window_counts,
+    stream_pages_to_graph,
+)
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+def test_windowed_counts_match_batch(spark, tmp_path):
+    src = str(tmp_path / "events")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet").write.parquet(src)
+
+    sdf = stream_event_window_counts(
+        spark, src, EVENTS_SCHEMA, window="1 hour", watermark="2 hours",
+        time_col="ts",
+    )
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(sink)
+    expected = (
+        spark.read.parquet(src)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+    g = sorted(map(tuple, got.collect()))
+    e = sorted(map(tuple, expected.collect()))
+    # availableNow finalizes every window up to the watermark; the last
+    # open window(s) may be withheld — got must be a prefix-subset
+    assert len(g) > 0
+    assert set(g) <= set(e)
+    # every fully-finalized window matches exactly
+    max_start = max(r[0] for r in g)
+    assert set(r for r in e if r[0] <= max_start) >= set(g)
+
+
+def test_stream_pages_to_graph_matches_batch(spark, corpus, tmp_path):
+    from codebased_spark.graph.pipeline import extract_triples
+
+    pages_dir = str(tmp_path / "pages")
+    out = str(tmp_path / "triples")
+    ckpt = str(tmp_path / "ckpt2")
+    pages = spark.createDataFrame(corpus.pages)
+    gaz = spark.createDataFrame(corpus.gazetteer)
+    # two file drops -> at least two micro-batch-able inputs
+    pages.where(F.col("url") < "https://m").write.mode("append").parquet(pages_dir)
+    pages.where(F.col("url") >= "https://m").write.mode("append").parquet(pages_dir)
+
+    q = stream_pages_to_graph(
+        spark, pages_dir, PAGES_SCHEMA, gaz, out, ckpt, available_now=True
+    )
+    q.awaitTermination(300)
+
+    streamed = set(
+        map(tuple, spark.read.parquet(out).select("url", "subj", "pred", "obj").distinct().collect())
+    )
+    batch = set(
+        map(tuple, extract_triples(spark, pages, gaz).triples.collect())
+    )
+    # streaming processed the same corpus split across micro-batches; the
+    # only legitimate difference is linking decisions that need corpus-
+    # global context (fuzzy candidates seen in another batch) — on this
+    # fixture both sides resolve identically
+    assert streamed == batch
