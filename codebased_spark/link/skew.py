@@ -1,0 +1,124 @@
+"""Skew handling: hot-key detection, salted joins, salted aggregation.
+
+North-rule requirement: "skewed head entities (top-domain URLs,
+stopword-like surface forms) are handled with salted repartitioning and
+broadcast of the hot-key dictionary" — the generalization of the
+reference's pathological-key truncation (extractor.py:806-832).
+
+Pattern: detect hot keys with a cheap aggregate, broadcast that small
+dictionary, then split the plan:
+
+- salted_join: rows with hot keys get a random-ish (deterministic hash)
+  salt appended on the fact side, and the dimension side is exploded to
+  all salt values — so one hot key spreads over `n_salts` reducers
+  instead of one straggler. Cold keys join unchanged.
+- salted_aggregate: two-phase agg — first by (key, salt), then by key.
+  Map-side partial aggregation already covers sum/count; the salt phase
+  matters for high-cardinality aggregation states (collect_set,
+  count-distinct) where one reducer would hold the whole hot key's state.
+
+AQE's skew-join split handles moderate skew automatically (enabled in
+session.py); explicit salting is for the Zipf head where even one split
+partition's build side is too large, and for aggregations (AQE skew
+handling does not cover those).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hot_keys(df: DataFrame, key: str, min_count: int) -> DataFrame:
+    """(key, n) for keys appearing >= min_count times — the broadcast
+    hot-key dictionary. One cheap partial-agg job over the key column."""
+    return (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= min_count)
+    )
+
+
+def _salt_col(n_salts: int, *cols: Column) -> Column:
+    return F.pmod(F.xxhash64(*cols), F.lit(n_salts)).cast("int")
+
+
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    hot: DataFrame,
+    n_salts: int = 16,
+    salt_by: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Join facts with dim on `key`, spreading hot keys over n_salts.
+
+    `hot` is the hot-key dictionary (broadcast). `salt_by` names a fact
+    column whose hash picks the salt (defaults to the whole row via
+    monotonically_increasing_id-free xxhash of key+salt_by). Result equals
+    facts.join(dim, key, how) exactly; only the physical distribution
+    changes.
+    """
+    hot_b = F.broadcast(hot.select(F.col(key), F.lit(True).alias("_is_hot")))
+    f = facts.join(hot_b, key, "left")
+    salt_src = F.col(salt_by) if salt_by else F.spark_partition_id()
+    f = f.withColumn(
+        "_salt",
+        F.when(F.col("_is_hot").isNotNull(), _salt_col(n_salts, F.col(key), salt_src))
+        .otherwise(F.lit(0)),
+    ).drop("_is_hot")
+
+    d = dim.join(hot_b, key, "left")
+    d_cold = d.where(F.col("_is_hot").isNull()).withColumn("_salt", F.lit(0)).drop("_is_hot")
+    d_hot = (
+        d.where(F.col("_is_hot").isNotNull())
+        .drop("_is_hot")
+        .crossJoin(F.broadcast(
+            dim.sparkSession.range(n_salts).select(F.col("id").cast("int").alias("_salt"))
+        ))
+    )
+    d_salted = d_cold.unionByName(d_hot)
+    return f.join(d_salted, [key, "_salt"], how).drop("_salt")
+
+
+def salted_aggregate(
+    df: DataFrame,
+    key: str,
+    agg_exprs: dict[str, str],
+    hot: DataFrame,
+    n_salts: int = 16,
+    salt_by: str | None = None,
+) -> DataFrame:
+    """Two-phase groupBy for skewed keys; supports count/sum/collect_set-
+    style re-aggregable functions expressed as {'out_col': 'fn(col)'}.
+
+    Phase 1 groups by (key, salt) so a hot key's state is partitioned;
+    phase 2 merges the n_salts partial states per key.
+    """
+    merge_fn = {"count": "sum", "sum": "sum", "collect_set": "flatten_set", "max": "max", "min": "min"}
+    hot_b = F.broadcast(hot.select(F.col(key), F.lit(True).alias("_is_hot")))
+    salt_src = F.col(salt_by) if salt_by else F.spark_partition_id()
+    salted = (
+        df.join(hot_b, key, "left")
+        .withColumn(
+            "_salt",
+            F.when(F.col("_is_hot").isNotNull(), _salt_col(n_salts, F.col(key), salt_src))
+            .otherwise(F.lit(0)),
+        )
+        .drop("_is_hot")
+    )
+    phase1 = salted.groupBy(key, "_salt").agg(
+        *[F.expr(e).alias(out) for out, e in agg_exprs.items()]
+    )
+    finals = []
+    for out, e in agg_exprs.items():
+        fn = e.split("(", 1)[0].strip().lower()
+        m = merge_fn.get(fn)
+        if m == "flatten_set":
+            finals.append(F.array_distinct(F.flatten(F.collect_list(out))).alias(out))
+        elif m is None:
+            raise ValueError(f"aggregate {fn} is not re-aggregable; use a plain groupBy")
+        else:
+            finals.append(getattr(F, m)(out).alias(out))
+    return phase1.groupBy(key).agg(*finals)

@@ -27,15 +27,45 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def child(cpus: int, docs: int) -> None:
+def _package_zip() -> str:
+    """Zip codebased_spark for executor shipping (spark-submit --py-files
+    semantics — local-cluster executors spawn python workers that do not
+    share the driver's sys.path)."""
+    import zipfile
+
+    zpath = "/tmp/codebased_spark_pyfiles.zip"
+    src = os.path.join(REPO, "codebased_spark")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _, files in os.walk(src):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    z.write(full, os.path.relpath(full, REPO))
+    return zpath
+
+
+def child(cpus: int, docs: int, executors: int = 0) -> None:
     sys.path.insert(0, REPO)
     from codebased_spark.graph.pipeline import extract_triples
     from codebased_spark.session import get_spark
     from codebased_spark.synth.scale import synth_pages_spark
 
-    spark = get_spark(
-        f"bench-scaling-{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus
-    )
+    if executors:
+        # N separate executor JVMs x `cpus` cores each — the in-sandbox
+        # emulation of an N-executor cluster (own heap/GC/python workers
+        # per executor), scaled by the executor count like a real cluster
+        master = f"local-cluster[{executors},{cpus},8192]"
+        total = executors * cpus
+        spark = get_spark(
+            f"bench-scaling-{executors}x{cpus}", master=master,
+            shuffle_partitions=total,
+        )
+        spark.sparkContext.addPyFile(_package_zip())
+        cpus = total
+    else:
+        spark = get_spark(
+            f"bench-scaling-{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus
+        )
     spark.sparkContext.setLogLevel("ERROR")
     pages, gaz = synth_pages_spark(spark, docs)
     # warm up JVM/codegen/Arrow so we measure steady-state throughput
@@ -47,11 +77,11 @@ def child(cpus: int, docs: int) -> None:
     spark.stop()
 
 
-def run_child(cpus: int, docs: int) -> dict:
-    out = subprocess.run(
-        [sys.executable, __file__, "--child", str(cpus), "--docs", str(docs)],
-        capture_output=True, text=True, cwd=REPO, timeout=3600,
-    )
+def run_child(cpus: int, docs: int, executors: int = 0) -> dict:
+    cmd = [sys.executable, __file__, "--child", str(cpus), "--docs", str(docs)]
+    if executors:
+        cmd += ["--executors", str(executors)]
+    out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, timeout=3600)
     for line in out.stdout.splitlines():
         if line.startswith("{"):
             return json.loads(line)
@@ -62,16 +92,24 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--child", type=int, default=None)
     ap.add_argument("--docs", type=int, default=1_500_000)
-    ap.add_argument("--lo", type=int, default=2, help="N cores")
-    ap.add_argument("--hi", type=int, default=8, help="4N cores")
+    ap.add_argument("--lo", type=int, default=2, help="N cores (or N executors with --executor-cores)")
+    ap.add_argument("--hi", type=int, default=8, help="4N cores (or 4N executors)")
+    ap.add_argument("--executor-cores", type=int, default=0,
+                    help="if set, lo/hi are EXECUTOR counts in local-cluster mode with this many cores each")
+    ap.add_argument("--executors", type=int, default=0, help="(child) executor count")
     ap.add_argument("--out", default=None, help="append a markdown report to this file")
     args = ap.parse_args()
     if args.child is not None:
-        child(args.child, args.docs)
+        child(args.child if not args.executors else args.executor_cores or args.child,
+              args.docs, executors=args.executors)
         return
 
-    lo = run_child(args.lo, args.docs)
-    hi = run_child(args.hi, args.docs)
+    if args.executor_cores:
+        lo = run_child(args.executor_cores, args.docs, executors=args.lo)
+        hi = run_child(args.executor_cores, args.docs, executors=args.hi)
+    else:
+        lo = run_child(args.lo, args.docs)
+        hi = run_child(args.hi, args.docs)
     thr_lo = lo["triples"] / lo["seconds"]
     thr_hi = hi["triples"] / hi["seconds"]
     ratio = args.hi / args.lo
