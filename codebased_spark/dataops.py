@@ -23,6 +23,7 @@ from codebased_spark.dedup.minhash import minhash_near_dupes
 from codebased_spark.dedup.ngram import ngram_jaccard_pairs
 from codebased_spark.dedup.simhash import simhash_near_dupes
 from codebased_spark.graph.paths import cycle_members, k_hop_reach
+from codebased_spark.graph.queries import GAZ_SQL_VALUES
 from codebased_spark.link.cc import connected_components
 from codebased_spark.media.decode import media_from_documents, media_metadata
 from codebased_spark.similarity.ann import ann_bruteforce_topk, ann_ivf_topk
@@ -94,6 +95,67 @@ def mm_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_metadata(media_from_documents(_docs(spark, sf_dir)))
 
 
+def tx_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace + BPE-ish regex segmentation.
+
+    The regex splits letter runs, digit runs, and single other symbols —
+    the word-boundary pre-tokenization BPE vocabularies assume. Both are
+    single JVM regexp passes (E16-style vectorized counting).
+    """
+    docs = _docs(spark, sf_dir)
+    pat = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda w: w != "")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(pat), 0)).alias("bpe_tokens"),
+    )
+
+
+def kg_doc_entity_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc sorted set of mentioned entity types (Q7 collect_set)."""
+    from codebased_spark.graph.queries import DOC_GAZETTEER
+
+    gaz = F.broadcast(
+        spark.createDataFrame(DOC_GAZETTEER, ["surface_form", "canonical_id", "entity_type"])
+    )
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    return (
+        toks.join(gaz, F.col("word") == F.col("surface_form"))
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("entity_type")).alias("types"))
+        .select("doc_id", F.array_join("types", ",").alias("types"))
+    )
+
+
+def kg_top_docs_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 docs by mention count per entity type (Q8 per-type quota)."""
+    from pyspark.sql import Window
+
+    from codebased_spark.graph.queries import DOC_GAZETTEER
+
+    gaz = F.broadcast(
+        spark.createDataFrame(DOC_GAZETTEER, ["surface_form", "canonical_id", "entity_type"])
+    )
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    counts = (
+        toks.join(gaz, F.col("word") == F.col("surface_form"))
+        .groupBy("entity_type", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+    )
+    w = Window.partitionBy("entity_type").orderBy(
+        F.desc("n_mentions"), F.asc("doc_id")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("entity_type", "doc_id", "n_mentions", "rn")
+    )
+
+
 def _doc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic directed graph over documents (2 out-edges per doc).
 
@@ -157,6 +219,9 @@ QUERIES = {
     "tx_lang_id": tx_lang_id,
     "tx_quality": tx_quality,
     "tx_winnow": tx_winnow,
+    "tx_token_counts": tx_token_counts,
+    "kg_doc_entity_types": kg_doc_entity_types,
+    "kg_top_docs_per_type": kg_top_docs_per_type,
     "mm_media_meta": mm_media_meta,
     "g_khop_reach": g_khop_reach,
     "g_cycle_members": g_cycle_members,
@@ -362,6 +427,38 @@ ORACLES = {
                     THEN 1 + ('0x' || substr(h, 9, 6))::BIGINT % 600000
                     ELSE 0 END AS duration_ms
         FROM m
+    """,
+    "tx_token_counts": f"""
+        WITH {_TOKS}
+        SELECT doc_id, len(toks) AS ws_tokens,
+               len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_tokens
+        FROM documents JOIN t USING (doc_id)
+    """,
+    "kg_doc_entity_types": f"""
+        WITH gaz(surface_form, canonical_id, entity_type) AS (VALUES {GAZ_SQL_VALUES}),
+        toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+        )
+        SELECT doc_id,
+               array_to_string(list_sort(list(DISTINCT entity_type)), ',') AS types
+        FROM toks JOIN gaz ON word = surface_form
+        GROUP BY doc_id
+    """,
+    "kg_top_docs_per_type": f"""
+        WITH gaz(surface_form, canonical_id, entity_type) AS (VALUES {GAZ_SQL_VALUES}),
+        toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+        ),
+        counts AS (
+          SELECT entity_type, doc_id, count(*) AS n_mentions
+          FROM toks JOIN gaz ON word = surface_form
+          GROUP BY entity_type, doc_id
+        )
+        SELECT entity_type, doc_id, n_mentions, rn FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY entity_type ORDER BY n_mentions DESC, doc_id ASC) AS rn
+          FROM counts
+        ) WHERE rn <= 3
     """,
     "g_khop_reach": f"""
         WITH RECURSIVE {_EDGES_SQL},
