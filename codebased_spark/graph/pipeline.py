@@ -50,6 +50,7 @@ def extract_triples(
     fuzzy_threshold: float = 0.55,
     use_given_text: bool = False,
     persist: bool = True,
+    max_html_bytes: int | None = 10 * 1024 * 1024,
 ) -> GraphResult:
     """Run extraction + linking + canonicalization.
 
@@ -63,6 +64,11 @@ def extract_triples(
     """
     alias_table = build_alias_table(gazetteer)
     surfaces = [r.alias_key for r in alias_table.select("alias_key").collect()]
+
+    # size guard before any UDF work (reference base.py:146-149 max_file_size
+    # skip): pathological documents are dropped map-side, never decoded
+    if max_html_bytes is not None and not use_given_text:
+        pages = pages.where(F.length("html") <= max_html_bytes)
 
     pages = pages if use_given_text else with_text(pages, "html", "text")
     pages = pages.withColumn("links", href_targets(F.col("html")))

@@ -60,6 +60,27 @@ def test_deterministic_rerun(result, spark):
     assert a == b
 
 
+def test_size_guard_drops_oversized_docs(spark, corpus):
+    """S1 analog (base.py:146-149): docs over max_html_bytes never reach
+    extraction; everything else is unaffected."""
+    pages = spark.createDataFrame(corpus.pages)
+    gaz = spark.createDataFrame(corpus.gazetteer)
+    big_url = corpus.pages.iloc[0].url
+    import pyspark.sql.functions as F
+
+    padded = pages.withColumn(
+        "html",
+        F.when(
+            F.col("url") == big_url,
+            F.concat(F.col("html"), F.encode(F.lit("x" * 5000), "UTF-8")),
+        ).otherwise(F.col("html")),
+    )
+    res = extract_triples(spark, padded, gaz, max_html_bytes=4000)
+    urls = {r.url for r in res.triples.select("url").distinct().collect()}
+    assert big_url not in urls
+    assert len(urls) > 0
+
+
 def test_non_english_pages_skip_mention_scan(result):
     """Routing (S4/S5 analog): de/fr pages produce LINKS_TO but no MENTIONS."""
     res, corpus = result
