@@ -66,6 +66,19 @@ def main() -> None:
             timings[name] = -1.0
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
 
+    # steady-state throughput: the 5k-doc sf0.1 corpus is fixed-cost
+    # dominated; the authoritative triples/sec (BASELINE.json metric) is
+    # measured on a compute-dominated synthetic corpus
+    from codebased_spark.graph.pipeline import extract_triples
+    from codebased_spark.synth.scale import synth_pages_spark
+
+    synth_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "200000"))
+    pages, gaz = synth_pages_spark(spark, synth_docs)
+    t0 = time.perf_counter()
+    n_synth_triples = extract_triples(spark, pages, gaz).triples.count()
+    synth_sec = time.perf_counter() - t0
+    timings["kg_throughput_200k"] = round(synth_sec, 3)
+
     total = round(sum(v for v in timings.values() if v > 0), 3)
     out = {
         "metric": "kg_pipeline_e2e_sec",
@@ -76,7 +89,11 @@ def main() -> None:
         "total_sec": total,
         "docs": n_docs,
         "triples": n_triples,
-        "triples_per_sec": round(n_triples / kg_sec, 1) if kg_sec > 0 else 0,
+        "sf_triples_per_sec": round(n_triples / kg_sec, 1) if kg_sec > 0 else 0,
+        "synth_docs": synth_docs,
+        "synth_triples": n_synth_triples,
+        "triples_per_sec": round(n_synth_triples / synth_sec, 1),
+        "docs_per_sec": round(synth_docs / synth_sec, 1),
         "cpus": CPUS,
     }
     print(json.dumps(out))

@@ -64,7 +64,10 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dd_embedding_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return embedding_near_dupes_exact(_emb(spark, sf_dir), threshold=EMB_PAIR_T, dim=64)
+    # dim=None on purpose: the unrolled 64-term dot product blows past the
+    # JIT method-size limit on the O(N^2) cross join and falls back to
+    # interpreted eval (measured 3.6x slower than the zip_with fold here)
+    return embedding_near_dupes_exact(_emb(spark, sf_dir), threshold=EMB_PAIR_T)
 
 
 def dd_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
