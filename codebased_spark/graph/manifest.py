@@ -254,6 +254,29 @@ def incremental_update(
     )
 
 
+def clear_graph(spark: SparkSession, out_dir: str) -> None:
+    """Full-rebuild reset (reference S11, service.py:187-217 clear_graph):
+    drop nodes/edges/manifest so the next run starts from scratch. The
+    Iceberg equivalent is DROP TABLE/TRUNCATE in one catalog transaction."""
+    import shutil
+
+    for sub in ("nodes", "edges", "manifest"):
+        shutil.rmtree(f"{out_dir}/{sub}", ignore_errors=True)
+
+
+def graph_stats(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Per-type node and edge counts in ONE job (reference S12,
+    service.py:219-251 ran a COUNT query per table; a union of two grouped
+    aggregates replaces 27+49 scans)."""
+    n = nodes.groupBy(F.col("type").alias("name")).agg(
+        F.count(F.lit(1)).alias("n")
+    ).withColumn("kind", F.lit("node"))
+    e = edges.groupBy(F.col("rel_type").alias("name")).agg(
+        F.count(F.lit(1)).alias("n")
+    ).withColumn("kind", F.lit("edge"))
+    return n.unionByName(e).select("kind", "name", "n")
+
+
 def read_graph(spark: SparkSession, out_dir: str) -> tuple[DataFrame, DataFrame]:
     """Committed nodes/edges only (manifest-gated), deduped across buckets.
 

@@ -6,7 +6,9 @@ from __future__ import annotations
 import pytest
 
 from codebased_spark.graph.manifest import (
+    clear_graph,
     committed_buckets,
+    graph_stats,
     incremental_update,
     read_graph,
     run_partitioned,
@@ -61,6 +63,19 @@ def test_manifest_lineage_counters(spark, pages_gaz, tmp_path_factory):
     assert (m.n_pages > 0).all()
     assert m.content_hash.nunique() == N_BUCKETS  # per-bucket change keys
     assert m.run_id.nunique() == 1
+
+
+def test_graph_stats_and_clear(spark, pages_gaz, tmp_path_factory):
+    pages, gaz = pages_gaz
+    out = str(tmp_path_factory.mktemp("stats"))
+    run_partitioned(spark, pages, gaz, out, n_buckets=2, batch_size=2)
+    nodes, edges = read_graph(spark, out)
+    stats = {(r.kind, r.name): r.n for r in graph_stats(nodes, edges).collect()}
+    assert stats[("node", "Page")] == pages.count()
+    assert ("edge", "MENTIONS") in stats
+    assert sum(n for (k, _), n in stats.items() if k == "node") == nodes.count()
+    clear_graph(spark, out)
+    assert committed_buckets(spark, out).count() == 0
 
 
 def test_incremental_update_reprocesses_only_changed_buckets(
