@@ -73,16 +73,19 @@ def extract_triples(
     pages = pages if use_given_text else with_text(pages, "html", "text")
     pages = pages.withColumn("links", href_targets(F.col("html")))
 
-    # LINKS_TO — all languages, pure JVM
+    # LINKS_TO — all languages, pure JVM. The distinct runs on the narrow
+    # (url, href) pair; subj ("page:"+url) and the constant pred are
+    # projected AFTER the shuffle — at 10^12 rows the dedup shuffle is the
+    # dominant byte-mover and must not carry derivable columns.
     link_triples = (
         pages.select(F.col("url"), F.explode("links").alias("href"))
+        .distinct()
         .select(
             F.col("url"),
             F.concat(F.lit("page:"), F.col("url")).alias("subj"),
             F.lit("LINKS_TO").alias("pred"),
             F.concat(F.lit("page:"), F.col("href")).alias("obj"),
         )
-        .distinct()
     )
 
     scanned = with_mentions(
@@ -191,12 +194,17 @@ def extract_triples(
         F.col("canonical_id").alias("entity_id"), "entity_type",
     )
 
-    mention_triples = linked.where(F.col("entity_id").isNotNull()).select(
-        "url",
-        F.concat(F.lit("page:"), F.col("url")).alias("subj"),
-        F.lit("MENTIONS").alias("pred"),
-        F.col("entity_id").alias("obj"),
-    ).distinct()
+    mention_triples = (
+        linked.where(F.col("entity_id").isNotNull())
+        .select("url", F.col("entity_id").alias("obj"))
+        .distinct()  # narrow (url, obj) shuffle; subj/pred derived below
+        .select(
+            "url",
+            F.concat(F.lit("page:"), F.col("url")).alias("subj"),
+            F.lit("MENTIONS").alias("pred"),
+            "obj",
+        )
+    )
 
     rel_triples = (
         rels.join(
