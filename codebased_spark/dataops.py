@@ -159,6 +159,15 @@ def kg_top_docs_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events table (lag+cumsum windows);
+    streaming twin: streaming/sessionize.py::sessionize_stream."""
+    from codebased_spark.streaming.sessionize import sessionize_batch
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize_batch(ev, gap_seconds=1800)
+
+
 def _doc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic directed graph over documents (2 out-edges per doc).
 
@@ -226,6 +235,7 @@ QUERIES = {
     "kg_doc_entity_types": kg_doc_entity_types,
     "kg_top_docs_per_type": kg_top_docs_per_type,
     "mm_media_meta": mm_media_meta,
+    "q_user_sessions": q_user_sessions,
     "g_khop_reach": g_khop_reach,
     "g_cycle_members": g_cycle_members,
     "g_components": g_components,
@@ -462,6 +472,26 @@ ORACLES = {
             PARTITION BY entity_type ORDER BY n_mentions DESC, doc_id ASC) AS rn
           FROM counts
         ) WHERE rn <= 3
+    """,
+    "q_user_sessions": """
+        WITH g AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        s AS (
+          SELECT user_id, ts,
+                 sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+                 ) AS sid
+          FROM g
+        )
+        SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+               count(*) AS n_events
+        FROM s GROUP BY user_id, sid
     """,
     "g_khop_reach": f"""
         WITH RECURSIVE {_EDGES_SQL},
