@@ -159,6 +159,22 @@ def kg_top_docs_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_suppliers_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """region -> nation -> supplier rollup (two broadcast dims + agg)."""
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.countDistinct("n_name").alias("n_nations"),
+        )
+    )
+
+
 def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization of the events table (lag+cumsum windows);
     streaming twin: streaming/sessionize.py::sessionize_stream."""
@@ -235,6 +251,7 @@ QUERIES = {
     "kg_doc_entity_types": kg_doc_entity_types,
     "kg_top_docs_per_type": kg_top_docs_per_type,
     "mm_media_meta": mm_media_meta,
+    "q_suppliers_per_region": q_suppliers_per_region,
     "q_user_sessions": q_user_sessions,
     "g_khop_reach": g_khop_reach,
     "g_cycle_members": g_cycle_members,
@@ -472,6 +489,14 @@ ORACLES = {
             PARTITION BY entity_type ORDER BY n_mentions DESC, doc_id ASC) AS rn
           FROM counts
         ) WHERE rn <= 3
+    """,
+    "q_suppliers_per_region": """
+        SELECT r_name, count(*) AS n_suppliers,
+               count(DISTINCT n_name) AS n_nations
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
     """,
     "q_user_sessions": """
         WITH g AS (

@@ -20,7 +20,7 @@ full shingle arrays for verification.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from codebased_spark.dedup.shingles import with_shingles
@@ -36,6 +36,15 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All pairs with n-gram Jaccard >= threshold: (doc_a, doc_b, jaccard).
 
+    Inverted-index counting join: explode distinct shingles, self-join on
+    the shingle, count co-occurrences per pair = |intersection|, join the
+    two set sizes (narrow), filter. Exact, and every shuffled row is a
+    pair of longs — no shingle arrays move (the array-verification form
+    shuffled ~10x the bytes). Cost is sum over shingles of df^2; for
+    corpora where stop-shingles make that explode, use
+    ngram_jaccard_pairs_prefix (prefix filter caps the join at rare
+    shingles at the price of re-shuffling the full sets to verify).
+
     doc_a < doc_b; jaccard rounded to 4 decimals.
     """
     sh = (
@@ -43,22 +52,70 @@ def ngram_jaccard_pairs(
         .select(F.col(id_col).alias("doc"), "shingles")
         .where(F.size("shingles") > 0)
     )
+    exploded = sh.select("doc", F.explode("shingles").alias("sh"))
+    sizes = sh.select("doc", F.size("shingles").alias("sz"))
+    inter = (
+        exploded.alias("a")
+        .join(exploded.alias("b"), "sh")
+        .where(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sza")), "doc_a")
+        .join(sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("szb")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", round_stable(F.col("jaccard")).alias("jaccard"))
+    )
 
-    # global canonical order: df asc, shingle asc — rare shingles first
+
+def ngram_jaccard_pairs_prefix(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Prefix-filtered variant (AllPairs candidates + array verification).
+
+    Wins when stop-shingles make the counting join's df^2 blow up; the
+    candidate join touches only each doc's rare-shingle prefix.
+    """
+    sh = (
+        with_shingles(docs, text_col=text_col, n=n)
+        .select(F.col(id_col).alias("doc"), "shingles")
+        .where(F.size("shingles") > 0)
+    )
+
+    # global canonical order: df asc, shingle asc — rare shingles first.
+    # The ordered prefix is built with ONE shuffle (groupBy doc +
+    # array_sort over (df, sh) structs + slice), not a window sort plus a
+    # sizes join — at web scale the per-doc window sort was the extra
+    # exchange that dominated this stage.
     exploded = sh.select("doc", F.explode("shingles").alias("sh"))
     df_counts = exploded.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    ranked = exploded.join(df_counts, "sh").withColumn(
-        "pos",
-        F.row_number().over(
-            Window.partitionBy("doc").orderBy(F.asc("df"), F.asc("sh"))
-        ),
+    ranked = (
+        exploded.join(df_counts, "sh")
+        .groupBy("doc")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "sh"))).alias("ordered"))
     )
-    sizes = sh.select("doc", F.size("shingles").alias("sz"))
     # prefix length p = sz - ceil(t*sz) + 1
-    prefix = (
-        ranked.join(sizes, "doc")
-        .where(F.col("pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
-        .select("doc", "sh")
+    prefix_len = (
+        F.size("ordered")
+        - F.ceil(F.lit(threshold) * F.size("ordered"))
+        + 1
+    ).cast("int")
+    prefix = ranked.select(
+        "doc",
+        F.explode(
+            F.transform(
+                F.slice("ordered", F.lit(1), prefix_len), lambda s: s["sh"]
+            )
+        ).alias("sh"),
     )
 
     cand = (

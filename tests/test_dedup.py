@@ -12,7 +12,11 @@ from codebased_spark.dedup.embedding import (
 )
 from codebased_spark.dedup.exact import exact_dedup, exact_duplicate_pairs
 from codebased_spark.dedup.minhash import minhash_near_dupes
-from codebased_spark.dedup.ngram import ngram_jaccard_bruteforce, ngram_jaccard_pairs
+from codebased_spark.dedup.ngram import (
+    ngram_jaccard_bruteforce,
+    ngram_jaccard_pairs,
+    ngram_jaccard_pairs_prefix,
+)
 from codebased_spark.dedup.simhash import simhash_near_dupes
 
 BASE = (
@@ -46,11 +50,13 @@ def test_exact_dedup(dup_docs):
     assert {(r.doc_id, r.dup_of) for r in pairs.itertuples()} == {(101, 1), (102, 2)}
 
 
-def test_ngram_prefix_filter_equals_bruteforce(dup_docs):
+def test_ngram_variants_equal_bruteforce(dup_docs):
     fast = ngram_jaccard_pairs(dup_docs, n=3, threshold=0.5).toPandas()
+    pref = ngram_jaccard_pairs_prefix(dup_docs, n=3, threshold=0.5).toPandas()
     slow = ngram_jaccard_bruteforce(dup_docs, n=3, threshold=0.5).toPandas()
     key = lambda df: sorted(map(tuple, df.values.tolist()))
     assert key(fast) == key(slow)
+    assert key(pref) == key(slow)
     got = {(a, b) for a, b, _ in fast.values.tolist()}
     assert {(0, 100), (1, 101), (2, 102)} <= got
 
