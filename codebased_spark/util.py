@@ -23,3 +23,19 @@ def round_stable(col: Column, digits: int = 4) -> Column:
 def round_stable_sql(expr: str, digits: int = 4) -> str:
     scale = 10**digits
     return f"floor(({expr}) * {scale} + 0.5) / {scale}"
+
+
+def sanitize_long_key(col: Column, max_len: int = 100, keep: int = 90) -> Column:
+    """Truncate pathological keys, keeping uniqueness via a hash suffix.
+
+    Reference parity: extractor.py:806-832 / javascript.py:974-999 truncate
+    >100-char names (chained d3 call expressions) to `prefix...md5[:8]`.
+    Pathologically long keys are also a skew/memory hazard in shuffles —
+    sanitize before grouping on untrusted key columns.
+    """
+    return F.when(
+        F.length(col) > max_len,
+        F.concat(
+            F.substring(col, 1, keep), F.lit("..."), F.substring(F.md5(col), 1, 8)
+        ),
+    ).otherwise(col)
