@@ -16,10 +16,10 @@ the reference. Spark-first restatement:
   ship in the UDF closure (one broadcast per stage).
 
 At 100 TB the candidate-pair table after blocking is the only big
-intermediate; the blocking key keeps it near-linear in mentions. Production
-hardening would add a second blocking key (rarest 3-gram) for first-token
-typos; the fixture corrupts only non-first tokens, matching the reference's
-suffix-match assumption that the leading qualifier survives.
+intermediate; the two blocking keys (first token AND last token — the
+latter is the reference's suffix fuzzy-match fallback, extractor.py:386-390)
+keep it near-linear in mentions while catching corruption at either end of
+the surface form.
 """
 
 from __future__ import annotations
@@ -127,17 +127,33 @@ def link_fuzzy_mentions(
     def _score(a: pd.Series, b: pd.Series) -> pd.Series:
         return tfidf_cosine_batch(a, b, idf, default_idf)
 
-    block = F.lower(F.substring_index(F.col(surface_col), " ", 1))
-    cand = fuzzy.select(F.col(surface_col).alias("surface")).distinct().withColumn(
-        "blk", block
-    )
-    gaz_b = F.broadcast(
-        alias_table.withColumn(
-            "blk", F.lower(F.substring_index(F.col("alias_key"), " ", 1))
+    # two blocking keys: first token (qualifier survives — the reference's
+    # assumption) AND last token (the reference's suffix fuzzy-match
+    # fallback, extractor.py:386-390 — catches corrupted FIRST tokens).
+    # Each side explodes to both keys; pair dedup before scoring.
+    def _blocks(df, key_col):
+        lowered = F.lower(F.col(key_col))
+        return df.withColumn(
+            "blk",
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        F.concat(F.lit("f:"), F.substring_index(lowered, " ", 1)),
+                        F.concat(F.lit("l:"), F.substring_index(lowered, " ", -1)),
+                    )
+                )
+            ),
         )
+
+    cand = _blocks(
+        fuzzy.select(F.col(surface_col).alias("surface")).distinct(), "surface"
     )
-    pairs = cand.join(gaz_b, "blk").withColumn(
-        "link_score", _score(F.col("surface"), F.col("alias_key"))
+    gaz_b = F.broadcast(_blocks(alias_table, "alias_key"))
+    pairs = (
+        cand.join(gaz_b, "blk")
+        .drop("blk")
+        .dropDuplicates(["surface", "alias_key"])
+        .withColumn("link_score", _score(F.col("surface"), F.col("alias_key")))
     )
     w = Window.partitionBy("surface").orderBy(F.desc("link_score"), F.asc("entity_id"))
     return (

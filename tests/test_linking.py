@@ -58,6 +58,16 @@ def test_fuzzy_linker_end_to_end(spark, corpus):
     assert "Zorblax Qux" not in linked  # no candidate above threshold
 
 
+def test_fuzzy_linker_first_token_corruption(spark, corpus):
+    """Second blocking key (last token — the reference's suffix fallback,
+    extractor.py:386-390): a corrupted FIRST token still finds its entity."""
+    gaz = spark.createDataFrame(corpus.gazetteer)
+    alias = build_alias_table(gaz)
+    fuzzy = spark.createDataFrame(pd.DataFrame({"surface": ["Acm Corporation"]}))
+    linked = {r.surface: r.entity_id for r in link_fuzzy_mentions(spark, fuzzy, alias).collect()}
+    assert linked.get("Acm Corporation") == "ent:org:00001"
+
+
 def test_cc_chains_and_skew(spark):
     # chains of length 2-6 plus one large skewed (star) component
     edges = []
