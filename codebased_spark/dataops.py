@@ -82,6 +82,16 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_topk(_emb(spark, sf_dir), query_id=0, k=10, n_probe=1)
 
 
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a LEARNED coarse quantizer (distributed Lloyd's k-means);
+    iterative fit -> rows-only driver check (no SQL oracle)."""
+    from codebased_spark.similarity.kmeans import ann_ivf_kmeans_topk
+
+    return ann_ivf_kmeans_topk(
+        _emb(spark, sf_dir), query_id=0, k=10, n_cells=8, n_probe=2
+    )
+
+
 def tx_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(_docs(spark, sf_dir))
 
@@ -244,6 +254,7 @@ QUERIES = {
     "dd_embedding_lsh": dd_embedding_lsh,
     "ann_topk": ann_topk,
     "ann_ivf": ann_ivf,
+    "ann_ivf_kmeans": ann_ivf_kmeans,
     "tx_lang_id": tx_lang_id,
     "tx_quality": tx_quality,
     "tx_winnow": tx_winnow,

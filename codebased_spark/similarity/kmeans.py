@@ -1,0 +1,132 @@
+"""Distributed k-means (Lloyd's) for IVF coarse quantization.
+
+The iterative-algorithm pattern on DataFrames: per round, (1) assign each
+vector to its nearest centroid — centroids are a k x dim literal array
+broadcast in the plan, the argmin is an array_min over (distance, idx)
+structs, all JVM; (2) recompute centroids with one groupBy (cluster,
+dimension) shuffle; (3) driver collects the k x dim means (tiny) and
+checks movement for convergence. Per-iteration cost: one shuffle of
+(cluster, i, partial sums) with map-side combine — the corpus is never
+collected.
+
+Determinism: init picks the k vectors with the smallest xxhash64(id, seed)
+(a seeded sample that is stable across partitioning/retries), and ties in
+the argmin break toward the lower cluster index.
+
+This is the index-build step for IVF ANN search (ann.py): cells = k-means
+clusters instead of a precomputed label column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from codebased_spark.dedup.embedding import _as_double
+
+
+def _sq_dist(vec: Column, centroid: list[float]) -> Column:
+    lit = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec, lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def assign_clusters(
+    emb: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
+) -> DataFrame:
+    """emb + `cluster` column = argmin_c ||v - centroid_c||^2 (JVM argmin)."""
+    v = _as_double(vec_col)
+    scored = F.array(
+        *[
+            F.struct(_sq_dist(v, c).alias("d"), F.lit(i).alias("i"))
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return emb.withColumn("cluster", F.array_min(scored)["i"])
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = 8,
+    max_iter: int = 10,
+    tol: float = 1e-6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+) -> list[list[float]]:
+    """Fit k centroids; returns them as plain lists (the tiny model)."""
+    init_rows = (
+        emb.select(id_col, _as_double(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    centroids = [[float(x) for x in r.v] for r in init_rows]
+    for _ in range(max_iter):
+        assigned = assign_clusters(emb, centroids, vec_col=vec_col)
+        flat = assigned.select(
+            "cluster", F.posexplode(_as_double(vec_col)).alias("i", "val")
+        )
+        means = (
+            flat.groupBy("cluster", "i")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("sv"))
+            .select("cluster", F.transform("sv", lambda s: s["m"]).alias("c"))
+            .collect()
+        )
+        new_centroids = list(centroids)
+        for r in means:
+            new_centroids[r.cluster] = [float(x) for x in r.c]
+        movement = max(
+            sum((a - b) ** 2 for a, b in zip(old, new))
+            for old, new in zip(centroids, new_centroids)
+        )
+        centroids = new_centroids
+        if movement < tol:
+            break
+    return centroids
+
+
+def ann_ivf_kmeans_topk(
+    emb: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+) -> DataFrame:
+    """IVF ANN with a learned k-means coarse quantizer.
+
+    Index build (kmeans_fit + assignment) would be materialized once and
+    reused in production; probing searches the n_probe nearest cells
+    exactly. Iterative fit => not SQL-expressible (rows-only driver check).
+    """
+    from codebased_spark.dedup.embedding import cosine_col
+    from codebased_spark.similarity.ann import _query_vec
+
+    centroids = kmeans_fit(
+        emb, k=n_cells, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    qv = _query_vec(emb, query_id, id_col, vec_col)
+    dists = [
+        sum((a - b) ** 2 for a, b in zip(qv, c)) for c in centroids
+    ]
+    probes = sorted(range(len(dists)), key=lambda i: (dists[i], i))[:n_probe]
+    qcol = F.array(*[F.lit(x) for x in qv])
+    assigned = assign_clusters(emb, centroids, vec_col=vec_col)
+    return (
+        assigned.where(F.col("cluster").isin(probes))
+        .where(F.col(id_col) != query_id)
+        .select(
+            F.col(id_col),
+            F.round(cosine_col(_as_double(vec_col), qcol), 4).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
