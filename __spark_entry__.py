@@ -62,6 +62,15 @@ def kg_pipeline_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type node/edge counts of the MATERIALIZED graph (S12 stats scan
+    over the full pipeline output — nodes, uids, dedup included)."""
+    from codebased_spark.graph.manifest import graph_stats
+
+    res = _run_pipeline(spark, sf_dir)
+    return graph_stats(res.nodes, res.edges)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from codebased_spark import dataops
     from codebased_spark.graph import queries as q
@@ -69,6 +78,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         **dataops.QUERIES,
         "kg_pipeline_mentions": kg_pipeline_mentions,
+        "kg_graph_stats": kg_graph_stats,
         "kg_mentions": q.kg_mentions,
         "kg_top_entities": q.kg_top_entities,
         "kg_cooccurrence": q.kg_cooccurrence,
@@ -112,6 +122,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT url, 'page:' || url AS subj, 'MENTIONS' AS pred,
                    canonical_id AS obj
             FROM toks JOIN gaz ON word = surface_form
+        """,
+        "kg_graph_stats": f"""
+            WITH {gaz_cte},
+            pages AS (
+              SELECT 'https://' || source || '.example.org/' || lang || '/doc/' || doc_id AS url,
+                     text, lang FROM documents
+            ),
+            toks AS (
+              SELECT url, unnest(string_split(text, ' ')) AS word
+              FROM pages WHERE lang = 'en'
+            ),
+            m AS (
+              SELECT DISTINCT url, canonical_id, entity_type
+              FROM toks JOIN gaz ON word = surface_form
+            )
+            SELECT 'node' AS kind, 'Page' AS name, count(*) AS n FROM pages
+            UNION ALL
+            SELECT 'node', entity_type, count(DISTINCT canonical_id) FROM m GROUP BY entity_type
+            UNION ALL
+            SELECT 'edge', 'MENTIONS', count(*) FROM m
         """,
         "kg_mentions": f"""
             WITH {gaz_cte}, {toks_cte}
