@@ -30,6 +30,7 @@ from codebased_spark.similarity.ann import ann_bruteforce_topk, ann_ivf_topk
 from codebased_spark.textops.fingerprint import winnow_fingerprints
 from codebased_spark.textops.langid import lang_id
 from codebased_spark.textops.quality import STOPWORDS, doc_quality
+from codebased_spark.util import round_stable as round_stable_col
 
 NGRAM_T = 0.6
 NEARDUP_T = 0.8
@@ -185,6 +186,25 @@ def q_suppliers_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour rollup (batch twin of the streaming window agg in
+    streaming/ingest.py; F.window aligns to the epoch like date_trunc)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            round_stable_col(F.sum("value")).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization of the events table (lag+cumsum windows);
     streaming twin: streaming/sessionize.py::sessionize_stream."""
@@ -263,6 +283,7 @@ QUERIES = {
     "kg_top_docs_per_type": kg_top_docs_per_type,
     "mm_media_meta": mm_media_meta,
     "q_suppliers_per_region": q_suppliers_per_region,
+    "q_hourly_events": q_hourly_events,
     "q_user_sessions": q_user_sessions,
     "g_khop_reach": g_khop_reach,
     "g_cycle_members": g_cycle_members,
@@ -508,6 +529,12 @@ ORACLES = {
         JOIN nation ON s_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name
+    """,
+    "q_hourly_events": """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               count(*) AS n_events,
+               floor(sum(value) * 10000 + 0.5) / 10000 AS sum_value
+        FROM events GROUP BY 1, 2
     """,
     "q_user_sessions": """
         WITH g AS (
