@@ -20,7 +20,7 @@ from codebased_spark.dedup.embedding import (
 )
 from codebased_spark.dedup.exact import exact_dedup
 from codebased_spark.dedup.minhash import minhash_near_dupes
-from codebased_spark.dedup.ngram import ngram_jaccard_pairs
+from codebased_spark.dedup.ngram import ngram_jaccard_pairs_prefix
 from codebased_spark.dedup.simhash import simhash_near_dupes
 from codebased_spark.graph.paths import cycle_members, k_hop_reach
 from codebased_spark.graph.queries import GAZ_SQL_VALUES
@@ -51,7 +51,10 @@ def dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=NGRAM_T)
+    """Exact Jaccard join via the prefix-filtered AllPairs variant — the
+    scale-safe registered path (the counting join's cost is sum df^2 over
+    shingles, which stop-shingles blow up at web scale; VERDICT r1 #3)."""
+    return ngram_jaccard_pairs_prefix(_docs(spark, sf_dir), n=3, threshold=NGRAM_T)
 
 
 def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -59,9 +62,14 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manku-regime SimHash: near-identical pairs at Hamming <= 3 over a
+    portable 60-bit fingerprint (md5-derived so the DuckDB oracle computes
+    the IDENTICAL fingerprint brute-force; 4 wide bands make recall exact
+    by pigeonhole). Jaccard-0.8-0.9 dedup is dd_minhash_lsh's job."""
     return simhash_near_dupes(
-        _docs(spark, sf_dir), n=3, threshold=NEARDUP_T
-    ).select("doc_a", "doc_b", "jaccard")
+        _docs(spark, sf_dir), n=3, max_hamming=3, min_jaccard=0.5,
+        portable_hash=True,
+    )
 
 
 def dd_embedding_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -71,8 +79,41 @@ def dd_embedding_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dupes_exact(_emb(spark, sf_dir), threshold=EMB_PAIR_T)
 
 
+def _emb_with_planted_twins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings + deterministic near-dup twins (cos in ~[0.97, 0.99]).
+
+    The driver tables carry no true pairs at cos >= 0.9, which made the LSH
+    oracle row pass vacuously (0 == 0). Every 20th vector gets a perturbed
+    twin: twin[i] = v[i] * (1 + 0.15 * (((vec_id*64 + i) % 5) - 2)), i.e.
+    per-coordinate scale noise in {±30%, ±15%, 0} -> cos(v, twin) ~= 0.978.
+    Pure integer + double-literal arithmetic, so the DuckDB twin CTE
+    computes bit-identical vectors and the oracle equality is exact and
+    NON-empty (25-100 true pairs across the sf fixtures, measured).
+    """
+    from codebased_spark.dedup.embedding import _as_double
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    pert = F.transform(
+        _as_double("embedding"),
+        lambda x, i: x
+        * (
+            F.lit(1.0)
+            + F.lit(0.15)
+            * (((F.col("vec_id") * 64 + i) % 5) - 2).cast("double")
+        ),
+    )
+    twins = emb.where(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 10000000).alias("vec_id"), pert.alias("embedding")
+    )
+    return emb.select(
+        "vec_id", _as_double("embedding").alias("embedding")
+    ).unionByName(twins)
+
+
 def dd_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return embedding_near_dupes_lsh(_emb(spark, sf_dir), threshold=EMB_LSH_T)  # dim=64 default
+    return embedding_near_dupes_lsh(
+        _emb_with_planted_twins(spark, sf_dir), threshold=EMB_LSH_T
+    )  # n_bits=16, n_tables=8, multiprobe=1 defaults
 
 
 def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -320,6 +361,43 @@ def _jaccard_pairs_sql(threshold: float) -> str:
     """
 
 
+def _simhash_pairs_sql(max_hamming: int = 3, min_jaccard: float = 0.5) -> str:
+    """Brute-force SimHash oracle: recompute the 60-bit md5-derived
+    fingerprint per doc (same bit rule as dedup/simhash.py with
+    portable_hash=True), then all pairs within max_hamming, verified with
+    exact Jaccard — the banded Spark path must match pair-for-pair."""
+    bit_terms = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) > 0"
+        f" THEN (1::BIGINT << {j}) ELSE 0::BIGINT END)"
+        for j in range(60)
+    )
+    return f"""
+        WITH {_TOKS}, {_SHINGLES3},
+        ex AS (
+          SELECT doc_id, ('0x' || substr(md5(unnest(s)), 1, 15))::BIGINT AS h
+          FROM sh
+        ),
+        fp AS (SELECT doc_id, {bit_terms} AS simhash FROM ex GROUP BY doc_id),
+        cand AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 bit_count(xor(a.simhash, b.simhash)) AS hamming
+          FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+        ),
+        v AS (
+          SELECT doc_a, doc_b, hamming,
+                 len(list_intersect(sa.s, sb.s)) AS inter,
+                 len(sa.s) AS la, len(sb.s) AS lb
+          FROM cand
+          JOIN sh sa ON sa.doc_id = doc_a
+          JOIN sh sb ON sb.doc_id = doc_b
+        )
+        SELECT doc_a, doc_b, hamming,
+               floor((inter::DOUBLE / (la + lb - inter)) * 10000 + 0.5) / 10000 AS jaccard
+        FROM v WHERE inter::DOUBLE / (la + lb - inter) >= {min_jaccard}
+    """
+
+
 _EMB = "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
 _EMB_N = (
     "n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM e)"
@@ -330,6 +408,29 @@ _DOT64 = "list_sum([a.v[i] * b.v[i] for i in generate_series(1, 64)])"
 def _emb_pairs_sql(threshold: float) -> str:
     return f"""
         WITH {_EMB}, {_EMB_N},
+        p AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 {_DOT64} / (a.nrm * b.nrm) AS c
+          FROM n a JOIN n b ON a.vec_id < b.vec_id
+        )
+        SELECT vec_a, vec_b, floor((c) * 10000 + 0.5) / 10000 AS cos_sim FROM p WHERE c >= {threshold}
+    """
+
+
+def _emb_pairs_planted_sql(threshold: float) -> str:
+    """Brute-force oracle over embeddings + the planted twin vectors
+    (same integer/double arithmetic as _emb_with_planted_twins; DuckDB
+    list indices are 1-based, hence the i-1)."""
+    return f"""
+        WITH {_EMB},
+        tw AS (
+          SELECT vec_id + 10000000 AS vec_id,
+                 [v[i] * (1 + 0.15 * (((vec_id*64 + i - 1) % 5) - 2))
+                  for i in generate_series(1, 64)] AS v
+          FROM e WHERE vec_id % 20 = 0
+        ),
+        ea AS (SELECT * FROM e UNION ALL SELECT * FROM tw),
+        n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM ea),
         p AS (
           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                  {_DOT64} / (a.nrm * b.nrm) AS c
@@ -362,9 +463,9 @@ ORACLES = {
     """,
     "dd_ngram_jaccard": _jaccard_pairs_sql(NGRAM_T),
     "dd_minhash_lsh": _jaccard_pairs_sql(NEARDUP_T),
-    "dd_simhash": _jaccard_pairs_sql(NEARDUP_T),
+    "dd_simhash": _simhash_pairs_sql(max_hamming=3, min_jaccard=0.5),
     "dd_embedding_exact": _emb_pairs_sql(EMB_PAIR_T),
-    "dd_embedding_lsh": _emb_pairs_sql(EMB_LSH_T),
+    "dd_embedding_lsh": _emb_pairs_planted_sql(EMB_LSH_T),
     "ann_topk": f"""
         WITH {_EMB},
         q AS (SELECT v AS qv FROM e WHERE vec_id = 0)

@@ -11,12 +11,14 @@ Two paths over an `array<float>` embedding column:
   runs and executors.
 
 At 100 TB the exact path is the oracle/baseline; the LSH path's shuffle is
-O(N * n_tables) bucket rows instead of O(N^2) pairs.
+O(N * n_tables * (1 + n_bits)) bucket/probe rows instead of O(N^2) pairs,
+with 2^n_bits buckets per table bounding same-bucket collision mass.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -85,7 +87,12 @@ def _hyperplanes(dim: int, n_bits: int, seed: int = 7) -> np.ndarray:
 
 
 def signbit_signature_col(vec: Column, planes: np.ndarray) -> Column:
-    """int bucket id: sign bits of <vec, plane_i> packed into a long."""
+    """int bucket id: sign bits of <vec, plane_i> packed into a long.
+
+    JVM-only form, kept for few-bit signatures; for n_tables*n_bits in the
+    hundreds use `_signatures_udf` — the unrolled plane-dot expressions blow
+    past the JIT method-size limit and fall back to interpreted eval.
+    """
     sig = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
         lit_plane = F.array(*[F.lit(float(x)) for x in plane])
@@ -94,11 +101,35 @@ def signbit_signature_col(vec: Column, planes: np.ndarray) -> Column:
     return sig
 
 
+def _signatures_udf(planes_stack: np.ndarray, n_tables: int, n_bits: int):
+    """Arrow-batched all-tables signature: one numpy matmul per batch.
+
+    (batch, dim) @ (dim, n_tables*n_bits) -> sign bits -> n_tables packed
+    ints. The signature stage is linear in N and runs once per vector;
+    BLAS beats 128 unrolled codegen plane-dots by an order of magnitude
+    and keeps the plan small (the unrolled form trips the JVM's 64KB
+    method limit and de-optimizes the whole stage to interpreted eval).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    weights = (1 << np.arange(n_bits)).astype(np.int64)
+
+    @pandas_udf("array<int>")
+    def _sig(v: pd.Series) -> pd.Series:
+        mat = np.array(v.tolist(), dtype=np.float64)
+        bits = (mat @ planes_stack.T) >= 0  # (batch, n_tables*n_bits)
+        sigs = (bits.reshape(-1, n_tables, n_bits) * weights).sum(axis=2)
+        return pd.Series(list(sigs.astype(np.int32)))
+
+    return _sig
+
+
 def embedding_near_dupes_lsh(
     emb: DataFrame,
     threshold: float = 0.9,
-    n_bits: int = 12,
-    n_tables: int = 4,
+    n_bits: int = 16,
+    n_tables: int = 8,
+    multiprobe: int = 1,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -106,28 +137,52 @@ def embedding_near_dupes_lsh(
 ) -> DataFrame:
     """Hyperplane-LSH candidates verified with exact cosine >= threshold.
 
-    Recall margin: P(two vectors at angle theta agree on one sign bit) =
-    1 - theta/pi; at cos >= 0.9 (theta <= 25.8deg) a 12-bit table agrees
-    fully with p = (1 - 0.144)^12 = 0.155, so >= 1 of 4 tables agrees with
-    p = 0.49 per table set... LSH here is a CANDIDATE stage: use more
-    tables (or fewer bits) for higher recall; the defaults favor precision
-    of the pruning, and every emitted pair is exact-verified.
+    Recall math (p = P(bit agrees) = 1 - theta/pi): with 16-bit buckets and
+    multiprobe=1, a table finds the pair if the signatures differ in <= 1
+    bit: p^16 + 16 p^15 (1-p). At cos 0.97 (p ~= 0.922) that is ~0.60 per
+    table, so 8 independent tables miss with (0.40)^8 ~= 6e-4; at cos 0.99
+    (p ~= 0.955) the per-table hit is ~0.84 and the miss rate ~4e-7. Every
+    candidate is exact-verified, so output precision is 1.0 by construction
+    and recall is the only tunable.
+
+    Scale shape: 2^16 buckets per table keeps same-bucket collision mass
+    ~N^2/65536 per table even on adversarial data, and the probe explosion
+    is a fixed n_tables*(1+n_bits) rows per vector — linear in N, no
+    all-pairs stage anywhere. Raising n_bits with log2(N) (and multiprobe
+    with the recall target) is the 100-TB knob.
     """
     vecs = emb.select(
         F.col(id_col).alias("vec"), _as_double(vec_col).alias("v")
     ).withColumn("nrm", norm_col(F.col("v"), dim))
-    buckets = None
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_bits, seed=seed + t)
-        bt = vecs.select(
+    planes_stack = np.vstack(
+        [_hyperplanes(dim, n_bits, seed=seed + t) for t in range(n_tables)]
+    )
+    sig = _signatures_udf(planes_stack, n_tables, n_bits)
+    sigs = vecs.select("vec", sig(F.col("v")).alias("sigs"))
+    home = sigs.select(
+        "vec", F.posexplode("sigs").alias("table_idx", "bucket")
+    )
+    if multiprobe > 0:
+        # probe buckets at Hamming distance 1 from the signature (one side
+        # only: a pair differing in bit j meets as home_a x probe_b(j))
+        probes = home.select(
             "vec",
-            F.lit(t).alias("table_idx"),
-            signbit_signature_col(F.col("v"), planes).alias("bucket"),
+            "table_idx",
+            F.explode(
+                F.array(
+                    *[
+                        F.col("bucket").bitwiseXOR(F.lit(1 << j))
+                        for j in range(n_bits)
+                    ]
+                )
+            ).alias("bucket"),
         )
-        buckets = bt if buckets is None else buckets.unionByName(bt)
+        right = home.unionByName(probes)
+    else:
+        right = home
     cand = (
-        buckets.alias("a")
-        .join(buckets.alias("b"), ["table_idx", "bucket"])
+        home.alias("a")
+        .join(right.alias("b"), ["table_idx", "bucket"])
         .where(F.col("a.vec") < F.col("b.vec"))
         .select(F.col("a.vec").alias("vec_a"), F.col("b.vec").alias("vec_b"))
         .distinct()
