@@ -36,7 +36,7 @@ from __future__ import annotations
 
 import time
 import uuid
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -89,6 +89,7 @@ class RunReport:
     run_id: str
     buckets_processed: list[int]
     buckets_skipped: int
+    buckets_deleted: list[int] = field(default_factory=list)
 
 
 def _process_buckets(
@@ -115,22 +116,56 @@ def _process_buckets(
         res = extract_triples(spark, sub, gazetteer)
         # Attribute every output row to the bucket(s) whose pages produced
         # it. Entity nodes are referenced from many buckets — they get one
-        # row per referencing bucket (content-hash ids make the read-side
-        # dropDuplicates order-indifferent), so overwriting one bucket's
-        # partitions never destroys another bucket's lineage.
+        # row per referencing bucket, so overwriting one bucket's
+        # partitions never destroys another bucket's lineage. A PAGE node
+        # is owned by exactly its url's bucket; a foreign bucket that
+        # references it (LINKS_TO) stores an ExternalPage STUB row instead
+        # of a copy of the real row — so deleting the owning bucket
+        # leaves the still-linked-to url represented as external, exactly
+        # as if the batches had been processed one bucket at a time
+        # (read_graph's priority dedup prefers the real row while both
+        # exist).
         url_buckets = sub.select("url", "bucket")
+        page_ids = url_buckets.select(
+            "bucket", F.concat(F.lit("page:"), F.col("url")).alias("id")
+        )
         t_b = res.triples.join(url_buckets, "url")
-        node_buckets = (
+        ref_ids = (
             t_b.select("bucket", F.col("subj").alias("id"))
             .unionByName(t_b.select("bucket", F.col("obj").alias("id")))
-            .unionByName(
-                url_buckets.select(
-                    "bucket", F.concat(F.lit("page:"), F.col("url")).alias("id")
-                )
-            )
             .distinct()
         )
-        nodes = res.nodes.join(node_buckets, "id")
+        owners = page_ids.select(
+            "id", F.col("bucket").alias("owner_bucket")
+        )
+        ref_owned = ref_ids.join(owners, "id", "left")
+        foreign_page_refs = ref_owned.where(
+            F.col("owner_bucket").isNotNull()
+            & (F.col("owner_bucket") != F.col("bucket"))
+        ).select("bucket", "id")
+        node_buckets = (
+            ref_owned.where(
+                F.col("owner_bucket").isNull()
+                | (F.col("owner_bucket") == F.col("bucket"))
+            )
+            .select("bucket", "id")
+            .unionByName(page_ids)
+            .distinct()
+        )
+        stub_name = F.regexp_replace("id", "^page:", "")
+        stub_rows = foreign_page_refs.select(
+            "id",
+            F.sha2(
+                F.concat_ws(":", F.lit("ExternalPage"), stub_name), 256
+            ).alias("uid"),
+            stub_name.alias("name"),
+            F.lit("ExternalPage").alias("type"),
+            F.lit(None).cast("string").alias("source_url"),
+            "bucket",
+        )
+        nodes = res.nodes.join(node_buckets, "id").unionByName(
+            stub_rows.select(*res.nodes.columns, "bucket")
+        )
         edges = res.edges.join(
             url_buckets.select(F.col("url").alias("_u"), F.col("bucket")),
             F.element_at(F.col("meta"), "source_url") == F.col("_u"),
@@ -246,12 +281,56 @@ def incremental_update(
         | (F.col("content_hash") != F.col("new_hash"))
     )
     todo = sorted(r.bucket for r in todo_df.select("bucket").collect())
+    # vanished buckets: committed (non-tombstone) but absent from the
+    # current corpus — their pages were all deleted upstream, so their
+    # partitions must be removed or removed rows survive forever
+    # (reference incremental.py:276-321 deletes a removed file's subgraph).
+    # A NULL-hash tombstone row marks them: read-side sees no data (the
+    # partitions are gone) and a reappearing bucket's non-NULL current
+    # hash never equals NULL, so it is reprocessed like a new bucket.
+    vanished = sorted(
+        r.bucket
+        for r in latest.where(F.col("content_hash").isNotNull())
+        .join(current, "bucket", "left_anti")
+        .select("bucket")
+        .collect()
+    )
+    if vanished:
+        _delete_bucket_partitions(spark, out_dir, vanished)
+        tombstones = spark.createDataFrame(
+            [
+                (b, 0, 0, 0, 0, None, run_id, time.time())
+                for b in vanished
+            ],
+            MANIFEST_SCHEMA,
+        )
+        tombstones.write.mode("append").parquet(f"{out_dir}/manifest")
     done = _process_buckets(
         spark, pages_b, gazetteer, out_dir, todo, run_id, batch_size, None
     )
     return RunReport(
-        run_id=run_id, buckets_processed=done, buckets_skipped=n_buckets - len(todo)
+        run_id=run_id,
+        buckets_processed=done,
+        buckets_skipped=n_buckets - len(todo) - len(vanished),
+        buckets_deleted=vanished,
     )
+
+
+def _delete_bucket_partitions(
+    spark: SparkSession, out_dir: str, buckets: list[int]
+) -> None:
+    """Remove bucket=B partition directories from nodes/ and edges/.
+
+    Uses the Hadoop FileSystem API so the same call works on HDFS/S3A in
+    cluster deployments; the Iceberg equivalent is one
+    `DELETE FROM t WHERE bucket IN (...)` snapshot commit."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    for table in ("nodes", "edges"):
+        for b in buckets:
+            path = jvm.org.apache.hadoop.fs.Path(f"{out_dir}/{table}/bucket={b}")
+            fs = path.getFileSystem(conf)
+            fs.delete(path, True)
 
 
 def clear_graph(spark: SparkSession, out_dir: str) -> None:
@@ -281,20 +360,34 @@ def read_graph(spark: SparkSession, out_dir: str) -> tuple[DataFrame, DataFrame]
     """Committed nodes/edges only (manifest-gated), deduped across buckets.
 
     Cross-bucket duplicates exist by design (the same entity can be
-    referenced from many buckets); content-hash uids make dropDuplicates
-    order-indifferent (A8).
+    referenced from many buckets). The node dedup is PRIORITY-based, not
+    dropDuplicates: a page referenced from another bucket's LINKS_TO has an
+    ExternalPage *stub* row in that bucket, and the real Page row in its
+    own — the real row must win deterministically (and after the owning
+    bucket is deleted, the surviving stub is exactly the right
+    representation of a still-linked-to external url).
     """
+    from pyspark.sql import Window
+
     committed = committed_buckets(spark, out_dir).select("bucket").distinct()
+    w = Window.partitionBy("id").orderBy(
+        F.when(F.col("type") == "ExternalPage", 1).otherwise(0), F.col("type")
+    )
     nodes = (
         spark.read.parquet(f"{out_dir}/nodes")
         .join(committed, "bucket", "left_semi")
         .drop("bucket")
-        .dropDuplicates(["id"])
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
     )
     edges = (
         spark.read.parquet(f"{out_dir}/edges")
         .join(committed, "bucket", "left_semi")
         .drop("bucket")
-        .dropDuplicates(["src", "dst", "rel_type"])
+        .groupBy("src", "dst", "rel_type")
+        .agg(
+            F.min_by("meta", F.element_at("meta", "source_url")).alias("meta")
+        )
     )
     return nodes, edges

@@ -101,3 +101,54 @@ def test_incremental_update_reprocesses_only_changed_buckets(
     m = committed_buckets(spark, out).toPandas()
     b = rep.buckets_processed[0]
     assert (m.bucket == b).sum() == 2
+
+
+def test_incremental_update_deletes_vanished_buckets(
+    spark, pages_gaz, corpus, tmp_path_factory
+):
+    """Buckets whose pages all disappear must be wiped from the committed
+    graph (VERDICT r1 #6: stale-bucket leak — removed pages survived
+    forever because todo derived from current buckets only)."""
+    from pyspark.sql import functions as F
+
+    from codebased_spark.graph.manifest import with_bucket
+
+    pages, gaz = pages_gaz
+    out = str(tmp_path_factory.mktemp("vanish"))
+    run_partitioned(spark, pages, gaz, out, n_buckets=N_BUCKETS, batch_size=N_BUCKETS)
+
+    # drop every page of one bucket from the input corpus
+    victim = 0
+    pages_b = with_bucket(pages, N_BUCKETS)
+    dropped_urls = {
+        r.url for r in pages_b.where(F.col("bucket") == victim).select("url").collect()
+    }
+    assert dropped_urls  # fixture puts pages in every bucket
+    remaining = pages_b.where(F.col("bucket") != victim).drop("bucket")
+
+    rep = incremental_update(spark, remaining, gaz, out, n_buckets=N_BUCKETS)
+    assert rep.buckets_deleted == [victim]
+    assert rep.buckets_processed == []  # nothing else changed
+
+    nodes, edges = read_graph(spark, out)
+    stale_ids = {f"page:{u}" for u in dropped_urls}
+    # no dropped page survives as a corpus Page node; pages still linked-to
+    # from other buckets may (correctly) remain as ExternalPage stubs
+    survivors = nodes.where(F.col("id").isin(list(stale_ids)))
+    assert survivors.where(F.col("type") == "Page").count() == 0
+    assert survivors.where(F.col("type") != "ExternalPage").count() == 0
+    meta_urls = edges.select(F.element_at("meta", "source_url").alias("u"))
+    assert meta_urls.where(F.col("u").isin(list(dropped_urls))).count() == 0
+
+    # unchanged re-run: the tombstone is stable, nothing reprocessed
+    rep2 = incremental_update(spark, remaining, gaz, out, n_buckets=N_BUCKETS)
+    assert rep2.buckets_deleted == [] and rep2.buckets_processed == []
+
+    # the bucket's pages reappear -> reprocessed like a new bucket, and the
+    # real Page rows win the read-side priority dedup over lingering stubs
+    rep3 = incremental_update(spark, pages, gaz, out, n_buckets=N_BUCKETS)
+    assert rep3.buckets_processed == [victim]
+    nodes3, _ = read_graph(spark, out)
+    back = nodes3.where(F.col("id").isin(list(stale_ids)))
+    assert back.count() == len(stale_ids)
+    assert back.where(F.col("type") == "Page").count() == len(stale_ids)
