@@ -138,12 +138,16 @@ def extract_triples(
     )
     rels = flat.where(F.col("kind") == "r").select("url", "subj", "pred", "obj")
 
-    # exact surface → entity (broadcast: the alias table is the small dim)
+    # exact surface → entity (broadcast: the alias table is the small dim).
+    # link_score = alias specificity: a canonical-surface match is full
+    # confidence, a generated-variant (acronym/stripped/url-form) match is
+    # scaled down — which also makes the canonical surface win the entity
+    # name selection in _materialize_graph.
     exact_map = alias_table.select(
         F.col("alias_key").alias("surface"),
         "entity_id",
         "entity_type",
-        F.lit(1.0).alias("link_score"),
+        F.col("specificity").cast("double").alias("link_score"),
     )
     fuzzy_surfaces = mentions.where(~F.col("exact")).select("surface").distinct()
     # short-circuit: clean corpora have no fuzzy candidates, and the TF-IDF
@@ -191,7 +195,7 @@ def extract_triples(
 
     linked = mentions.join(canon_b, "surface", "left").select(
         "url", "surface", "mstart", "mend", "exact",
-        F.col("canonical_id").alias("entity_id"), "entity_type",
+        F.col("canonical_id").alias("entity_id"), "entity_type", "link_score",
     )
 
     mention_triples = (
@@ -257,14 +261,25 @@ def _materialize_graph(
         )
         .distinct()
     )
+    # one max_by of a struct keeps name/type from the SAME alias row, and
+    # the (link_score, surface) sort key makes ties among equal-score
+    # aliases deterministic (an entity with several exact surfaces must
+    # not flip names between runs)
     entity_nodes = (
         canon.join(used_ids, "canonical_id", "left_semi")
         .groupBy(F.col("canonical_id").alias("id"))
         .agg(
-            F.max_by("surface", "link_score").alias("name"),
-            F.max_by("entity_type", "link_score").alias("type"),
+            F.max_by(
+                F.struct(F.col("surface"), F.col("entity_type")),
+                F.struct(F.col("link_score"), F.col("surface")),
+            ).alias("best")
         )
-        .withColumn("source_url", F.lit(None).cast("string"))
+        .select(
+            "id",
+            F.col("best.surface").alias("name"),
+            F.col("best.entity_type").alias("type"),
+            F.lit(None).cast("string").alias("source_url"),
+        )
     )
     # LINKS_TO targets outside the corpus → external Page stubs (J7)
     stub_pages = (

@@ -33,24 +33,107 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 
-def build_alias_table(gazetteer: DataFrame) -> DataFrame:
+# trailing corporate/org qualifiers whose removal still names the entity
+_QUALIFIERS = (
+    "Corporation|Industries|Systems|Holdings|Labs|Group|Dynamics|Analytics"
+    "|Partners|Capital|Networks|Logistics|Inc|Ltd|Corp|Company|LLC|GmbH"
+)
+_ACRONYMABLE = r"^([A-Z][A-Za-z]*)( [A-Z][A-Za-z]*)+$"
+
+
+def _variant_structs(surface, weight):
+    """Generated key variants of one gazetteer surface, with scaled
+    specificity — the multi-key registry of the reference
+    (extractor.py:237-337 registers bare / qualified / prefixed / relative
+    key variants per entity; the web analogs are qualifier-stripped names,
+    acronyms, and url-token forms)."""
+    stripped = F.regexp_replace(
+        F.regexp_replace(surface, r"^The ", ""),
+        f"( ({_QUALIFIERS}))+$",  # all trailing qualifier words at once
+        "",
+    )
+    acronym = F.when(
+        surface.rlike(_ACRONYMABLE),
+        F.upper(
+            F.array_join(
+                F.transform(F.split(surface, " "), lambda w: F.substring(w, 1, 1)),
+                "",
+            )
+        ),
+    )
+    urlform = F.lower(F.regexp_replace(surface, "[^A-Za-z0-9]", ""))
+    return F.array(
+        F.struct(stripped.alias("k"), (weight * 0.8).alias("s")),
+        F.struct(acronym.alias("k"), (weight * 0.5).alias("s")),
+        F.struct(urlform.alias("k"), (weight * 0.4).alias("s")),
+    )
+
+
+def build_alias_table(gazetteer: DataFrame, variants: bool = True) -> DataFrame:
     """(alias_key, entity_id, entity_type, specificity), deduped by priority.
 
     J1 + J2: each surface form keys exactly one entity; on collision the
     highest-specificity (weight) entry wins via a window, mirroring the
     reference's "more specific entity wins" rule (extractor.py:330-337).
+
+    With ``variants=True`` (J1 in full), every surface also registers its
+    GENERATED key variants — qualifier-stripped ("Acme Corporation" ->
+    "Acme"), acronym ("Tyrell Dynamics Group" -> "TDG"), and url-token
+    form ("Acme Corporation" -> "acmecorporation") — at scaled-down
+    specificity. Divergence from the reference, on purpose: a generated
+    key that maps to MORE THAN ONE entity is dropped entirely rather than
+    resolved by priority ("Acme" when both "Acme Corporation" and "Acme
+    Industries" exist) — curated gazetteer collisions carry an editorial
+    weight signal, machine-generated ones do not, and a silently-wrong
+    exact link is worse than falling through to the fuzzy scorer.
+    Explicit surfaces always shadow generated keys of the same spelling.
     """
+    base = gazetteer.select(
+        F.col("surface_form").alias("alias_key"),
+        F.col("canonical_id").alias("entity_id"),
+        F.col("entity_type"),
+        F.col("weight").alias("specificity"),
+    )
+    if variants:
+        gen = (
+            gazetteer.select(
+                F.explode(
+                    _variant_structs(F.col("surface_form"), F.col("weight"))
+                ).alias("v"),
+                F.col("surface_form"),
+                F.col("canonical_id").alias("entity_id"),
+                F.col("entity_type"),
+            )
+            .where(
+                F.col("v.k").isNotNull()
+                & (F.length("v.k") >= 3)
+                & (F.col("v.k") != F.col("surface_form"))
+            )
+            .select(
+                F.col("v.k").alias("alias_key"),
+                "entity_id",
+                "entity_type",
+                F.col("v.s").alias("specificity"),
+            )
+        )
+        # explicit surfaces shadow same-spelling generated keys...
+        gen = gen.join(
+            base.select("alias_key").distinct(), "alias_key", "left_anti"
+        )
+        # ...and ambiguous generated keys are dropped, not prioritized
+        unambiguous = (
+            gen.groupBy("alias_key")
+            .agg(F.countDistinct("entity_id").alias("n_ents"))
+            .where(F.col("n_ents") == 1)
+            .select("alias_key")
+        )
+        gen = gen.join(unambiguous, "alias_key", "left_semi")
+        base = base.unionByName(gen)
     w = Window.partitionBy("alias_key").orderBy(
         F.desc("specificity"), F.asc("entity_id")
     )
     return (
-        gazetteer.select(
-            F.col("surface_form").alias("alias_key"),
-            F.col("canonical_id").alias("entity_id"),
-            F.col("entity_type"),
-            F.col("weight").alias("specificity"),
-        )
-        .withColumn("rn", F.row_number().over(w))
+        base.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .drop("rn")
     )

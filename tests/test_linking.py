@@ -44,7 +44,85 @@ def test_alias_collision_priority(spark):
         )
     )
     rows = {r.alias_key: r.entity_id for r in build_alias_table(gaz).collect()}
-    assert rows == {"Acme": "ent:a", "Globex": "ent:g"}  # higher weight wins
+    assert rows["Acme"] == "ent:a"  # higher weight wins (J2)
+    assert rows["Globex"] == "ent:g"
+    assert rows.get("globex") == "ent:g"  # url-form variant, unambiguous
+    assert "acme" not in rows  # url-form of a key with conflicting entities
+    no_variants = {
+        r.alias_key: r.entity_id
+        for r in build_alias_table(gaz, variants=False).collect()
+    }
+    assert no_variants == {"Acme": "ent:a", "Globex": "ent:g"}
+
+
+def test_alias_variant_generation(spark):
+    """J1 in full: generated key variants (stripped / acronym / url-form)
+    resolve exactly; ambiguous generated keys are dropped, explicit
+    surfaces shadow same-spelling variants."""
+    gaz = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "surface_form": [
+                    "Tyrell Dynamics Group",   # -> "Tyrell", "TDG", "tyrelldynamicsgroup"
+                    "Acme Corporation",        # -> "Acme" (ambiguous, dropped)
+                    "Acme Industries",         # -> "Acme" (ambiguous, dropped)
+                    "The Wayne Group",         # -> "Wayne" via The-strip + qualifier-strip? (only one strip layer each)
+                ],
+                "canonical_id": ["ent:t", "ent:a1", "ent:a2", "ent:w"],
+                "entity_type": ["Org"] * 4,
+                "weight": [1.0, 1.0, 1.0, 1.0],
+            }
+        )
+    )
+    rows = {r.alias_key: (r.entity_id, r.specificity) for r in build_alias_table(gaz).collect()}
+    assert rows["Tyrell"] == ("ent:t", 0.8)           # qualifier-stripped
+    assert rows["TDG"] == ("ent:t", 0.5)              # acronym
+    assert rows["tyrelldynamicsgroup"] == ("ent:t", 0.4)  # url-token form
+    assert "Acme" not in rows                          # ambiguous -> dropped
+    assert rows["Acme Corporation"] == ("ent:a1", 1.0)  # explicit intact
+    # acronyms shorter than 3 chars are suppressed ("AC", "AI", "WG"...)
+    assert "AC" not in rows and "AI" not in rows
+
+
+def test_variant_only_mention_links_exactly(spark):
+    """A page that mentions an entity ONLY by a generated variant resolves
+    through the exact path (no fuzzy scoring involved)."""
+    from codebased_spark.graph.pipeline import extract_triples
+    from codebased_spark.synth.pages import pages_from_documents
+
+    gaz = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "surface_form": ["Tyrell Dynamics Group"],
+                "canonical_id": ["ent:org:tdg"],
+                "entity_type": ["Org"],
+                "weight": [1.0],
+            }
+        )
+    )
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": [
+                "Analysts say TDG beat expectations.",
+                "Tyrell announced a new lens array.",
+            ],
+            "lang": ["en", "en"],
+            "source": ["wire", "wire"],
+        }
+    )
+    pages = spark.createDataFrame(pages_from_documents(docs))
+    res = extract_triples(spark, pages, gaz)
+    linked = res.mentions.where("entity_id is not null").toPandas()
+    assert set(linked.surface) == {"TDG", "Tyrell"}
+    assert (linked.entity_id == "ent:org:tdg").all()
+    assert linked.exact.all()
+    # scaled confidence: acronym 0.5, stripped 0.8
+    got = dict(zip(linked.surface, linked.link_score))
+    assert got["TDG"] == pytest.approx(0.5) and got["Tyrell"] == pytest.approx(0.8)
+    # entity name is the canonical surface, not a variant
+    names = {r.id: r.name for r in res.nodes.where("type = 'Org'").collect()}
+    assert names == {"ent:org:tdg": "Tyrell Dynamics Group"}
 
 
 def test_fuzzy_linker_end_to_end(spark, corpus):
