@@ -211,6 +211,19 @@ def kg_top_docs_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_page_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured markup metadata (E15): <title> + og:* tags extracted from
+    the synthesized page html with JVM regexps, exploded to relational
+    (url, meta_key, meta_value) rows. The oracle derives the EXPECTED
+    values declaratively from the documents columns the template embeds —
+    so the check exercises real extraction, not a re-implementation."""
+    from codebased_spark.extract.metadata import page_meta_rows
+    from codebased_spark.synth.pages import pages_from_documents_spark
+
+    pages = pages_from_documents_spark(_docs(spark, sf_dir))
+    return page_meta_rows(pages)
+
+
 def q_suppliers_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """region -> nation -> supplier rollup (two broadcast dims + agg)."""
     region = spark.read.parquet(f"{sf_dir}/region.parquet")
@@ -323,6 +336,7 @@ QUERIES = {
     "kg_doc_entity_types": kg_doc_entity_types,
     "kg_top_docs_per_type": kg_top_docs_per_type,
     "mm_media_meta": mm_media_meta,
+    "kg_page_meta": kg_page_meta,
     "q_suppliers_per_region": q_suppliers_per_region,
     "q_hourly_events": q_hourly_events,
     "q_user_sessions": q_user_sessions,
@@ -622,6 +636,17 @@ ORACLES = {
             PARTITION BY entity_type ORDER BY n_mentions DESC, doc_id ASC) AS rn
           FROM counts
         ) WHERE rn <= 3
+    """,
+    "kg_page_meta": """
+        WITH pages AS (
+          SELECT 'https://' || source || '.example.org/' || lang || '/doc/' || doc_id AS url,
+                 source, lang, doc_id, source || ' doc ' || doc_id AS title
+          FROM documents
+        )
+        SELECT url, 'title' AS meta_key, title AS meta_value FROM pages
+        UNION ALL SELECT url, 'og:title', title FROM pages
+        UNION ALL SELECT url, 'og:site_name', source FROM pages
+        UNION ALL SELECT url, 'og:locale', lang FROM pages
     """,
     "q_suppliers_per_region": """
         SELECT r_name, count(*) AS n_suppliers,

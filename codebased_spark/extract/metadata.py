@@ -1,0 +1,76 @@
+"""Structured attribute extraction from markup (E15) — page metadata.
+
+Reference analog: the decorator-config parsers (javascript.py:254-416,
+typescript.py:410-600 pull `@Component({selector, templateUrl, ...})`
+attribute maps out of source). The web-page analog is <title> and OpenGraph
+<meta property="og:..."> tags: typed key/value attributes embedded in
+markup, extracted with pure JVM regexps — no Python, no HTML parser needed
+for this fixed, well-formed tag shape (malformed tags simply do not match,
+which is the reference's skip-on-parse-failure behavior).
+
+The extracted map fills the per-page metadata gap (E4/E6): Page nodes carry
+{title, og:*} the way the reference's module entities carry docstrings and
+per-entity flags.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_TITLE_RE = "(?i)<title>([^<]*)</title>"
+_OG_TAG_RE = '(?i)<meta\\s+property="og:[^"]*"\\s+content="[^"]*"\\s*/?>'
+_OG_KEY_RE = '(?i)property="og:([^"]*)"'
+_OG_VAL_RE = '(?i)content="([^"]*)"'
+
+
+def title_col(html_str: Column) -> Column:
+    """First <title> text (empty string when absent — regexp_extract's
+    no-match value, matching the reference's absent-docstring default)."""
+    return F.regexp_extract(html_str, _TITLE_RE, 1)
+
+
+def og_entries_col(html_str: Column) -> Column:
+    """array<struct<key,value>> of OpenGraph meta tags, document order."""
+    return F.transform(
+        F.regexp_extract_all(html_str, F.lit(_OG_TAG_RE), 0),
+        lambda t: F.struct(
+            F.concat(F.lit("og:"), F.regexp_extract(t, _OG_KEY_RE, 1)).alias("key"),
+            F.regexp_extract(t, _OG_VAL_RE, 1).alias("value"),
+        ),
+    )
+
+
+def page_meta_col(html_col: Column) -> Column:
+    """map<string,string> of {title, og:*} — last occurrence wins per key
+    (map_from_entries rejects duplicate keys, so dedup keeps the final
+    value, the same rule browsers apply to repeated meta tags)."""
+    h = html_col.cast("string")
+    entries = F.concat(
+        F.array(F.struct(F.lit("title").alias("key"), title_col(h).alias("value"))),
+        og_entries_col(h),
+    )
+    # keep the LAST entry per key: reverse, keep first-seen, rebuild
+    deduped = F.aggregate(
+        F.reverse(entries),
+        F.array().cast("array<struct<key:string,value:string>>"),
+        lambda acc, e: F.when(
+            F.exists(acc, lambda a: a["key"] == e["key"]), acc
+        ).otherwise(F.array_append(acc, e)),
+    )
+    return F.map_from_entries(F.reverse(deduped))
+
+
+def with_page_meta(df: DataFrame, html_col: str = "html", out: str = "page_meta") -> DataFrame:
+    return df.withColumn(out, page_meta_col(F.col(html_col)))
+
+
+def page_meta_rows(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """(url, meta_key, meta_value) — the relational form of the metadata
+    map (exploded so the SQL oracle compares rows, not engine-specific map
+    renderings). Empty titles are kept (title is always defined for a
+    page); absent og tags simply contribute no rows."""
+    meta = with_page_meta(pages, html_col=html_col)
+    return meta.select(
+        "url", F.explode("page_meta").alias("meta_key", "meta_value")
+    )

@@ -161,6 +161,7 @@ def _process_buckets(
             stub_name.alias("name"),
             F.lit("ExternalPage").alias("type"),
             F.lit(None).cast("string").alias("source_url"),
+            F.lit(None).cast("map<string,string>").alias("meta"),
             "bucket",
         )
         nodes = res.nodes.join(node_buckets, "id").unionByName(

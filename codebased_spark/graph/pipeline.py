@@ -243,11 +243,21 @@ def _materialize_graph(
     re-runs idempotent (reference E11, python.py:445-462). Dedup is
     first-seen-indifferent because ids are content hashes (A8).
     """
+    # Page nodes carry the structured markup metadata map (E15/E4/E6:
+    # title + og:* — the reference's per-entity docstring/flags analog),
+    # extracted JVM-side; absent when the pipeline ran text-only.
+    from codebased_spark.extract.metadata import page_meta_col
+
+    null_meta = F.lit(None).cast("map<string,string>")
+    meta_expr = (
+        page_meta_col(F.col("html")) if "html" in pages.columns else null_meta
+    )
     page_nodes = pages.select(
         F.concat(F.lit("page:"), F.col("url")).alias("id"),
         F.col("url").alias("name"),
         F.lit("Page").alias("type"),
         F.col("url").alias("source_url"),
+        meta_expr.alias("meta"),
     )
     # only entities actually referenced by a triple become nodes (the
     # reference materializes extracted entities, not the whole gazetteer)
@@ -279,6 +289,7 @@ def _materialize_graph(
             F.col("best.surface").alias("name"),
             F.col("best.entity_type").alias("type"),
             F.lit(None).cast("string").alias("source_url"),
+            F.lit(None).cast("map<string,string>").alias("meta"),
         )
     )
     # LINKS_TO targets outside the corpus → external Page stubs (J7)
@@ -292,13 +303,14 @@ def _materialize_graph(
             F.regexp_replace("id", "^page:", "").alias("name"),
             F.lit("ExternalPage").alias("type"),
             F.lit(None).cast("string").alias("source_url"),
+            F.lit(None).cast("map<string,string>").alias("meta"),
         )
     )
     nodes = (
         page_nodes.unionByName(entity_nodes).unionByName(stub_pages)
         .dropDuplicates(["id"])
         .withColumn("uid", F.sha2(F.concat_ws(":", "type", "name"), 256))
-        .select("id", "uid", "name", "type", "source_url")
+        .select("id", "uid", "name", "type", "source_url", "meta")
     )
     edges = triples.select(
         F.col("subj").alias("src"),

@@ -228,7 +228,10 @@ def gen_pages(
             text = ""
             triple_rows = [t for t in triple_rows if t[0] != url]
         raw = (
-            f"<html><head><title>t{d}</title><script>var x = 1 < 2 && 3 > 2;</script>"
+            f"<html><head><title>t{d}</title>"
+            f'<meta property="og:locale" content="{lang}"/>'
+            f'<meta property="og:site_name" content="{domain}"/>'
+            f"<script>var x = 1 < 2 && 3 > 2;</script>"
             f"<style>p {{ color: red }}</style></head><body>{body}</body></html>"
         )
         hb = raw.encode("utf-8")
@@ -269,8 +272,13 @@ def pages_from_documents(docs: pd.DataFrame) -> pd.DataFrame:
     )
     ts = EPOCH_2025 + pd.to_timedelta(docs["doc_id"].astype(int) * 13, unit="s")
     esc = docs["text"].map(html_mod.escape)
+    title = docs["source"].astype(str) + " doc " + docs["doc_id"].astype(str)
     html_bytes = (
-        "<html><head><title>d</title><script>junk()</script></head><body><p>"
+        "<html><head><title>" + title + "</title>"
+        + '<meta property="og:title" content="' + title + '"/>'
+        + '<meta property="og:site_name" content="' + docs["source"].astype(str) + '"/>'
+        + '<meta property="og:locale" content="' + docs["lang"].astype(str) + '"/>'
+        + "<script>junk()</script></head><body><p>"
         + esc + "</p></body></html>"
     ).map(lambda s: s.encode("utf-8"))
     return pd.DataFrame(
@@ -287,9 +295,16 @@ def pages_from_documents_spark(docs):
     esc = F.col("text")
     for a, b in [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"), ('"', "&quot;"), ("'", "&#x27;")]:
         esc = F.replace(esc, F.lit(a), F.lit(b))
+    title = F.concat(
+        F.col("source"), F.lit(" doc "), F.col("doc_id").cast("string")
+    )
     html = F.encode(
         F.concat(
-            F.lit("<html><head><title>d</title><script>junk()</script></head><body><p>"),
+            F.lit("<html><head><title>"), title, F.lit("</title>"),
+            F.lit('<meta property="og:title" content="'), title, F.lit('"/>'),
+            F.lit('<meta property="og:site_name" content="'), F.col("source"), F.lit('"/>'),
+            F.lit('<meta property="og:locale" content="'), F.col("lang"), F.lit('"/>'),
+            F.lit("<script>junk()</script></head><body><p>"),
             esc,
             F.lit("</p></body></html>"),
         ),

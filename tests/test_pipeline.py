@@ -31,10 +31,21 @@ def test_triple_precision_recall(result):
 def test_nodes_schema_and_unique_ids(result):
     res, _ = result
     nodes = res.nodes
-    assert set(nodes.columns) == {"id", "uid", "name", "type", "source_url"}
+    assert set(nodes.columns) == {"id", "uid", "name", "type", "source_url", "meta"}
     total = nodes.count()
     assert nodes.select("id").distinct().count() == total
     assert nodes.where("uid is null or length(uid) != 64").count() == 0
+    # Page nodes carry the markup metadata map (E15/E4): title + og tags
+    # from the fixture template; entity nodes have no markup metadata
+    from pyspark.sql import functions as F
+
+    pages_meta = nodes.where("type = 'Page'").select(
+        F.element_at("meta", "og:locale").alias("loc"),
+        F.element_at("meta", "title").alias("title"),
+    )
+    assert pages_meta.where(F.col("loc").isNull()).count() == 0
+    assert pages_meta.where(~F.col("title").rlike("^t[0-9]+$")).count() == 0
+    assert nodes.where("type != 'Page' AND meta IS NOT NULL").count() == 0
 
 
 def test_no_dangling_edges(result):
