@@ -51,6 +51,7 @@ def extract_triples(
     use_given_text: bool = False,
     persist: bool = True,
     max_html_bytes: int | None = 10 * 1024 * 1024,
+    external_blocklist: list[str] | None = None,
 ) -> GraphResult:
     """Run extraction + linking + canonicalization.
 
@@ -162,9 +163,24 @@ def extract_triples(
         fuzzy_map = link_fuzzy_mentions(
             spark, fuzzy_surfaces, alias_table, threshold=fuzzy_threshold
         )
-    # unlinked candidates → external stubs (J7: no dangling refs)
+    # unlinked candidates → external stubs (J7: no dangling refs), except
+    # known-external surfaces on the broadcast blocklist, which are dropped
+    # entirely — the reference skips @angular/rxjs/lodash prefixes before
+    # probing (extractor.py:393-426); the web analog is boilerplate chrome
+    # names (social widgets, cookie-banner vendors) that would otherwise
+    # pollute the entity table with one stub per spelling (J5).
+    unlinked = fuzzy_surfaces.join(fuzzy_map, "surface", "left_anti")
+    if external_blocklist:
+        bl = F.broadcast(
+            spark.createDataFrame(
+                [(s.lower(),) for s in external_blocklist], ["blocked"]
+            )
+        )
+        unlinked = unlinked.join(
+            bl, F.lower(F.col("surface")) == F.col("blocked"), "left_anti"
+        )
     ext_map = (
-        fuzzy_surfaces.join(fuzzy_map, "surface", "left_anti")
+        unlinked
         .withColumn(
             "entity_id", F.concat(F.lit("ext:"), F.sha2(F.col("surface"), 256))
         )

@@ -125,6 +125,42 @@ def test_variant_only_mention_links_exactly(spark):
     assert names == {"ent:org:tdg": "Tyrell Dynamics Group"}
 
 
+def test_external_blocklist_suppresses_stubs(spark):
+    """J5: blocklisted unknown surfaces produce NO ext: stub node; other
+    unknown surfaces still do (reference extractor.py:393-426)."""
+    from codebased_spark.graph.pipeline import extract_triples
+    from codebased_spark.synth.pages import pages_from_documents
+
+    gaz = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "surface_form": ["Acme Corporation"],
+                "canonical_id": ["ent:org:acme"],
+                "entity_type": ["Org"],
+                "weight": [1.0],
+            }
+        )
+    )
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0],
+            "text": ["Cookie Consent banners annoyed Zorblax Media readers."],
+            "lang": ["en"],
+            "source": ["wire"],
+        }
+    )
+    pages = spark.createDataFrame(pages_from_documents(docs))
+    res = extract_triples(
+        spark, pages, gaz, external_blocklist=["cookie consent"]
+    )
+    ext = {r.name for r in res.nodes.where("type = 'External'").collect()}
+    assert "Zorblax Media" in ext      # unknown surface -> stub, as before
+    assert "Cookie Consent" not in ext  # blocklisted -> no stub at all
+    # the blocklisted mention stays visibly unlinked in the mention table
+    m = {r.surface: r.entity_id for r in res.mentions.collect()}
+    assert m["Cookie Consent"] is None
+
+
 def test_fuzzy_linker_end_to_end(spark, corpus):
     gaz = spark.createDataFrame(corpus.gazetteer)
     alias = build_alias_table(gaz)
