@@ -186,9 +186,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_agg_pricing": """
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty,
+                   floor(sum(l_extendedprice) * 100 + 0.5) / 100 AS sum_base_price,
+                   floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS sum_disc_price,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -196,7 +196,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_top_customers": """
             SELECT c_custkey, c_name,
-                   round(sum(o_totalprice), 2) AS total_spent
+                   floor(sum(o_totalprice) * 100 + 0.5) / 100 AS total_spent
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_custkey, c_name
             ORDER BY total_spent DESC, c_custkey ASC
@@ -209,7 +209,7 @@ def oracle_sql() -> dict[str, str]:
             ) o ON c_custkey = o_custkey
         """,
         "q_nation_revenue": """
-            SELECT n_name, round(sum(o_totalprice), 2) AS revenue,
+            SELECT n_name, floor(sum(o_totalprice) * 100 + 0.5) / 100 AS revenue,
                    count(*) AS n_orders
             FROM orders
             JOIN customer ON o_custkey = c_custkey
@@ -239,7 +239,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_event_type_stats": """
             SELECT event_type, count(*) AS n_events,
-                   round(avg(value), 4) AS avg_value,
+                   floor(avg(value) * 10000 + 0.5) / 10000 AS avg_value,
                    count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type
         """,

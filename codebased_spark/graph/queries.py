@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from codebased_spark.util import round_stable
+
 # Small gazetteer over the documents vocabulary — the broadcast dimension for
 # KG mention queries (analog of the reference's node-type tables,
 # javascript.py:25-46). Inlined as VALUES in the oracle SQL.
@@ -143,9 +145,9 @@ def q_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
+            round_stable(F.sum("l_quantity"), 2).alias("sum_qty"),
+            round_stable(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            round_stable(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
@@ -160,7 +162,7 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spent"))
+        .agg(round_stable(F.sum("o_totalprice"), 2).alias("total_spent"))
         .orderBy(F.desc("total_spent"), F.asc("c_custkey"))
         .limit(10)
     )
@@ -189,7 +191,7 @@ def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            round_stable(F.sum("o_totalprice"), 2).alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
@@ -239,7 +241,7 @@ def q_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
+        round_stable(F.avg("value"), 4).alias("avg_value"),
         F.countDistinct("user_id").alias("n_users"),
     )
 

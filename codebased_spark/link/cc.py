@@ -59,7 +59,15 @@ def _cc_driver_side(e: DataFrame) -> DataFrame:
         if r not in comp_min or node < comp_min[r]:
             comp_min[r] = node
     out = [(node, comp_min[find(node)]) for node in parent]
-    return e.sparkSession.createDataFrame(out, ["id", "comp"])
+    # explicit schema derived from the edge column type: an empty edge set
+    # must return an empty frame, not raise cannot-infer-schema
+    from pyspark.sql import types as T
+
+    id_type = e.schema.fields[0].dataType
+    schema = T.StructType(
+        [T.StructField("id", id_type), T.StructField("comp", id_type)]
+    )
+    return e.sparkSession.createDataFrame(out, schema)
 
 
 def connected_components(

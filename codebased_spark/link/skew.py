@@ -59,7 +59,19 @@ def salted_join(
     monotonically_increasing_id-free xxhash of key+salt_by). Result equals
     facts.join(dim, key, how) exactly; only the physical distribution
     changes.
+
+    `how` is restricted to fact-side-preserving joins: under right/full
+    outer joins a hot dim row unmatched on some salt values would emit up
+    to n_salts null-padded duplicates (the dim side is exploded to every
+    salt), so those modes are rejected rather than silently wrong.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "semi", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)} joins, not {how!r}: "
+            "the exploded dim side breaks right/full outer semantics"
+        )
     hot_b = F.broadcast(hot.select(F.col(key), F.lit(True).alias("_is_hot")))
     f = facts.join(hot_b, key, "left")
     salt_src = F.col(salt_by) if salt_by else F.spark_partition_id()

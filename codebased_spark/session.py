@@ -9,10 +9,42 @@ locally they are harmless. Tests/bench override ``master`` and
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _default_local_dir() -> str:
+    """tmpfs shuffle dir ONLY when /dev/shm can actually hold spills.
+
+    Containers commonly mount /dev/shm at 64MB; spilling there fails with
+    no-space errors and consumes RAM (defeating MEMORY_AND_DISK). Fall
+    back to a disk-backed temp dir below 8 GiB free."""
+    try:
+        if shutil.disk_usage("/dev/shm").free >= 8 * 1024**3:
+            return "/dev/shm/spark-tmp"
+    except OSError:
+        pass
+    return os.path.join(tempfile.gettempdir(), "spark-tmp")
+
+
+def _default_driver_mem() -> str:
+    """Size the local-mode heap from available memory (half of
+    MemAvailable, clamped to [2g, 24g]) instead of a hardcoded value."""
+    try:
+        with open("/proc/meminfo") as f:
+            kb = {
+                line.split(":")[0]: int(line.split()[1])
+                for line in f
+                if ":" in line
+            }
+        avail_gb = kb.get("MemAvailable", 0) / (1024**2)
+        return f"{max(2, min(24, int(avail_gb * 0.5)))}g"
+    except (OSError, ValueError):
+        return "8g"
 
 
 def get_spark(
@@ -51,12 +83,19 @@ def get_spark(
         # local mode runs everything in one JVM: with 32 task slots the
         # young-gen allocation rate of string-heavy extraction makes an 8g
         # heap GC-bound (measured 1.4x slower at local[32], 600k docs).
-        # The sandbox has 128 GiB; real clusters size executor heaps per
-        # core count the same way.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # Heap is sized from MemAvailable (clamped 2-24g); real clusters
+        # size executor heaps per core count the same way.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEM", _default_driver_mem()),
+        )
         # sandbox disk is slow virtio; tmpfs shuffle dirs keep local-mode
-        # shuffles memory-speed (cluster deployments use NVMe local dirs)
-        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-tmp"))
+        # shuffles memory-speed when /dev/shm is big enough (cluster
+        # deployments use NVMe local dirs)
+        .config(
+            "spark.local.dir",
+            os.environ.get("SPARK_LOCAL_DIRS", _default_local_dir()),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from codebased_spark.dedup.embedding import _as_double
+from codebased_spark.util import round_stable
 
 
 def _sq_dist(vec: Column, centroid: list[float]) -> Column:
@@ -57,7 +58,15 @@ def kmeans_fit(
     vec_col: str = "embedding",
     seed: int = 11,
 ) -> list[list[float]]:
-    """Fit k centroids; returns them as plain lists (the tiny model)."""
+    """Fit k centroids; returns them as plain lists (the tiny model).
+
+    The input is persisted for the duration of the fit — every Lloyd's
+    round scans it once, and without the cache each round re-reads (and
+    re-decodes) the source parquet.
+    """
+    from pyspark import StorageLevel
+
+    emb = emb.persist(StorageLevel.MEMORY_AND_DISK)
     init_rows = (
         emb.select(id_col, _as_double(vec_col).alias("v"))
         .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
@@ -88,6 +97,7 @@ def kmeans_fit(
         centroids = new_centroids
         if movement < tol:
             break
+    emb.unpersist()
     return centroids
 
 
@@ -125,7 +135,7 @@ def ann_ivf_kmeans_topk(
         .where(F.col(id_col) != query_id)
         .select(
             F.col(id_col),
-            F.round(cosine_col(_as_double(vec_col), qcol), 4).alias("cos_sim"),
+            round_stable(cosine_col(_as_double(vec_col), qcol)).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)

@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from codebased_spark.util import round_stable
 from pyspark.sql.streaming import StreamingQuery
 
 
@@ -50,7 +52,7 @@ def stream_event_window_counts(
         events.groupBy(F.window(F.col(time_col), window), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            round_stable(F.sum("value")).alias("sum_value"),
         )
         .select(
             F.col("window.start").alias("window_start"),

@@ -209,3 +209,14 @@ def test_cc_merges_via_shared_node(spark):
     )
     got = {r.id: r.comp for r in connected_components(df).collect()}
     assert got["ent:1"] == got["ent:2"] == "ent:1"
+
+
+def test_cc_empty_edges(spark):
+    """Empty edge set (e.g. empty gazetteer) returns an empty frame with a
+    declared schema on BOTH the driver-side and distributed paths."""
+    empty = spark.createDataFrame([], "src string, dst string")
+    out = connected_components(empty)
+    assert out.columns == ["id", "comp"]
+    assert out.count() == 0
+    out2 = connected_components(empty, driver_threshold=0)  # distributed path
+    assert out2.columns == ["id", "comp"] and out2.count() == 0

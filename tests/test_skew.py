@@ -89,3 +89,19 @@ def test_salted_aggregate_rejects_non_reaggregable(spark, skewed):
     hk = hot_keys(skewed, "k", min_count=1000)
     with pytest.raises(ValueError, match="not re-aggregable"):
         salted_aggregate(skewed, "k", {"a": "avg(v)"}, hk)
+
+
+def test_salted_join_rejects_outer(spark):
+    import pandas as pd
+    import pytest
+    from pyspark.sql import functions as F
+
+    from codebased_spark.link.skew import hot_keys, salted_join
+
+    facts = spark.createDataFrame(pd.DataFrame({"k": ["a", "b"], "v": [1, 2]}))
+    dim = spark.createDataFrame(pd.DataFrame({"k": ["a"], "d": [10]}))
+    hot = hot_keys(facts, "k", min_count=1)
+    with pytest.raises(ValueError, match="outer"):
+        salted_join(facts, dim, "k", hot, how="full")
+    with pytest.raises(ValueError, match="outer"):
+        salted_join(facts, dim, "k", hot, how="right")
