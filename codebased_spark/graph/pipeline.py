@@ -72,7 +72,13 @@ def extract_triples(
         pages = pages.where(F.length("html") <= max_html_bytes)
 
     pages = pages if use_given_text else with_text(pages, "html", "text")
-    pages = pages.withColumn("links", href_targets(F.col("html")))
+    # text-only corpora (no html column) simply have no hyperlink edges
+    links_expr = (
+        href_targets(F.col("html"))
+        if "html" in pages.columns
+        else F.array().cast("array<string>")
+    )
+    pages = pages.withColumn("links", links_expr)
 
     # LINKS_TO — all languages, pure JVM. The distinct runs on the narrow
     # (url, href) pair; subj ("page:"+url) and the constant pred are

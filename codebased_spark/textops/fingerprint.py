@@ -16,18 +16,20 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from codebased_spark.dedup.shingles import tokens_col
+from codebased_spark.dedup.shingles import ngrams_col, tokens_col
 
 
 def _kgram_hashes(toks: Column, k: int) -> Column:
-    """Ordered (not distinct) k-gram hash sequence."""
-    return F.when(
-        F.size(toks) >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - F.lit(k - 1)),
-            lambda i: F.substring(F.md5(F.concat_ws(" ", F.slice(toks, i, k))), 1, 8),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    """Ordered (not distinct) k-gram hash sequence.
+
+    Built on the zip_with n-gram builder (shingles.ngrams_col) — a
+    per-index slice() lambda here re-tokenizes the document once per
+    k-gram via CollapseProject inlining (the same O(n^2) trap documented
+    on shingles_col)."""
+    return F.transform(
+        ngrams_col(toks, k),
+        lambda g: F.substring(F.md5(g), 1, 8),
+    )
 
 
 def winnow_fingerprints(
