@@ -160,22 +160,30 @@ def extract_triples(
     # short-circuit: clean corpora have no fuzzy candidates, and the TF-IDF
     # scoring stage costs several fixed jobs. fuzzy_surfaces is vocabulary-
     # sized (distinct surfaces, not mentions), so isEmpty() is cheap and
-    # doubles as the materialization point for the persisted scan.
+    # doubles as the materialization point for the persisted scan. The
+    # short-circuit must replace BOTH the fuzzy map AND the stub source
+    # with empty literals: the downstream CC runs count/collect jobs over
+    # surface_map, and a corpus-scanning subtree left in the (empty)
+    # ext branch would re-execute the whole mention scan per job —
+    # measured ~7s of pure fixed cost per pipeline call.
     if fuzzy_surfaces.isEmpty():
         fuzzy_map = spark.createDataFrame(
             [], "surface string, entity_id string, entity_type string, link_score double"
         )
+        unlinked = spark.createDataFrame([], "surface string")
     else:
         fuzzy_map = link_fuzzy_mentions(
             spark, fuzzy_surfaces, alias_table, threshold=fuzzy_threshold
         )
-    # unlinked candidates → external stubs (J7: no dangling refs), except
-    # known-external surfaces on the broadcast blocklist, which are dropped
-    # entirely — the reference skips @angular/rxjs/lodash prefixes before
-    # probing (extractor.py:393-426); the web analog is boilerplate chrome
-    # names (social widgets, cookie-banner vendors) that would otherwise
-    # pollute the entity table with one stub per spelling (J5).
-    unlinked = fuzzy_surfaces.join(fuzzy_map, "surface", "left_anti")
+        # unlinked candidates → external stubs (J7: no dangling refs),
+        # except known-external surfaces on the broadcast blocklist,
+        # which are dropped entirely — the reference skips
+        # @angular/rxjs/lodash prefixes before probing
+        # (extractor.py:393-426); the web analog is boilerplate chrome
+        # names (social widgets, cookie-banner vendors) that would
+        # otherwise pollute the entity table with one stub per spelling
+        # (J5).
+        unlinked = fuzzy_surfaces.join(fuzzy_map, "surface", "left_anti")
     if external_blocklist:
         bl = F.broadcast(
             spark.createDataFrame(

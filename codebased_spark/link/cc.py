@@ -27,14 +27,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _cc_driver_side(e: DataFrame) -> DataFrame:
+def _cc_driver_side(e: DataFrame, rows=None) -> DataFrame:
     """Union-find on the driver for small graphs — identical output.
 
     The distributed loop costs ~3 Spark jobs per round; below the
     threshold that fixed cost dwarfs the work (an alias vocabulary is a
     few thousand edges even for a 10^12-row corpus), so collect + solve +
     parallelize is the right plan. Component label = min id, matching the
-    distributed path bit-for-bit.
+    distributed path bit-for-bit. `rows` lets the caller pass an
+    already-collected edge list (the adaptive probe collects while
+    counting, saving a job).
     """
     parent: dict = {}
 
@@ -46,7 +48,8 @@ def _cc_driver_side(e: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    rows = e.collect()
+    if rows is None:
+        rows = e.collect()
     for a, b in rows:
         parent.setdefault(a, a)
         parent.setdefault(b, b)
@@ -86,8 +89,14 @@ def connected_components(
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
         F.col(src).isNotNull() & F.col(dst).isNotNull()
     )
-    if driver_threshold and e.limit(driver_threshold + 1).count() <= driver_threshold:
-        return _cc_driver_side(e)
+    if driver_threshold:
+        # ONE probe job: collect up to threshold+1 edges; if under the
+        # threshold the rows ARE the union-find input (a count-then-
+        # collect pair would pay two fixed job overheads for the common
+        # vocabulary-sized case)
+        probe = e.limit(driver_threshold + 1).collect()
+        if len(probe) <= driver_threshold:
+            return _cc_driver_side(e, rows=probe)
     sym = (
         e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()

@@ -56,7 +56,11 @@ def synth_pages_spark(
         for pred, tmpl, _, _ in RELATION_PATTERNS
     }
 
-    df = spark.range(n_docs).withColumnRenamed("id", "doc")
+    # ~8 tasks per core, not 1: spark.range defaults to one partition per
+    # core, and 250k-doc tasks make every straggler cost a whole core
+    # (a real parquet scan gets this granularity from maxPartitionBytes)
+    n_parts = max(8 * spark.sparkContext.defaultParallelism, 8)
+    df = spark.range(0, n_docs, 1, n_parts).withColumnRenamed("id", "doc")
     sentences = []
     for slot in range(SENTENCES_PER_DOC):
         pred_idx = F.pmod(F.xxhash64("doc", F.lit(seed), F.lit(slot)), F.lit(len(RELATION_PATTERNS)))
