@@ -10,6 +10,7 @@ from codebased_spark.streaming.ingest import (
     stream_event_window_counts,
     stream_pages_to_graph,
 )
+from codebased_spark.util import round_stable
 
 EVENTS_SCHEMA = (
     "event_id long, ts timestamp, user_id long, event_type string, "
@@ -44,7 +45,7 @@ def test_windowed_counts_match_batch(spark, tmp_path):
         .groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            round_stable(F.sum("value")).alias("sum_value"),
         )
         .select(
             F.col("window.start").alias("window_start"),
@@ -91,3 +92,47 @@ def test_stream_pages_to_graph_matches_batch(spark, corpus, tmp_path):
     # global context (fuzzy candidates seen in another batch) — on this
     # fixture both sides resolve identically
     assert streamed == batch
+
+
+def test_stream_exact_dedup_matches_batch(spark, tmp_path):
+    """Streaming content-hash dedup (bounded state via watermark) emits
+    exactly one page per distinct content, matching batch dedup on a
+    corpus whose duplicates arrive within the watermark."""
+    from codebased_spark.streaming.dedup import stream_exact_dedup
+    from codebased_spark.synth.pages import pages_from_documents_spark
+
+    src = str(tmp_path / "pages")
+    sink = str(tmp_path / "dsink")
+    ckpt = str(tmp_path / "dckpt")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    pages = pages_from_documents_spark(docs)
+    # plant duplicates: 50 pages re-arrive 10 minutes later under new urls
+    dups = (
+        pages.limit(50)
+        .withColumn("url", F.concat(F.lit("dup-"), F.col("url")))
+        .withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 10 MINUTES"))
+    )
+    pages.unionByName(dups).write.parquet(src)
+
+    sdf = stream_exact_dedup(spark, src, PAGES_SCHEMA, watermark="1 hour")
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(sink)
+    batch_distinct = (
+        spark.read.parquet(src)
+        .select(F.sha2("text", 256).alias("h"))
+        .distinct()
+        .count()
+    )
+    assert got.count() == batch_distinct
+    # one row per content hash, and none of them is a late duplicate url
+    assert got.select("content_sha256").distinct().count() == batch_distinct
+    assert got.where(F.col("url").startswith("dup-")).count() == 0
