@@ -150,6 +150,20 @@ def mm_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_metadata(media_from_documents(_docs(spark, sf_dir)))
 
 
+def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode path: build valid PNG/WAV/MP4 bytes per doc
+    (dimensions/durations planted from doc_id), then parse them back with
+    the pure-stdlib header decoders (media/headers.py) inside the
+    mapInPandas stage. The oracle states the planted values declaratively;
+    any parser/builder defect breaks the equality."""
+    from codebased_spark.media.decode import media_metadata, synthetic_real_media
+
+    media = synthetic_real_media(_docs(spark, sf_dir))
+    return media_metadata(media, real=True).select(
+        "doc_id", "media_type", "width", "height", "duration_ms"
+    )
+
+
 def tx_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting two ways: whitespace + BPE-ish regex segmentation.
 
@@ -336,6 +350,7 @@ QUERIES = {
     "kg_doc_entity_types": kg_doc_entity_types,
     "kg_top_docs_per_type": kg_top_docs_per_type,
     "mm_media_meta": mm_media_meta,
+    "mm_real_decode": mm_real_decode,
     "kg_page_meta": kg_page_meta,
     "q_suppliers_per_region": q_suppliers_per_region,
     "q_hourly_events": q_hourly_events,
@@ -636,6 +651,16 @@ ORACLES = {
             PARTITION BY entity_type ORDER BY n_mentions DESC, doc_id ASC) AS rn
           FROM counts
         ) WHERE rn <= 3
+    """,
+    "mm_real_decode": """
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                    ELSE 'video' END AS media_type,
+               CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 1 + doc_id % 640 END AS width,
+               CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 1 + (doc_id // 3) % 480 END AS height,
+               CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 1 + doc_id % 5000
+                    ELSE 1 + doc_id % 600000 END AS duration_ms
+        FROM documents
     """,
     "kg_page_meta": """
         WITH pages AS (

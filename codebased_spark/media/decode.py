@@ -5,12 +5,12 @@ Pattern (the part that must be right at 100 TB): media lives as a
 Arrow-batched `mapInPandas` stage so bytes cross the JVM<->Python boundary
 once per batch, never per row; downstream everything is columnar again.
 
-The actual pixel/sample decode is STUBBED here — the image/audio libraries
-are not in this container. `_decode_image/_decode_audio/_decode_video`
-raise NotImplementedError when `real=True`; the default deterministic fake
-derives metadata from md5(payload) so the plumbing (schema, batching,
-partitioning, UDF signature) is real and test-covered, and the fake is
-reproducible on any SQL oracle via md5().
+`real=True` runs REAL header-level decoding (media/headers.py: pure-stdlib
+PNG/JPEG/WAV/MP4 parsers — dimensions, duration, format sniffing), which
+covers the metadata a training-data pipeline filters on. Full pixel/sample
+decode (PIL/soundfile/ffmpeg) is still out of scope in this container and
+raises NotImplementedError; the default deterministic fake (metadata from
+md5(payload)) remains for oracle-reproducible plumbing tests.
 """
 
 from __future__ import annotations
@@ -57,25 +57,72 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
+def synthetic_real_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, media_type, payload) with REAL container bytes: valid PNG /
+    WAV / MP4 files built deterministically from doc_id (media/headers.py
+    builders). The planted dimensions/durations are pure doc_id arithmetic,
+    so an oracle can state the expected parse declaratively while the
+    Spark side must actually construct and then parse real bytes."""
+    from codebased_spark.media.headers import make_mp4, make_png, make_wav
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 1 + did % 640, 1 + (did // 3) % 480
+                if did % 3 == 0:
+                    rows.append((did, "image", make_png(w, h)))
+                elif did % 3 == 1:
+                    rows.append((did, "audio", make_wav(8000, 1 + did % 5000)))
+                else:
+                    rows.append((did, "video", make_mp4(w, h, 1 + did % 600000)))
+            yield pd.DataFrame(rows, columns=["doc_id", "media_type", "payload"])
+
+    return docs.select("doc_id").mapInPandas(
+        build, schema="doc_id long, media_type string, payload binary"
+    )
+
+
 def _decode_image(payload: bytes, real: bool) -> tuple[int, int, int]:
-    if real:  # pragma: no cover - requires PIL, not in this container
-        raise NotImplementedError(
-            "real image decode needs PIL/opencv; install and implement here"
+    if real:
+        from codebased_spark.media.headers import (
+            parse_jpeg,
+            parse_png,
+            sniff_media_format,
         )
+
+        fmt = sniff_media_format(payload)
+        if fmt == "png":
+            w, h = parse_png(payload)
+        elif fmt == "jpeg":
+            w, h = parse_jpeg(payload)
+        else:  # pragma: no cover - pixel decode of other formats
+            raise NotImplementedError(f"unsupported image container: {fmt}")
+        return w, h, 0
     h = hashlib.md5(payload).hexdigest()
     return 1 + int(h[:4], 16) % 4096, 1 + int(h[4:8], 16) % 4096, 0
 
 
 def _decode_audio(payload: bytes, real: bool) -> tuple[int, int, int]:
-    if real:  # pragma: no cover
-        raise NotImplementedError("real audio decode needs soundfile/ffmpeg")
+    if real:
+        from codebased_spark.media.headers import parse_wav, sniff_media_format
+
+        if sniff_media_format(payload) != "wav":  # pragma: no cover
+            raise NotImplementedError("real audio decode beyond WAV needs soundfile/ffmpeg")
+        _rate, dur_ms = parse_wav(payload)
+        return 0, 0, dur_ms
     h = hashlib.md5(payload).hexdigest()
     return 0, 0, 1 + int(h[8:14], 16) % 600000
 
 
 def _decode_video(payload: bytes, real: bool) -> tuple[int, int, int]:
-    if real:  # pragma: no cover
-        raise NotImplementedError("real video decode needs ffmpeg frame sampling")
+    if real:
+        from codebased_spark.media.headers import parse_mp4, sniff_media_format
+
+        if sniff_media_format(payload) != "mp4":  # pragma: no cover
+            raise NotImplementedError("real video decode beyond MP4 headers needs ffmpeg")
+        return parse_mp4(payload)
     h = hashlib.md5(payload).hexdigest()
     return 1 + int(h[:4], 16) % 4096, 1 + int(h[4:8], 16) % 4096, 1 + int(h[8:14], 16) % 600000
 
