@@ -238,6 +238,17 @@ def kg_page_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return page_meta_rows(pages)
 
 
+def kg_url_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition (§2.7 path-manipulation analog): parse_url host/
+    path + registrable domain, all JVM expressions; the oracle derives the
+    expected parts from the columns the url template embeds."""
+    from codebased_spark.extract.urlops import with_url_parts
+    from codebased_spark.synth.pages import pages_from_documents_spark
+
+    pages = pages_from_documents_spark(_docs(spark, sf_dir))
+    return with_url_parts(pages).select("url", "host", "path", "domain")
+
+
 def q_suppliers_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """region -> nation -> supplier rollup (two broadcast dims + agg)."""
     region = spark.read.parquet(f"{sf_dir}/region.parquet")
@@ -352,6 +363,7 @@ QUERIES = {
     "mm_media_meta": mm_media_meta,
     "mm_real_decode": mm_real_decode,
     "kg_page_meta": kg_page_meta,
+    "kg_url_parts": kg_url_parts,
     "q_suppliers_per_region": q_suppliers_per_region,
     "q_hourly_events": q_hourly_events,
     "q_user_sessions": q_user_sessions,
@@ -672,6 +684,13 @@ ORACLES = {
         UNION ALL SELECT url, 'og:title', title FROM pages
         UNION ALL SELECT url, 'og:site_name', source FROM pages
         UNION ALL SELECT url, 'og:locale', lang FROM pages
+    """,
+    "kg_url_parts": """
+        SELECT 'https://' || source || '.example.org/' || lang || '/doc/' || doc_id AS url,
+               source || '.example.org' AS host,
+               '/' || lang || '/doc/' || doc_id AS path,
+               'example.org' AS domain
+        FROM documents
     """,
     "q_suppliers_per_region": """
         SELECT r_name, count(*) AS n_suppliers,

@@ -65,6 +65,41 @@ def with_page_meta(df: DataFrame, html_col: str = "html", out: str = "page_meta"
     return df.withColumn(out, page_meta_col(F.col(html_col)))
 
 
+_VOID_TAGS = "area|base|br|col|embed|hr|img|input|link|meta|param|source|track|wbr"
+_TAG_EVENT_RE = "</?[a-zA-Z][^>]*>"
+
+
+def nesting_depth_col(html_col: Column) -> Column:
+    """Maximum HTML element nesting depth — the E17 'nesting metric'
+    (reference: loop/indentation depth counters over source).
+
+    One regexp pass extracts tag tokens; an aggregate over (+1 open /
+    -1 close / 0 void-or-self-closing) events tracks (depth, max_depth)
+    in a struct accumulator — a linear scan entirely inside codegen, no
+    UDF. Unbalanced markup degrades gracefully (depth floors at 0, the
+    same recover-don't-fail stance as the text extractor).
+    """
+    h = html_col.cast("string")
+    tags = F.regexp_extract_all(h, F.lit(_TAG_EVENT_RE), 0)
+    event = lambda t: (
+        F.when(t.startswith("</"), F.lit(-1))
+        .when(t.endswith("/>"), F.lit(0))
+        .when(
+            F.lower(F.regexp_extract(t, "^</?([a-zA-Z]+)", 1)).rlike(
+                f"^({_VOID_TAGS})$"
+            ),
+            F.lit(0),
+        )
+        .otherwise(F.lit(1))
+    )
+    acc0 = F.struct(F.lit(0).alias("d"), F.lit(0).alias("m"))
+    step = lambda acc, t: F.struct(
+        F.greatest(acc["d"] + event(t), F.lit(0)).alias("d"),
+        F.greatest(acc["m"], acc["d"] + event(t)).alias("m"),
+    )
+    return F.aggregate(tags, acc0, step)["m"]
+
+
 def page_meta_rows(pages: DataFrame, html_col: str = "html") -> DataFrame:
     """(url, meta_key, meta_value) — the relational form of the metadata
     map (exploded so the SQL oracle compares rows, not engine-specific map

@@ -55,3 +55,44 @@ def test_page_meta_plan_is_jvm_only(spark):
     df = spark.createDataFrame([("u1", HTML)], ["url", "html"])
     plan = with_page_meta(df)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan  # no Python in the extraction plan
+
+
+def test_nesting_depth(spark):
+    from codebased_spark.extract.metadata import nesting_depth_col
+
+    rows = [
+        ("flat", b"<p>a</p><p>b</p>", 1),
+        ("nested", b"<div><ul><li><b>x</b></li></ul></div>", 4),
+        ("voids", b"<div><br><img src='x'><hr/></div>", 1),
+        ("unbalanced", b"</div></div><p>x</p>", 1),
+        ("none", b"no tags at all", 0),
+        ("full", b"<html><head><title>t</title></head><body><p>x</p></body></html>", 3),
+    ]
+    df = spark.createDataFrame([(n, h) for n, h, _ in rows], ["name", "html"])
+    got = {r.name: r.depth for r in df.select("name", nesting_depth_col(F.col("html")).alias("depth")).collect()}
+    assert got == {n: d for n, _, d in rows}
+    plan = df.select(nesting_depth_col(F.col("html")))._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
+def test_url_parts_and_normalization(spark):
+    from codebased_spark.extract.urlops import with_url_parts
+
+    rows = [
+        ("https://News.Example.com:443/Path/X#frag",
+         "News.Example.com", "/Path/X", "Example.com", "https://news.example.com/Path/X"),
+        ("http://a.b.co:80", "a.b.co", "", "b.co", "http://a.b.co/"),
+    ]
+    df = spark.createDataFrame(
+        [(u,) for u, *_ in rows] + [("https://bad url/x y",)], ["url"]
+    )
+    got = {r.url: (r.host, r.path, r.domain, r.url_norm) for r in with_url_parts(df).collect()}
+    for u, host, path, domain, norm in rows:
+        gh, gp, gd, gn = got[u]
+        assert gh == host, (u, gh)
+        assert (gp or "") == path, (u, gp)
+        assert gd == domain, (u, gd)
+        assert gn == norm, (u, gn)
+    # malformed url: NULL parts, no job failure (try_parse_url)
+    bh, bp, _, _ = got["https://bad url/x y"]
+    assert bh is None and bp is None
