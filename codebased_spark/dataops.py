@@ -334,6 +334,19 @@ def g_cycle_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the deterministic doc graph, 5 power iterations —
+    oracle-checked against the SAME five iterations unrolled as SQL CTEs
+    (fixed-k keeps the iterative operator value-checkable, not rows-only)."""
+    from codebased_spark.graph.pagerank import pagerank
+
+    docs = _docs(spark, sf_dir)
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    return pagerank(
+        nodes, _doc_edges(spark, sf_dir), n_iter=5, out_decimals=6
+    ).withColumnRenamed("node", "doc_id")
+
+
 def g_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weak components of the doc graph via iterative min-label CC.
 
@@ -370,6 +383,7 @@ QUERIES = {
     "g_khop_reach": g_khop_reach,
     "g_cycle_members": g_cycle_members,
     "g_components": g_components,
+    "g_pagerank": g_pagerank,
 }
 
 # ---------------------------------------------------------------------------
@@ -495,6 +509,37 @@ _EDGES_SQL = """
           FROM documents, cnt
         )
 """
+
+def _pagerank_sql(n_iter: int = 5, damping: float = 0.85) -> str:
+    """The SAME fixed power iterations as graph/pagerank.py, unrolled as
+    chained CTEs (teleport = (1-d)/N, inflow = d * sum(pr/outdeg), nodes
+    without in-edges keep the teleport term via the LEFT JOIN)."""
+    teleport = 1.0 - damping
+    iters = []
+    for i in range(1, n_iter + 1):
+        iters.append(f"""
+        p{i} AS (
+          SELECT d{i}.doc_id AS v,
+                 {teleport!r}/(SELECT c FROM nn) + {damping!r} * coalesce(s{i}.x, 0.0) AS pr
+          FROM documents d{i} LEFT JOIN (
+            SELECT e.dst AS v, sum(p{i-1}.pr / deg.d) AS x
+            FROM edges e
+            JOIN p{i-1} ON e.src = p{i-1}.v
+            JOIN deg ON deg.src = e.src
+            GROUP BY e.dst
+          ) s{i} ON d{i}.doc_id = s{i}.v
+        )""")
+    return f"""
+        WITH {_EDGES_SQL},
+        deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+        nn AS (SELECT count(*) AS c FROM documents),
+        p0 AS (SELECT doc_id AS v, 1.0/(SELECT c FROM nn) AS pr FROM documents),
+        {",".join(iters)}
+        SELECT v AS doc_id,
+               floor(pr * 1000000 + 0.5) / 1000000 AS pr
+        FROM p{n_iter}
+    """
+
 
 ORACLES = {
     "dd_exact": """
@@ -747,6 +792,7 @@ ORACLES = {
         )
         SELECT DISTINCT origin AS doc_id FROM r WHERE node = origin
     """,
+    "g_pagerank": _pagerank_sql(n_iter=5, damping=0.85),
     # g_components intentionally absent: iterative CC fixpoint is not
     # SQL-expressible; the driver records a rows-only check.
 }

@@ -1,0 +1,68 @@
+"""PageRank over the page/entity graph — fixed-iteration power method.
+
+The canonical web-graph centrality (Brin & Page '98) as DataFrame ops:
+per iteration ONE join (ranks onto out-edges, contribution = pr/outdeg)
+and ONE groupBy-sum per destination, then the damping blend; nodes without
+in-edges keep the teleport mass via a left join from the node set. Each
+iteration is a single shuffle keyed by dst — at web scale the join is the
+textbook skew case (hub pages), which AQE skew-split plus the salting
+tools in link/skew.py handle.
+
+A FIXED iteration count (default 5) keeps the operator SQL-expressible:
+the DuckDB oracle unrolls the same five iterations as chained CTEs with
+the identical formula, so the driver gate checks real values, not just
+shapes. Convergence-to-tolerance is a trivial driver loop over the same
+step (same shape as link/cc.py); fixed-k is what a production scheduled
+job runs anyway.
+
+Assumes every node has outdegree >= 1 (true for the doc graph fixture);
+with dangling nodes, add the standard redistributed dangling-mass term —
+one extra scalar aggregate per iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from codebased_spark.util import round_stable
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iter: int = 5,
+    damping: float = 0.85,
+    node_col: str = "node",
+    src: str = "src",
+    dst: str = "dst",
+    out_decimals: int = 7,
+) -> DataFrame:
+    """(node, pr) after `n_iter` power iterations from the uniform vector."""
+    n = nodes.count()
+    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("_deg"))
+    e = edges.join(deg, src)
+    ranks = nodes.select(
+        F.col(node_col).alias("v"), (F.lit(1.0) / n).alias("pr")
+    )
+    teleport = (1.0 - damping) / n
+    for _ in range(n_iter):
+        contrib = (
+            e.join(ranks, e[src] == ranks.v)
+            .groupBy(F.col(dst).alias("v2"))
+            .agg(F.sum(F.col("pr") / F.col("_deg")).alias("inflow"))
+        )
+        ranks = (
+            nodes.select(F.col(node_col).alias("v"))
+            .join(contrib, F.col("v") == F.col("v2"), "left")
+            .select(
+                "v",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    return ranks.select(
+        F.col("v").alias(node_col), round_stable(F.col("pr"), out_decimals).alias("pr")
+    )

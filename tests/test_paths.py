@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from codebased_spark.graph.paths import cycle_members, k_hop_reach
 
 #       1 -> 2 -> 3 -> 1   (3-cycle)
@@ -34,3 +36,31 @@ def test_cycle_members(spark):
     assert got == {1, 2, 3, 6}
     short = {r.node for r in cycle_members(_edges(spark), max_len=1).collect()}
     assert short == {6}
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """Spark PageRank == dense numpy power iteration on a small graph."""
+    import numpy as np
+    import pandas as pd
+
+    from codebased_spark.graph.pagerank import pagerank
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (4, 0), (4, 3)]
+    n = 5
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["node"])
+    e = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    got = {r.node: r.pr for r in pagerank(nodes, e, n_iter=8).collect()}
+
+    deg = np.zeros(n)
+    for s, _ in edges:
+        deg[s] += 1
+    pr = np.full(n, 1.0 / n)
+    for _ in range(8):
+        new = np.full(n, 0.15 / n)
+        for s, d in edges:
+            new[d] += 0.85 * pr[s] / deg[s]
+        pr = new
+    for i in range(n):
+        assert got[i] == pytest.approx(pr[i], abs=1e-6)
+    # probability mass is conserved (no dangling nodes in this graph)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-5)
