@@ -180,6 +180,13 @@ def tx_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tx_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per doc (relational keyword extraction)."""
+    from codebased_spark.textops.tfidf import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
 def kg_doc_entity_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc sorted set of mentioned entity types (Q7 collect_set)."""
     from codebased_spark.graph.queries import DOC_GAZETTEER
@@ -371,6 +378,7 @@ QUERIES = {
     "tx_quality": tx_quality,
     "tx_winnow": tx_winnow,
     "tx_token_counts": tx_token_counts,
+    "tx_tfidf_top_terms": tx_tfidf_top_terms,
     "kg_doc_entity_types": kg_doc_entity_types,
     "kg_top_docs_per_type": kg_top_docs_per_type,
     "mm_media_meta": mm_media_meta,
@@ -682,6 +690,28 @@ ORACLES = {
         SELECT doc_id, len(toks) AS ws_tokens,
                len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_tokens
         FROM documents JOIN t USING (doc_id)
+    """,
+    "tx_tfidf_top_terms": """
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        ),
+        t2 AS (SELECT * FROM toks WHERE term <> ''),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM t2 GROUP BY doc_id, term),
+        nn AS (SELECT count(*) AS c FROM documents),
+        idf AS (
+          SELECT term, ln((1.0 + (SELECT c FROM nn)) / (1.0 + count(*))) + 1.0 AS idf
+          FROM tf GROUP BY term
+        ),
+        scored AS (
+          SELECT tf.doc_id, tf.term,
+                 floor((tf.tf * idf.idf) * 10000 + 0.5) / 10000 AS score
+          FROM tf JOIN idf USING (term)
+        )
+        SELECT doc_id, term, score AS tfidf, rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+          FROM scored
+        ) WHERE rank <= 3
     """,
     "kg_doc_entity_types": f"""
         WITH gaz(surface_form, canonical_id, entity_type) AS (VALUES {GAZ_SQL_VALUES}),

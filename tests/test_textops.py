@@ -93,3 +93,31 @@ def test_media_real_decode_is_stubbed(spark):
     docs = spark.createDataFrame([(0, "payload")], ["doc_id", "text"])
     with pytest.raises(Exception, match="NotImplementedError|real image decode"):
         media_metadata(media_from_documents(docs), real=True).collect()
+
+
+def test_tfidf_top_terms(spark):
+    import math
+
+    import pandas as pd
+
+    from codebased_spark.textops.tfidf import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [
+                    "apple apple banana common",
+                    "banana cherry common",
+                    "common common common",
+                ],
+            }
+        )
+    )
+    got = tfidf_top_terms(docs, k=2).toPandas()
+    top = {r.doc_id: r.term for r in got[got["rank"] == 1].itertuples()}
+    # rare repeated terms beat ubiquitous ones
+    assert top[0] == "apple" and top[1] == "cherry" and top[2] == "common"
+    row = got[(got.doc_id == 0) & (got.term == "apple")].iloc[0]
+    expected = 2 * (math.log(4 / 2) + 1.0)
+    assert abs(row.tfidf - round(expected, 4)) < 1e-9
