@@ -187,6 +187,26 @@ def tx_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(_docs(spark, sf_dir), k=3)
 
 
+def kg_pattern_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second typed extractor family (E14): email/date/money pattern
+    entities. The input text is derived from documents columns (same
+    planted-derivation trick as mm_real_decode) so the REAL regex
+    extractors run while the oracle states the expected typed mentions
+    declaratively."""
+    from codebased_spark.extract.patterns import extract_pattern_mentions
+
+    docs = _docs(spark, sf_dir)
+    txt = F.concat(
+        F.lit("contact doc"), F.col("doc_id").cast("string"),
+        F.lit("@"), F.col("source"), F.lit(".example.org on 2025-01-"),
+        F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+        F.lit(" for $"), (F.col("doc_id") % 900 + 100).cast("string"),
+        F.lit("."), F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+    )
+    planted = docs.select("doc_id", txt.alias("text"))
+    return extract_pattern_mentions(planted)
+
+
 def kg_doc_entity_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc sorted set of mentioned entity types (Q7 collect_set)."""
     from codebased_spark.graph.queries import DOC_GAZETTEER
@@ -385,6 +405,7 @@ QUERIES = {
     "mm_real_decode": mm_real_decode,
     "kg_page_meta": kg_page_meta,
     "kg_url_parts": kg_url_parts,
+    "kg_pattern_entities": kg_pattern_entities,
     "q_suppliers_per_region": q_suppliers_per_region,
     "q_hourly_events": q_hourly_events,
     "q_user_sessions": q_user_sessions,
@@ -759,6 +780,19 @@ ORACLES = {
         UNION ALL SELECT url, 'og:title', title FROM pages
         UNION ALL SELECT url, 'og:site_name', source FROM pages
         UNION ALL SELECT url, 'og:locale', lang FROM pages
+    """,
+    "kg_pattern_entities": """
+        SELECT doc_id, 'doc' || doc_id || '@' || source || '.example.org' AS surface,
+               'Email' AS entity_type
+        FROM documents
+        UNION ALL
+        SELECT doc_id, '2025-01-' || lpad((doc_id % 28 + 1)::VARCHAR, 2, '0'),
+               'Date'
+        FROM documents
+        UNION ALL
+        SELECT doc_id, '$' || (doc_id % 900 + 100) || '.' || lpad((doc_id % 100)::VARCHAR, 2, '0'),
+               'Money'
+        FROM documents
     """,
     "kg_url_parts": """
         SELECT 'https://' || source || '.example.org/' || lang || '/doc/' || doc_id AS url,

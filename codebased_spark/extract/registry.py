@@ -1,0 +1,91 @@
+"""Extractor registry + per-kind dispatch (S5 parser router).
+
+Reference analog: the parser registry maps a document's detected kind to
+its extractor family and skips unsupported kinds (file_types.py routing +
+per-language parser dispatch, SURVEY.md §2.1/S5). Here the registry maps
+a KIND name to a DataFrame-level extractor; `dispatch` partitions the
+corpus by a kind expression and unions each family's typed mention rows.
+Unknown kinds are skipped — the degenerate-parser behavior (E18), not an
+error.
+
+Each extractor: fn(df, id_col, text_col) -> (id, surface, entity_type).
+The dictionary family wraps the automaton scan; the pattern family is
+extract/patterns.py. New families register with `register`.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ExtractorFn = Callable[[DataFrame, str, str], DataFrame]
+
+_REGISTRY: dict[str, ExtractorFn] = {}
+
+
+def register(kind: str, fn: ExtractorFn) -> None:
+    _REGISTRY[kind] = fn
+
+
+def registered_kinds() -> tuple[str, ...]:
+    return tuple(sorted(_REGISTRY))
+
+
+def _patterns_extractor(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    from codebased_spark.extract.patterns import extract_pattern_mentions
+
+    return extract_pattern_mentions(df, id_col=id_col, text_col=text_col)
+
+
+def make_dictionary_extractor(surfaces: list[str], entity_types: dict[str, str]) -> ExtractorFn:
+    """Automaton-scan family bound to a gazetteer: surfaces -> exact
+    mentions, typed via the surface->type map (broadcast-sized)."""
+
+    def fn(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+        from codebased_spark.extract.mentions import with_mentions
+
+        scanned = with_mentions(df, surfaces, text_col)
+        m = scanned.select(
+            F.col(id_col), F.explode("extraction.mentions").alias("m")
+        ).where(F.col("m.exact"))
+        type_map = F.create_map(
+            *[F.lit(x) for kv in entity_types.items() for x in kv]
+        )
+        return m.select(
+            id_col,
+            F.col("m.surface").alias("surface"),
+            F.element_at(type_map, F.col("m.surface")).alias("entity_type"),
+        )
+
+    return fn
+
+
+register("patterns", _patterns_extractor)
+
+
+def dispatch(
+    df: DataFrame,
+    kind_col: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    extra: dict[str, ExtractorFn] | None = None,
+) -> DataFrame:
+    """Route each row to its kind's extractor family; union typed mentions.
+
+    Rows whose kind has no registered family are skipped (E18). Each
+    family sees only its partition — one filtered branch per REGISTERED
+    kind, so the number of scan branches is the (small) family count, not
+    the corpus kind cardinality.
+    """
+    families = {**_REGISTRY, **(extra or {})}
+    tagged = df.withColumn("_kind", kind_col)
+    outs = [
+        fn(tagged.where(F.col("_kind") == kind), id_col, text_col)
+        for kind, fn in sorted(families.items())
+    ]
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result
