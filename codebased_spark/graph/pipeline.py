@@ -305,6 +305,8 @@ def _materialize_graph(
     # the (link_score, surface) sort key makes ties among equal-score
     # aliases deterministic (an entity with several exact surfaces must
     # not flip names between runs)
+    # entity nodes carry per-entity metadata (E6 rich flags analog):
+    # alias-count and the best link confidence that produced the name
     entity_nodes = (
         canon.join(used_ids, "canonical_id", "left_semi")
         .groupBy(F.col("canonical_id").alias("id"))
@@ -312,14 +314,19 @@ def _materialize_graph(
             F.max_by(
                 F.struct(F.col("surface"), F.col("entity_type")),
                 F.struct(F.col("link_score"), F.col("surface")),
-            ).alias("best")
+            ).alias("best"),
+            F.countDistinct("surface").alias("_n_aliases"),
+            F.max("link_score").alias("_best_score"),
         )
         .select(
             "id",
             F.col("best.surface").alias("name"),
             F.col("best.entity_type").alias("type"),
             F.lit(None).cast("string").alias("source_url"),
-            F.lit(None).cast("map<string,string>").alias("meta"),
+            F.create_map(
+                F.lit("n_aliases"), F.col("_n_aliases").cast("string"),
+                F.lit("link_score"), F.col("_best_score").cast("string"),
+            ).alias("meta"),
         )
     )
     # LINKS_TO targets outside the corpus → external Page stubs (J7)

@@ -31,6 +31,8 @@ import time
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--pages", help="parquet dir/file with (url, warc_ts, html, text, lang)")
+    ap.add_argument("--warc", help="dir/glob of *.warc(.gz) crawl archives instead of --pages")
+    ap.add_argument("--warc-lang", default="en", help="lang tag for --warc pages")
     ap.add_argument("--gazetteer", help="parquet with (surface_form, canonical_id, entity_type, weight)")
     ap.add_argument("--synth-docs", type=int, help="generate N synthetic pages instead of --pages")
     ap.add_argument("--out", required=True, help="output dir (nodes/, edges/, manifest/)")
@@ -49,9 +51,16 @@ def main(argv: list[str] | None = None) -> None:
         from codebased_spark.synth.scale import synth_pages_spark
 
         pages, gaz = synth_pages_spark(spark, args.synth_docs)
+    elif args.warc:
+        if not args.gazetteer:
+            ap.error("--gazetteer required with --warc")
+        from codebased_spark.sources.warc import read_warc, warc_to_pages
+
+        pages = warc_to_pages(read_warc(spark, args.warc), lang=args.warc_lang)
+        gaz = spark.read.parquet(args.gazetteer)
     else:
         if not (args.pages and args.gazetteer):
-            ap.error("--pages and --gazetteer required unless --synth-docs")
+            ap.error("--pages and --gazetteer required unless --synth-docs/--warc")
         pages = spark.read.parquet(args.pages)
         gaz = spark.read.parquet(args.gazetteer)
 

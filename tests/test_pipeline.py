@@ -45,7 +45,15 @@ def test_nodes_schema_and_unique_ids(result):
     )
     assert pages_meta.where(F.col("loc").isNull()).count() == 0
     assert pages_meta.where(~F.col("title").rlike("^t[0-9]+$")).count() == 0
-    assert nodes.where("type != 'Page' AND meta IS NOT NULL").count() == 0
+    # entity nodes carry alias-count + link-confidence metadata (E6)
+    ents = nodes.where(
+        ~F.col("type").isin("Page", "ExternalPage", "External")
+    )
+    assert ents.where(F.element_at("meta", "n_aliases").isNull()).count() == 0
+    assert (
+        ents.where(F.element_at("meta", "n_aliases").cast("int") < 1).count()
+        == 0
+    )
 
 
 def test_no_dangling_edges(result):
