@@ -111,6 +111,7 @@ def ngram_jaccard_pairs_prefix(
     ).cast("int")
     prefix = ranked.select(
         "doc",
+        F.size("ordered").alias("sz"),
         F.explode(
             F.transform(
                 F.slice("ordered", F.lit(1), prefix_len), lambda s: s["sh"]
@@ -118,10 +119,18 @@ def ngram_jaccard_pairs_prefix(
         ).alias("sh"),
     )
 
+    # length filter (lossless): J(A,B) >= t implies t*|A| <= |B| <= |A|/t,
+    # pruned INSIDE the join condition so over/under-sized pairs never
+    # reach the distinct shuffle or the array verification
     cand = (
         prefix.alias("a")
-        .join(prefix.alias("b"), "sh")
-        .where(F.col("a.doc") < F.col("b.doc"))
+        .join(
+            prefix.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc") < F.col("b.doc"))
+            & (F.col("b.sz") >= F.ceil(F.lit(threshold) * F.col("a.sz")))
+            & (F.col("a.sz") >= F.ceil(F.lit(threshold) * F.col("b.sz"))),
+        )
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
