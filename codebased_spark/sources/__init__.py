@@ -1,3 +1,4 @@
-"""Source/sink helpers: bucketed tables for co-located joins."""
+"""Source/sink helpers: bucketed tables, WARC crawl archives."""
 
 from codebased_spark.sources.bucketed import write_bucketed  # noqa: F401
+from codebased_spark.sources.warc import read_warc, warc_to_pages, write_warc  # noqa: F401

@@ -7,6 +7,7 @@ extraction logic runs per micro-batch, and late data is bounded with
 watermarks.
 """
 
+from codebased_spark.streaming.dedup import stream_exact_dedup  # noqa: F401
 from codebased_spark.streaming.ingest import (  # noqa: F401
     stream_event_window_counts,
     stream_pages_to_graph,

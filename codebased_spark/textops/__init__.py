@@ -8,3 +8,4 @@
 from codebased_spark.textops.langid import lang_id  # noqa: F401
 from codebased_spark.textops.quality import doc_quality  # noqa: F401
 from codebased_spark.textops.fingerprint import winnow_fingerprints  # noqa: F401
+from codebased_spark.textops.tfidf import tfidf_top_terms  # noqa: F401
