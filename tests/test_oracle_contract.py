@@ -1,0 +1,49 @@
+"""Driver-contract guard: every queries() entry builds (analysis only) and
+its column names match its DuckDB oracle's — the exact property the
+grading driver's value-hash depends on (columns are sorted by NAME before
+hashing, so a rename on one side is an automatic mismatch). Value
+equality is the slower tools/check_oracle.py run; this test keeps the
+contract pinned inside the fast suite without executing any Spark job."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def entry_mod():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as m
+
+    return m
+
+
+def test_every_query_has_matching_oracle_columns(spark, entry_mod):
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    missing_oracle = []
+    for name, fn in qs.items():
+        df = fn(spark, SF_DIR)  # analysis only — no action executed
+        if name not in oracles:
+            missing_oracle.append(name)
+            continue
+        ocols = sorted(con.sql(oracles[name]).columns)
+        assert sorted(df.columns) == ocols, (
+            f"{name}: spark columns {sorted(df.columns)} != oracle {ocols}"
+        )
+    # the only rows-only checks are the documented iterative fixpoints
+    assert sorted(missing_oracle) == ["ann_ivf_kmeans", "g_components"]
