@@ -103,10 +103,16 @@ def ngram_jaccard_pairs_prefix(
         .groupBy("doc")
         .agg(F.array_sort(F.collect_list(F.struct("df", "sh"))).alias("ordered"))
     )
-    # prefix length p = sz - ceil(t*sz) + 1
+    # prefix length p = sz - ceil(t*sz) + 1. The epsilon keeps the bound
+    # lossless at exact-threshold boundaries: for thresholds whose double
+    # repr exceeds the decimal (e.g. 0.8 -> 0.8000000000000000444),
+    # t*sz at an integer boundary lands just above it and a bare ceil()
+    # rounds one too high — shortening the prefix below the lossless
+    # minimum and silently dropping pairs with Jaccard exactly t.
+    _EPS = 1e-9
     prefix_len = (
         F.size("ordered")
-        - F.ceil(F.lit(threshold) * F.size("ordered"))
+        - F.ceil(F.lit(threshold) * F.size("ordered") - F.lit(_EPS))
         + 1
     ).cast("int")
     prefix = ranked.select(
@@ -121,15 +127,16 @@ def ngram_jaccard_pairs_prefix(
 
     # length filter (lossless): J(A,B) >= t implies t*|A| <= |B| <= |A|/t,
     # pruned INSIDE the join condition so over/under-sized pairs never
-    # reach the distinct shuffle or the array verification
+    # reach the distinct shuffle or the array verification (same epsilon
+    # guard as prefix_len for exact-boundary sizes)
     cand = (
         prefix.alias("a")
         .join(
             prefix.alias("b"),
             (F.col("a.sh") == F.col("b.sh"))
             & (F.col("a.doc") < F.col("b.doc"))
-            & (F.col("b.sz") >= F.ceil(F.lit(threshold) * F.col("a.sz")))
-            & (F.col("a.sz") >= F.ceil(F.lit(threshold) * F.col("b.sz"))),
+            & (F.col("b.sz") >= F.ceil(F.lit(threshold) * F.col("a.sz") - F.lit(_EPS)))
+            & (F.col("a.sz") >= F.ceil(F.lit(threshold) * F.col("b.sz") - F.lit(_EPS))),
         )
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()

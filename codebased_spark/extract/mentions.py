@@ -104,16 +104,48 @@ def scan_mentions_series(text: pd.Series, surfaces: tuple[str, ...]) -> pd.DataF
     return pd.DataFrame({"mentions": m_col, "rels": r_col})
 
 
+# (applicationId, surfaces-hash) -> Broadcast. One gazetteer version is
+# broadcast ONCE per SparkContext: repeated pipeline invocations in one
+# session (steady-state benchmark loops, incremental batches) previously
+# created a fresh broadcast per call and never destroyed it, accumulating
+# blocks on the driver and executors. Small LRU keyed by content; evicted
+# entries are destroyed (their DataFrames have been executed by then in
+# the steady-state pattern this cache exists for).
+_SURF_BCAST_CACHE: dict[tuple[str, int], object] = {}
+_SURF_BCAST_MAX = 4
+
+
+def _surfaces_broadcast(sc, surfaces: tuple[str, ...]):
+    key = (sc.applicationId, hash(surfaces))
+    b = _SURF_BCAST_CACHE.get(key)
+    if b is not None:
+        return b
+    # drop cache entries from dead contexts outright
+    for k in [k for k in _SURF_BCAST_CACHE if k[0] != sc.applicationId]:
+        _SURF_BCAST_CACHE.pop(k, None)
+    while len(_SURF_BCAST_CACHE) >= _SURF_BCAST_MAX:
+        _, old = _SURF_BCAST_CACHE.popitem()
+        try:
+            old.destroy()
+        except Exception:
+            pass
+    b = sc.broadcast(surfaces)
+    _SURF_BCAST_CACHE[key] = b
+    return b
+
+
 def with_mentions(df: DataFrame, surfaces: list[str], text_col: str = "text") -> DataFrame:
     """Add an `extraction` struct column (mentions + rels) via Arrow UDF.
 
     `surfaces` ships as an ``sc.broadcast`` variable — one copy per executor
     regardless of task count, and the right shape for 10^5+-surface
     gazetteers (a closure copy per task was fine at 11 surfaces, not at 1M).
-    The compiled automaton is rebuilt at most once per executor per
-    gazetteer version via the module cache.
+    The broadcast is cached per (SparkContext, gazetteer-version) so
+    repeated pipeline calls reuse one block instead of leaking one per
+    call; the compiled automaton is likewise rebuilt at most once per
+    executor per gazetteer version via the module cache.
     """
-    surf_b = df.sparkSession.sparkContext.broadcast(tuple(surfaces))
+    surf_b = _surfaces_broadcast(df.sparkSession.sparkContext, tuple(surfaces))
 
     @pandas_udf(MENTION_SCHEMA)
     def _scan(batch: pd.Series) -> pd.DataFrame:

@@ -52,3 +52,33 @@ def extract_pattern_mentions(
         F.col(id_col),
         F.explode(pattern_mentions_col(F.col(text_col), names)).alias("m"),
     ).select(id_col, F.col("m.surface").alias("surface"), F.col("m.entity_type").alias("entity_type"))
+
+
+def redact_patterns(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    names: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """PII redaction over the typed pattern families: every match of each
+    registered pattern is replaced with its `[TYPE]` token, with per-kind
+    match counts for audit — the training-data scrub step that pairs with
+    extraction (the same regexes decide both what is *extracted* as an
+    entity and what must be *removed* before text ships to a model).
+
+    Output: (id, redacted, n_<name> per pattern). Counts are taken on the
+    ORIGINAL text per kind (order-independent); replacements run in
+    registration order, all as JVM `regexp_replace` passes — zero Python.
+    """
+    use = names or tuple(PATTERNS)
+    out = F.col(text_col)
+    counts = [
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(PATTERNS[name][0]), 0)
+        ).alias(f"n_{name}")
+        for name in use
+    ]
+    for name in use:
+        regex, etype = PATTERNS[name]
+        out = F.regexp_replace(out, regex, f"[{etype.upper()}]")
+    return df.select(F.col(id_col), out.alias("redacted"), *counts)

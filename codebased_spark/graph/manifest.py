@@ -286,18 +286,28 @@ def incremental_update(
     # current corpus — their pages were all deleted upstream, so their
     # partitions must be removed or removed rows survive forever
     # (reference incremental.py:276-321 deletes a removed file's subgraph).
-    # A NULL-hash tombstone row marks them: read-side sees no data (the
-    # partitions are gone) and a reappearing bucket's non-NULL current
+    # A NULL-hash tombstone row marks them: read-side treats a latest-row
+    # tombstone as uncommitted, and a reappearing bucket's non-NULL current
     # hash never equals NULL, so it is reprocessed like a new bucket.
-    vanished = sorted(
-        r.bucket
-        for r in latest.where(F.col("content_hash").isNotNull())
-        .join(current, "bucket", "left_anti")
-        .select("bucket")
+    #
+    # Crash ordering: the tombstone is appended BEFORE the partition
+    # delete. A crash between the two leaves the tombstone as the latest
+    # manifest row, so (a) read_graph already excludes the stale
+    # partitions, and (b) the next run repairs by re-deleting any
+    # partition dirs of still-vanished tombstoned buckets (fs delete is
+    # idempotent). The old delete-first order could crash into a state
+    # where the manifest's latest hash was still the old content hash
+    # with the data gone — a reappearing identical bucket would then be
+    # skipped forever. In the Iceberg framing, delete + tombstone is one
+    # atomic snapshot; tombstone-first is the closest parquet analog.
+    absent = (
+        latest.join(current, "bucket", "left_anti")
+        .select("bucket", "content_hash")
         .collect()
     )
+    vanished = sorted(r.bucket for r in absent if r.content_hash is not None)
+    stale_tombstoned = sorted(r.bucket for r in absent if r.content_hash is None)
     if vanished:
-        _delete_bucket_partitions(spark, out_dir, vanished)
         tombstones = spark.createDataFrame(
             [
                 (b, 0, 0, 0, 0, None, run_id, time.time())
@@ -306,6 +316,8 @@ def incremental_update(
             MANIFEST_SCHEMA,
         )
         tombstones.write.mode("append").parquet(f"{out_dir}/manifest")
+    if vanished or stale_tombstoned:
+        _delete_bucket_partitions(spark, out_dir, vanished + stale_tombstoned)
     done = _process_buckets(
         spark, pages_b, gazetteer, out_dir, todo, run_id, batch_size, None
     )
@@ -370,7 +382,16 @@ def read_graph(spark: SparkSession, out_dir: str) -> tuple[DataFrame, DataFrame]
     """
     from pyspark.sql import Window
 
-    committed = committed_buckets(spark, out_dir).select("bucket").distinct()
+    # a bucket is committed iff its LATEST manifest row is a real commit;
+    # a latest-row NULL-hash tombstone excludes it even if a crash left
+    # its partition dirs behind (incremental_update repairs those later)
+    committed = (
+        committed_buckets(spark, out_dir)
+        .groupBy("bucket")
+        .agg(F.max_by("content_hash", "committed_at").alias("_h"))
+        .where(F.col("_h").isNotNull())
+        .select("bucket")
+    )
     w = Window.partitionBy("id").orderBy(
         F.when(F.col("type") == "ExternalPage", 1).otherwise(0), F.col("type")
     )

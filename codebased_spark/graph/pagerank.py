@@ -15,9 +15,14 @@ shapes. Convergence-to-tolerance is a trivial driver loop over the same
 step (same shape as link/cc.py); fixed-k is what a production scheduled
 job runs anyway.
 
-Assumes every node has outdegree >= 1 (true for the doc graph fixture);
-with dangling nodes, add the standard redistributed dangling-mass term —
-one extra scalar aggregate per iteration.
+Dangling nodes (outdegree 0 — every real web graph has them on leaf
+pages) are handled with the standard redistributed-mass term: per
+iteration their aggregate rank is spread uniformly, pr' = (1-d)/N +
+d*(inflow + dm/N). The dangling set is probed ONCE before the loop; a
+graph with no sinks (the base doc-graph fixture) takes the zero-extra-job
+lazy path unchanged, while sink graphs pay one tiny scalar aggregate per
+iteration (the dangling rank sum — vocabulary-sized input, never the
+corpus). The oracle CTEs extend with the identical dm_i term.
 """
 
 from __future__ import annotations
@@ -42,25 +47,45 @@ def pagerank(
     n = nodes.count()
     deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("_deg"))
     e = edges.join(deg, src)
+    # dangling set probed once; empty on sink-free graphs -> lazy fast path
+    dangling = nodes.select(F.col(node_col).alias("v")).join(
+        deg.select(F.col(src).alias("v")), "v", "left_anti"
+    )
+    has_dangling = not dangling.isEmpty()
     ranks = nodes.select(
         F.col(node_col).alias("v"), (F.lit(1.0) / n).alias("pr")
     )
     teleport = (1.0 - damping) / n
     for _ in range(n_iter):
+        if has_dangling:
+            # scalar dangling mass for THIS iteration: one tiny aggregate
+            # over the (vocabulary-sized) rank vector, redistributed
+            # uniformly. Collected to the driver so the iteration plan
+            # keeps exactly one reference to the previous ranks (a lazy
+            # cross-joined aggregate would duplicate the whole lineage
+            # subtree 2^n_iter times).
+            dm = (
+                ranks.join(dangling, "v", "left_semi")
+                .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("m"))
+                .collect()[0].m
+            )
+            dm_over_n = dm / n
+        else:
+            dm_over_n = 0.0
         contrib = (
             e.join(ranks, e[src] == ranks.v)
             .groupBy(F.col(dst).alias("v2"))
             .agg(F.sum(F.col("pr") / F.col("_deg")).alias("inflow"))
         )
+        inflow_term = F.coalesce("inflow", F.lit(0.0))
+        if has_dangling:
+            inflow_term = inflow_term + F.lit(dm_over_n)
         ranks = (
             nodes.select(F.col(node_col).alias("v"))
             .join(contrib, F.col("v") == F.col("v2"), "left")
             .select(
                 "v",
-                (
-                    F.lit(teleport)
-                    + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
-                ).alias("pr"),
+                (F.lit(teleport) + F.lit(damping) * inflow_term).alias("pr"),
             )
         )
     return ranks.select(

@@ -23,8 +23,18 @@ from codebased_spark.graph.manifest import read_graph
 
 DEFAULT_LIMIT = 100
 
-_HAS_LIMIT = re.compile(r"\blimit\s+\d+\s*;?\s*$", re.I)
+_HAS_LIMIT = re.compile(r"\blimit\s+\d+(\s+offset\s+\d+)?\s*;?\s*$", re.I)
 _IS_SELECT = re.compile(r"^\s*(select|with)\b", re.I)
+# trailing -- line comments (appending LIMIT after one would comment it out)
+_TRAILING_COMMENT = re.compile(r"(\s*--[^\n]*)+\s*$")
+# top-level DML/DDL forms Spark SQL would happily parse after a WITH list —
+# the F5 read-only guard is the stated contract, so reject them explicitly
+_DML = re.compile(
+    r"\b(insert\s+into|insert\s+overwrite|delete\s+from|update\s+\w+\s+set"
+    r"|merge\s+into|drop\s+(table|view|database)|create\s+(or\s+replace\s+)?"
+    r"(table|view|temporary)|truncate\s+table|alter\s+table)\b",
+    re.I,
+)
 
 
 def register_views(
@@ -52,9 +62,11 @@ def sql(spark: SparkSession, query: str, limit: int | None = DEFAULT_LIMIT) -> D
     full result (aggregates, exports). Non-SELECT statements are rejected
     (F5 read-only guard; structural here, but explicit beats implicit).
     """
-    q = query.strip().rstrip(";")
+    q = _TRAILING_COMMENT.sub("", query.strip()).rstrip().rstrip(";")
     if not _IS_SELECT.match(q):
         raise ValueError("only SELECT/WITH queries are allowed on the graph views")
+    if _DML.search(q):
+        raise ValueError("DML/DDL is not allowed on the graph views (read-only)")
     if limit is not None and not _HAS_LIMIT.search(q):
         q = f"{q} LIMIT {limit}"
     return spark.sql(q)

@@ -57,19 +57,43 @@ def kmeans_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 11,
+    portable: bool = False,
+    round_decimals: int = 6,
 ) -> list[list[float]]:
     """Fit k centroids; returns them as plain lists (the tiny model).
 
     The input is persisted for the duration of the fit — every Lloyd's
     round scans it once, and without the cache each round re-reads (and
     re-decodes) the source parquet.
+
+    ``portable=True`` makes the WHOLE trajectory reproducible by an ANSI
+    SQL engine on the same table, which is what upgrades the driver row
+    from rows-only to value-checked: (1) init picks the k vectors with
+    the smallest (md5(id || ':' || seed), id) — md5 exists verbatim on
+    both engines, unlike xxhash64; (2) every centroid update is rounded
+    to `round_decimals` via the portable floor(x*10^d + 0.5) rule, so
+    cross-engine avg() summation-order noise (~1e-15) cannot leak into
+    the next assignment; (3) the run is exactly `max_iter` rounds — no
+    movement-based early exit (the fixed-iteration discipline g_pagerank
+    already uses to stay SQL-expressible). Assignment argmin operates on
+    identical (rounded-centroid, raw-vector) inputs on both engines, so
+    ties and flips cannot diverge outside measure-zero distance ties.
     """
     from pyspark import StorageLevel
 
+    from codebased_spark.util import round_stable
+
     emb = emb.persist(StorageLevel.MEMORY_AND_DISK)
+    if portable:
+        init_order = [
+            F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed)))),
+            F.col(id_col),
+        ]
+    else:
+        init_order = [F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col)]
     init_rows = (
         emb.select(id_col, _as_double(vec_col).alias("v"))
-        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
+        .orderBy(*init_order)
         .limit(k)
         .collect()
     )
@@ -79,9 +103,12 @@ def kmeans_fit(
         flat = assigned.select(
             "cluster", F.posexplode(_as_double(vec_col)).alias("i", "val")
         )
+        mean_col = F.avg("val")
+        if portable:
+            mean_col = round_stable(mean_col, round_decimals)
         means = (
             flat.groupBy("cluster", "i")
-            .agg(F.avg("val").alias("m"))
+            .agg(mean_col.alias("m"))
             .groupBy("cluster")
             .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("sv"))
             .select("cluster", F.transform("sv", lambda s: s["m"]).alias("c"))
@@ -95,7 +122,7 @@ def kmeans_fit(
             for old, new in zip(centroids, new_centroids)
         )
         centroids = new_centroids
-        if movement < tol:
+        if not portable and movement < tol:
             break
     emb.unpersist()
     return centroids
@@ -110,18 +137,24 @@ def ann_ivf_kmeans_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 11,
+    portable: bool = False,
+    max_iter: int = 10,
 ) -> DataFrame:
     """IVF ANN with a learned k-means coarse quantizer.
 
     Index build (kmeans_fit + assignment) would be materialized once and
     reused in production; probing searches the n_probe nearest cells
-    exactly. Iterative fit => not SQL-expressible (rows-only driver check).
+    exactly. With ``portable=True`` the fit is the fixed-iteration
+    SQL-reproducible variant (see kmeans_fit), which is how the driver
+    row became value-checked in r3 — the oracle unrolls the identical
+    Lloyd's rounds as chained CTEs.
     """
     from codebased_spark.dedup.embedding import cosine_col
     from codebased_spark.similarity.ann import _query_vec
 
     centroids = kmeans_fit(
-        emb, k=n_cells, id_col=id_col, vec_col=vec_col, seed=seed
+        emb, k=n_cells, id_col=id_col, vec_col=vec_col, seed=seed,
+        portable=portable, max_iter=max_iter,
     )
     qv = _query_vec(emb, query_id, id_col, vec_col)
     dists = [

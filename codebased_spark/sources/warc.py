@@ -40,12 +40,20 @@ PAGES_SCHEMA = "url string, warc_ts timestamp, http_status int, html binary"
 
 
 def _gunzip_members(data: bytes) -> bytes:
-    """Decompress concatenated gzip members (per-record gzip WARC)."""
+    """Decompress concatenated gzip members (per-record gzip WARC).
+
+    A truncated or corrupt member degrades to "keep what decompressed so
+    far" instead of raising — real crawl archives always contain damage,
+    and one bad tail must not fail the task (the module contract is
+    malformed records are DROPPED, not fatal)."""
     out = []
     pos = 0
     while pos < len(data):
         d = zlib.decompressobj(wbits=31)
-        out.append(d.decompress(data[pos:]))
+        try:
+            out.append(d.decompress(data[pos:]))
+        except zlib.error:
+            break
         consumed = len(data) - pos - len(d.unused_data)
         if consumed <= 0:
             break

@@ -61,6 +61,29 @@ def test_ngram_variants_equal_bruteforce(dup_docs):
     assert {(0, 100), (1, 101), (2, 102)} <= got
 
 
+def test_ngram_prefix_lossless_at_exact_threshold_boundary(spark):
+    """ADVICE r2: double(0.8) > 0.8, so ceil(t*sz) at an exact integer
+    boundary rounded one too high — shortening the prefix below the
+    lossless minimum and dropping pairs with Jaccard EXACTLY t. The
+    killing case is the LENGTH filter: |A|=10 shingles, B = prefix of A
+    with |B|=8, inter=8 -> J = 8/10 = 0.8 = t, but the unguarded bound
+    requires |B| >= ceil(8.0000000000000004) = 9 and prunes the pair."""
+    toks = [f"w{i}" for i in range(12)]
+    rows = [
+        (0, " ".join(toks)),          # 12 tokens -> 10 shingles
+        (1, " ".join(toks[:10])),     # 10 tokens -> 8 shingles, all shared
+    ]
+    # pad with unrelated docs so the df-ordering stage is non-trivial
+    rows += [(10 + i, f"x{i} y{i} z{i} q{i} r{i} s{i}") for i in range(5)]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    for t in (0.8, 0.6, 0.5):
+        pref = ngram_jaccard_pairs_prefix(docs, n=3, threshold=t).toPandas()
+        slow = ngram_jaccard_bruteforce(docs, n=3, threshold=t).toPandas()
+        key = lambda df: sorted(map(tuple, df.values.tolist()))
+        assert key(pref) == key(slow), f"threshold {t}"
+        assert (0, 1) in {(a, b) for a, b, _ in pref.values.tolist()}
+
+
 def test_minhash_lsh_finds_planted_pairs(dup_docs):
     got = minhash_near_dupes(dup_docs, n=3, threshold=0.8).toPandas()
     pairs = {(a, b) for a, b, _ in got.values.tolist()}
@@ -144,3 +167,44 @@ def test_embedding_lsh_recall_on_planted_twins(spark):
     key = lambda d: sorted(map(tuple, d.values.tolist()))
     assert len(exact) >= 25  # the plant actually created true pairs
     assert key(lsh) == key(exact)
+
+
+def test_dedup_clusters_keep_one(spark):
+    """pairs + CC -> (doc_id, cluster_id, is_survivor): transitive pairs
+    merge into one cluster labeled by its min id; singletons survive."""
+    import pandas as pd
+
+    from codebased_spark.dedup.clusters import dedup_clusters, surviving_docs
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 4, 5, 9], "text": ["x"] * 6})
+    )
+    # 1-2, 2-3 chain; 4-5 pair; 9 singleton
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"doc_a": [1, 2, 4], "doc_b": [2, 3, 5]})
+    )
+    got = {
+        r.doc_id: (r.cluster_id, r.is_survivor)
+        for r in dedup_clusters(docs, pairs).collect()
+    }
+    assert got == {
+        1: (1, True), 2: (1, False), 3: (1, False),
+        4: (4, True), 5: (4, False), 9: (9, True),
+    }
+    kept = sorted(r.doc_id for r in surviving_docs(docs, pairs).collect())
+    assert kept == [1, 4, 9]
+
+
+def test_dedup_clusters_end_to_end_minhash(dup_docs):
+    """Composed with the minhash pair emitter on the planted-dupe corpus:
+    exact dupes collapse, everything else survives."""
+    from codebased_spark.dedup.clusters import dedup_clusters
+
+    pairs = minhash_near_dupes(dup_docs, n=3, threshold=0.8)
+    got = dedup_clusters(dup_docs, pairs).toPandas()
+    by_id = {r.doc_id: r for r in got.itertuples()}
+    assert by_id[101].cluster_id == 1 and not by_id[101].is_survivor
+    assert by_id[102].cluster_id == 2 and not by_id[102].is_survivor
+    assert by_id[1].is_survivor and by_id[2].is_survivor
+    # every doc appears exactly once
+    assert len(got) == dup_docs.count()

@@ -152,3 +152,61 @@ def test_incremental_update_deletes_vanished_buckets(
     back = nodes3.where(F.col("id").isin(list(stale_ids)))
     assert back.count() == len(stale_ids)
     assert back.where(F.col("type") == "Page").count() == len(stale_ids)
+
+
+def test_tombstone_crash_window_is_safe(spark, pages_gaz, tmp_path_factory):
+    """ADVICE r2 (medium): simulate a crash between the tombstone append and
+    the partition delete. The latest-row tombstone must already hide the
+    bucket from read_graph, and the next incremental run must repair by
+    deleting the orphaned partition dirs."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from codebased_spark.graph.manifest import (
+        MANIFEST_SCHEMA,
+        with_bucket,
+    )
+
+    pages, gaz = pages_gaz
+    out = str(tmp_path_factory.mktemp("crash"))
+    run_partitioned(spark, pages, gaz, out, n_buckets=N_BUCKETS, batch_size=N_BUCKETS)
+
+    victim = 1
+    pages_b = with_bucket(pages, N_BUCKETS)
+    victim_urls = {
+        r.url for r in pages_b.where(F.col("bucket") == victim).select("url").collect()
+    }
+    assert victim_urls
+
+    # crash state: tombstone row written, partition dirs NOT deleted
+    spark.createDataFrame(
+        [(victim, 0, 0, 0, 0, None, "crashed-run", _time.time())], MANIFEST_SCHEMA
+    ).write.mode("append").parquet(f"{out}/manifest")
+    assert os.path.isdir(f"{out}/nodes/bucket={victim}")
+
+    # read side: the tombstoned bucket's stale Page rows are invisible
+    nodes, _ = read_graph(spark, out)
+    stale_ids = [f"page:{u}" for u in victim_urls]
+    assert (
+        nodes.where(F.col("id").isin(stale_ids) & (F.col("type") == "Page")).count()
+        == 0
+    )
+
+    # repair: next run (bucket still vanished) deletes the orphaned dirs
+    # without writing a second tombstone
+    remaining = pages_b.where(F.col("bucket") != victim).drop("bucket")
+    rep = incremental_update(spark, remaining, gaz, out, n_buckets=N_BUCKETS)
+    assert rep.buckets_processed == [] and rep.buckets_deleted == []
+    assert not os.path.isdir(f"{out}/nodes/bucket={victim}")
+    assert not os.path.isdir(f"{out}/edges/bucket={victim}")
+
+    # reappearing bucket: NULL tombstone hash != real hash -> reprocessed
+    rep2 = incremental_update(spark, pages, gaz, out, n_buckets=N_BUCKETS)
+    assert rep2.buckets_processed == [victim]
+    nodes2, _ = read_graph(spark, out)
+    assert (
+        nodes2.where(F.col("id").isin(stale_ids) & (F.col("type") == "Page")).count()
+        == len(stale_ids)
+    )

@@ -133,3 +133,17 @@ def test_automaton_scales_to_large_gazetteer():
     ]
     mentions, _ = scan_doc(text, pat)
     assert [m[0] for m in mentions if m[3]] == got
+
+
+def test_surfaces_broadcast_cached_per_gazetteer_version(spark):
+    """ADVICE r2: repeated pipeline calls must reuse ONE broadcast per
+    gazetteer version instead of leaking a new block per call."""
+    from codebased_spark.extract.mentions import _surfaces_broadcast
+
+    sc = spark.sparkContext
+    b1 = _surfaces_broadcast(sc, ("Acme", "Globex"))
+    b2 = _surfaces_broadcast(sc, ("Acme", "Globex"))
+    assert b1 is b2
+    b3 = _surfaces_broadcast(sc, ("Other",))
+    assert b3 is not b1
+    assert b3.value == ("Other",)

@@ -45,5 +45,8 @@ def test_every_query_has_matching_oracle_columns(spark, entry_mod):
         assert sorted(df.columns) == ocols, (
             f"{name}: spark columns {sorted(df.columns)} != oracle {ocols}"
         )
-    # the only rows-only checks are the documented iterative fixpoints
-    assert sorted(missing_oracle) == ["ann_ivf_kmeans", "g_components"]
+    # since r3 EVERY registered query is value-checked: the two former
+    # rows-only fixpoints gained oracles (g_components via the recursive
+    # min-reachable-id CTE; ann_ivf_kmeans via the portable fixed-
+    # iteration Lloyd's unroll)
+    assert missing_oracle == []

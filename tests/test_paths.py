@@ -64,3 +64,35 @@ def test_pagerank_matches_numpy_power_iteration(spark):
         assert got[i] == pytest.approx(pr[i], abs=1e-6)
     # probability mass is conserved (no dangling nodes in this graph)
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_pagerank_dangling_mass_redistributed(spark):
+    """Graph with sink nodes: the redistributed dangling-mass term keeps
+    total probability mass at 1.0 and matches numpy exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from codebased_spark.graph.pagerank import pagerank
+
+    # nodes 3 and 4 have no out-edges (sinks)
+    edges = [(0, 1), (0, 3), (1, 2), (1, 4), (2, 0), (2, 3)]
+    n = 5
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["node"])
+    e = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    got = {r.node: r.pr for r in pagerank(nodes, e, n_iter=8).collect()}
+
+    deg = np.zeros(n)
+    for s, _ in edges:
+        deg[s] += 1
+    dangling = [i for i in range(n) if deg[i] == 0]
+    pr = np.full(n, 1.0 / n)
+    for _ in range(8):
+        dm = sum(pr[i] for i in dangling)
+        new = np.full(n, 0.15 / n) + 0.85 * dm / n
+        for s, d in edges:
+            new[d] += 0.85 * pr[s] / deg[s]
+        pr = new
+    for i in range(n):
+        assert got[i] == pytest.approx(pr[i], abs=1e-6)
+    # with the dangling term the chain remains stochastic: mass == 1
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-5)

@@ -121,3 +121,38 @@ def test_tfidf_top_terms(spark):
     row = got[(got.doc_id == 0) & (got.term == "apple")].iloc[0]
     expected = 2 * (math.log(4 / 2) + 1.0)
     assert abs(row.tfidf - round(expected, 4)) < 1e-9
+
+
+def test_decontaminate_flags_benchmark_overlap(spark):
+    """A doc sharing a long substring with a benchmark doc is flagged;
+    unrelated docs are clean (winnowing guarantees detection of shared
+    substrings >= w+k-1 tokens)."""
+    from codebased_spark.textops.decontaminate import decontaminate
+
+    bench_text = "the quick brown fox jumps over the lazy dog every single day"
+    rows = [
+        (0, bench_text),                                   # the benchmark item
+        (1, "prefix words " + bench_text + " suffix tail"),  # contaminated
+        (2, "completely different content about spark partitions and shuffles"),
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    bench = docs.where("doc_id = 0")
+    got = {r.doc_id: r for r in decontaminate(docs, bench, threshold=0.5).collect()}
+    assert got[0].contaminated == 1 and got[0].overlap == 1.0
+    assert got[1].contaminated == 1 and got[1].n_hit > 0
+    assert got[2].contaminated == 0 and got[2].n_hit == 0
+
+
+def test_redact_patterns(spark):
+    from codebased_spark.extract.patterns import redact_patterns
+
+    rows = [
+        (0, "mail a@b.com and c.d@e.org on 2024-12-31 for $5"),
+        (1, "no pii here at all"),
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = {r.doc_id: r for r in redact_patterns(docs).collect()}
+    assert got[0].redacted == "mail [EMAIL] and [EMAIL] on [DATE] for [MONEY]"
+    assert (got[0].n_email, got[0].n_iso_date, got[0].n_money) == (2, 1, 1)
+    assert got[1].redacted == "no pii here at all"
+    assert (got[1].n_email, got[1].n_iso_date, got[1].n_money) == (0, 0, 0)

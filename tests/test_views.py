@@ -45,6 +45,23 @@ def test_adhoc_sql_rejects_writes(spark, graph_views):
         sql(spark, "INSERT INTO nodes VALUES ('x')")
     # WITH-prefixed reads are fine
     assert sql(spark, "WITH c AS (SELECT count(*) n FROM edges) SELECT n FROM c").count() == 1
+    # ...but a CTE list fronting DML is still DML (ADVICE r2: Spark parses
+    # `WITH ... INSERT INTO ...`, so the structural guard alone is not the
+    # stated F5 contract)
+    with pytest.raises(ValueError, match="read-only"):
+        sql(spark, "WITH c AS (SELECT 1 AS x) INSERT INTO nodes SELECT * FROM c")
+
+
+def test_adhoc_sql_limit_offset_and_comments(spark, graph_views):
+    """ADVICE r2: `LIMIT n OFFSET m` endings and trailing line comments must
+    not get a second LIMIT appended (which would fail to parse)."""
+    df = sql(spark, "SELECT id FROM nodes ORDER BY id LIMIT 10 OFFSET 5")
+    assert df.count() == 10
+    df2 = sql(spark, "SELECT id FROM nodes LIMIT 3 -- top rows")
+    assert df2.count() == 3
+    df3 = sql(spark, "SELECT id FROM nodes ORDER BY id\n-- exploratory\n-- note")
+    plan = df3._jdf.queryExecution().toString()
+    assert "GlobalLimit 100" in plan or "Limit 100" in plan
 
 
 def test_pages_mentioning(spark, graph_views):

@@ -45,6 +45,23 @@ def test_warc_damage_tolerance(tmp_path):
     assert len(recs) == 1  # the valid record survives, damage skipped
 
 
+def test_warc_gz_truncated_member_drops_tail(tmp_path):
+    """ADVICE r2: a corrupt/truncated gzip member must degrade to 'records
+    decompressed so far', not raise zlib.error and fail the task."""
+    p = tmp_path / "t.warc.gz"
+    write_warc(str(p), RECORDS, gzip_records=True)
+    raw = p.read_bytes()
+    # locate the second member's gzip magic and truncate mid-member
+    second = raw.find(b"\x1f\x8b", 2)
+    assert second > 0
+    truncated = raw[: second + 10]
+    recs = list(iter_warc_records(truncated))
+    assert len(recs) == 1  # first member's record survives
+    corrupted = raw[:second] + b"\x1f\x8b" + b"\x00" * 30
+    recs2 = list(iter_warc_records(corrupted))
+    assert len(recs2) == 1
+
+
 def test_warc_to_kg_pipeline(spark, tmp_path):
     """Crawl archive straight into the KG pipeline."""
     import pandas as pd
