@@ -64,12 +64,17 @@ MENTION_SCHEMA = (
 )
 
 
-def scan_doc(text: str, automaton: re.Pattern) -> tuple[list, list]:
-    """One document: exact mentions, fuzzy candidates, gap-pattern relations."""
-    if not text:
-        return [], []
-    mentions = [(m.group(0), m.start(), m.end(), True) for m in automaton.finditer(text)]
-    # capitalized sequences that overlap no exact mention → fuzzy candidates
+def finish_scan(text: str, exact_mentions: list) -> tuple[list, list]:
+    """Shared scan tail: fuzzy candidates + gap-pattern relations.
+
+    Takes the exact mentions (surface, start, end, True), adds capitalized
+    sequences that overlap no exact mention as fuzzy candidates, and emits
+    gap-text relations between consecutive mentions. Both the automaton
+    path (scan_doc) and the join-based big-gazetteer fallback
+    (mentions_join.py) run THIS tail, so their semantics agree by
+    construction rather than by parallel implementations.
+    """
+    mentions = list(exact_mentions)
     taken = [(s, e) for _, s, e, _ in mentions]
     for m in _CAPSEQ.finditer(text):
         s, e = m.span()
@@ -82,6 +87,14 @@ def scan_doc(text: str, automaton: re.Pattern) -> tuple[list, list]:
         if pred is not None:
             rels.append((s1, pred, s2))
     return mentions, rels
+
+
+def scan_doc(text: str, automaton: re.Pattern) -> tuple[list, list]:
+    """One document: exact mentions, fuzzy candidates, gap-pattern relations."""
+    if not text:
+        return [], []
+    exact = [(m.group(0), m.start(), m.end(), True) for m in automaton.finditer(text)]
+    return finish_scan(text, exact)
 
 
 def scan_mentions_series(text: pd.Series, surfaces: tuple[str, ...]) -> pd.DataFrame:

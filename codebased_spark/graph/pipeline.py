@@ -52,6 +52,7 @@ def extract_triples(
     persist: bool = True,
     max_html_bytes: int | None = 10 * 1024 * 1024,
     external_blocklist: list[str] | None = None,
+    max_broadcast_surfaces: int = 2_000_000,
 ) -> GraphResult:
     """Run extraction + linking + canonicalization.
 
@@ -62,9 +63,21 @@ def extract_triples(
     (measured 2.5x end-to-end at 20k docs). At cluster scale the same
     role is played by the manifest runner materializing per-bucket output;
     MEMORY_AND_DISK spills rather than OOMs on big partitions.
+
+    `max_broadcast_surfaces` guards the one driver-memory-bound step: the
+    automaton path collects the alias vocabulary for the executor-side
+    broadcast (the right plan up to ~10^6-10^7 surfaces). Above the
+    guard, the pipeline switches to the distributed dictionary JOIN scan
+    (extract/mentions_join.py) — same mention/relation semantics on
+    tokenized text, dictionary never leaves the cluster — instead of
+    OOMing the driver silently. The probe is one fused limit+collect job.
     """
     alias_table = build_alias_table(gazetteer)
-    surfaces = [r.alias_key for r in alias_table.select("alias_key").collect()]
+    # ONE probe job sizes AND fetches the vocabulary (cc.py discipline:
+    # a count-then-collect pair would pay two fixed job overheads)
+    probe = alias_table.select("alias_key").limit(max_broadcast_surfaces + 1).collect()
+    use_join_scan = len(probe) > max_broadcast_surfaces
+    surfaces = [] if use_join_scan else [r.alias_key for r in probe]
 
     # size guard before any UDF work (reference base.py:146-149 max_file_size
     # skip): pathological documents are dropped map-side, never decoded
@@ -95,46 +108,54 @@ def extract_triples(
         )
     )
 
-    scanned = with_mentions(
-        pages.where(F.col("lang").isin(*MENTION_LANGS)), surfaces, "text"
-    ).select("url", "extraction")
+    mention_pages = pages.where(F.col("lang").isin(*MENTION_LANGS))
+    if use_join_scan:
+        # big-gazetteer fallback: distributed dictionary join, same flat
+        # row shape (mentions_join runs the same finish_scan tail)
+        from codebased_spark.extract.mentions_join import scan_mentions_join
 
-    # Flatten BOTH extraction arrays in one explode and persist the flat
-    # rows. Caching the nested array<struct> column instead is a trap: the
-    # columnar cache cannot codegen-decode nested arrays, so every
-    # downstream branch re-pays an object-materialization decode that
-    # dominates the whole pipeline (measured ~40s per pass at 1M docs vs
-    # ~4s for flat rows) and does not scale with cores.
-    null_s = F.lit(None).cast("string")
-    m_structs = F.transform(
-        "extraction.mentions",
-        lambda m: F.struct(
-            F.lit("m").alias("kind"),
-            m["surface"].alias("surface"),
-            m["mstart"].alias("mstart"),
-            m["mend"].alias("mend"),
-            m["exact"].alias("exact"),
-            null_s.alias("subj"),
-            null_s.alias("pred"),
-            null_s.alias("obj"),
-        ),
-    )
-    r_structs = F.transform(
-        "extraction.rels",
-        lambda r: F.struct(
-            F.lit("r").alias("kind"),
-            null_s.alias("surface"),
-            F.lit(None).cast("int").alias("mstart"),
-            F.lit(None).cast("int").alias("mend"),
-            F.lit(None).cast("boolean").alias("exact"),
-            r["subj"].alias("subj"),
-            r["pred"].alias("pred"),
-            r["obj"].alias("obj"),
-        ),
-    )
-    flat = scanned.select(
-        "url", F.explode(F.concat(m_structs, r_structs)).alias("x")
-    ).select("url", "x.*")
+        flat = scan_mentions_join(mention_pages, alias_table, text_col="text")
+    else:
+        scanned = with_mentions(mention_pages, surfaces, "text").select(
+            "url", "extraction"
+        )
+
+        # Flatten BOTH extraction arrays in one explode and persist the
+        # flat rows. Caching the nested array<struct> column instead is a
+        # trap: the columnar cache cannot codegen-decode nested arrays, so
+        # every downstream branch re-pays an object-materialization decode
+        # that dominates the whole pipeline (measured ~40s per pass at 1M
+        # docs vs ~4s for flat rows) and does not scale with cores.
+        null_s = F.lit(None).cast("string")
+        m_structs = F.transform(
+            "extraction.mentions",
+            lambda m: F.struct(
+                F.lit("m").alias("kind"),
+                m["surface"].alias("surface"),
+                m["mstart"].alias("mstart"),
+                m["mend"].alias("mend"),
+                m["exact"].alias("exact"),
+                null_s.alias("subj"),
+                null_s.alias("pred"),
+                null_s.alias("obj"),
+            ),
+        )
+        r_structs = F.transform(
+            "extraction.rels",
+            lambda r: F.struct(
+                F.lit("r").alias("kind"),
+                null_s.alias("surface"),
+                F.lit(None).cast("int").alias("mstart"),
+                F.lit(None).cast("int").alias("mend"),
+                F.lit(None).cast("boolean").alias("exact"),
+                r["subj"].alias("subj"),
+                r["pred"].alias("pred"),
+                r["obj"].alias("obj"),
+            ),
+        )
+        flat = scanned.select(
+            "url", F.explode(F.concat(m_structs, r_structs)).alias("x")
+        ).select("url", "x.*")
     if persist:
         from pyspark import StorageLevel
 

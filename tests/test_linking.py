@@ -220,3 +220,30 @@ def test_cc_empty_edges(spark):
     assert out.count() == 0
     out2 = connected_components(empty, driver_threshold=0)  # distributed path
     assert out2.columns == ["id", "comp"] and out2.count() == 0
+
+
+def test_fuzzy_linker_distributed_matches_closure_path(spark, corpus):
+    """VERDICT r2 #2 guard rails: forcing the big-gazetteer relational
+    scorer (max_broadcast_aliases below the table size) must produce the
+    same link decisions and near-identical scores as the closure path."""
+    gaz = spark.createDataFrame(corpus.gazetteer)
+    alias = build_alias_table(gaz)
+    fuzzy = spark.createDataFrame(
+        pd.DataFrame({"surface": [
+            "Acme Corporati", "Acm Corporation", "Zorblax Qux", "Initech Grp",
+        ]})
+    )
+    closure = {
+        r.surface: (r.entity_id, r.link_score)
+        for r in link_fuzzy_mentions(spark, fuzzy, alias).collect()
+    }
+    dist = {
+        r.surface: (r.entity_id, r.link_score)
+        for r in link_fuzzy_mentions(
+            spark, fuzzy, alias, max_broadcast_aliases=1
+        ).collect()
+    }
+    assert set(closure) == set(dist)
+    for s, (eid, score) in closure.items():
+        assert dist[s][0] == eid
+        assert abs(dist[s][1] - score) < 1e-9, (s, score, dist[s][1])

@@ -110,3 +110,20 @@ def test_non_english_pages_skip_mention_scan(result):
         (res.triples.pred == "MENTIONS") & res.triples.url.isin(list(non_en))
     )
     assert bad.count() == 0
+
+
+def test_join_scan_fallback_matches_automaton_path(spark, corpus):
+    """Big-gazetteer guard (VERDICT r2 #2): forcing the distributed
+    dictionary-join scan (max_broadcast_surfaces below the vocabulary
+    size) must reproduce the automaton path's triples and mentions on the
+    tokenized fixture corpus — same finish_scan tail, same linking."""
+    pages = spark.createDataFrame(corpus.pages)
+    gaz = spark.createDataFrame(corpus.gazetteer)
+    normal = extract_triples(spark, pages, gaz)
+    fallback = extract_triples(spark, pages, gaz, max_broadcast_surfaces=1)
+    t_a = set(tuple(r) for r in normal.triples.collect())
+    t_b = set(tuple(r) for r in fallback.triples.collect())
+    assert t_a == t_b
+    m_a = set(tuple(r) for r in normal.mentions.collect())
+    m_b = set(tuple(r) for r in fallback.mentions.collect())
+    assert m_a == m_b
