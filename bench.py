@@ -47,12 +47,13 @@ def main() -> None:
 
     # flagship: full KG construction (extract → link → canonicalize →
     # materialize), measured as triples/sec over the sf documents corpus.
-    # One untimed warmup pass first: the C2 JIT compiles the generated
-    # whole-stage code under load, making the first full-size run 2-3x
-    # slower than every later one (measured 48s -> 20s -> 13.5s on three
-    # identical 200k-doc runs). A 100 TB job runs for hours at steady
-    # state, so the steady-state (second-run) number is the one that
-    # extrapolates; the warmup cost is one-time and disclosed here.
+    # TWO untimed warmup passes first: the C2 JIT compiles the generated
+    # whole-stage code under load, and run sequences on identical inputs
+    # (r2: 48/20/13.5s; r3: 70/36/12/11/11s at 200k docs) show steady
+    # state arrives at run 3. A 100 TB job runs for hours at steady
+    # state, so that is the number that extrapolates; the warmup cost is
+    # one-time and disclosed here.
+    entry_mod._run_pipeline(spark, SF_DIR).triples.count()
     entry_mod._run_pipeline(spark, SF_DIR).triples.count()
     t0 = time.perf_counter()
     res = entry_mod._run_pipeline(spark, SF_DIR)
@@ -81,7 +82,11 @@ def main() -> None:
 
     synth_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "200000"))
     pages, gaz = synth_pages_spark(spark, synth_docs)
-    # same steady-state discipline: one untimed full-size warmup run
+    # same steady-state discipline, now TWO untimed full-size warmups:
+    # measured run sequences (r3, 5 identical 200k runs: 70/36/12/11/11s)
+    # show C2 needs two full passes before the generated code is fully
+    # tiered — the single-warmup number was still ~3x steady state.
+    extract_triples(spark, pages, gaz).triples.count()
     extract_triples(spark, pages, gaz).triples.count()
     t0 = time.perf_counter()
     n_synth_triples = extract_triples(spark, pages, gaz).triples.count()

@@ -223,6 +223,25 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tx_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling — the 100-TB corpus sampler.
+
+    Keep a fixed fraction per document by comparing a content-independent
+    portable hash (md5 of the id, salted) against a hex threshold:
+    '1a' / 256 ~= 10.2%. MAP-ONLY — no shuffle, no sort, no reservoir
+    state — so it costs one scan at any corpus size, is reproducible
+    across runs/retries/engines (the DuckDB oracle applies the identical
+    predicate), and composes with any downstream op. The window-quota
+    alternative (exactly k per stratum) is kg_top_docs_per_type's shape;
+    rate-based hash sampling is what you run when the corpus is 10^12
+    rows and a per-stratum sort is not a plan."""
+    docs = _docs(spark, sf_dir)
+    h = F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.lit("s7")))
+    return docs.where(F.substring(h, 1, 2) < "1a").select(
+        "doc_id", "lang", "source"
+    )
+
+
 def tx_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting two ways: whitespace + BPE-ish regex segmentation.
 
@@ -482,6 +501,7 @@ QUERIES = {
     "tx_winnow": tx_winnow,
     "tx_decontaminate": tx_decontaminate,
     "tx_redact": tx_redact,
+    "tx_sample_hash": tx_sample_hash,
     "tx_token_counts": tx_token_counts,
     "tx_tfidf_top_terms": tx_tfidf_top_terms,
     "kg_doc_entity_types": kg_doc_entity_types,
@@ -946,6 +966,11 @@ ORACLES = {
                'contact [EMAIL] on [DATE] for [MONEY]' AS redacted,
                1 AS n_email, 1 AS n_iso_date, 1 AS n_money
         FROM documents
+    """,
+    "tx_sample_hash": """
+        SELECT doc_id, lang, source
+        FROM documents
+        WHERE substr(md5(doc_id::VARCHAR || ':s7'), 1, 2) < '1a'
     """,
     "mm_media_meta": """
         WITH m AS (

@@ -56,6 +56,7 @@ def pagerank(
         F.col(node_col).alias("v"), (F.lit(1.0) / n).alias("pr")
     )
     teleport = (1.0 - damping) / n
+    prev_cached = None
     for _ in range(n_iter):
         if has_dangling:
             # scalar dangling mass for THIS iteration: one tiny aggregate
@@ -63,13 +64,20 @@ def pagerank(
             # uniformly. Collected to the driver so the iteration plan
             # keeps exactly one reference to the previous ranks (a lazy
             # cross-joined aggregate would duplicate the whole lineage
-            # subtree 2^n_iter times).
+            # subtree 2^n_iter times). The rank vector is cached per
+            # round — the dm collect materializes it, the contrib join
+            # reuses it, and without the cache every round's collect
+            # recomputes the full lineage (quadratic total work).
+            ranks = ranks.persist()
             dm = (
                 ranks.join(dangling, "v", "left_semi")
                 .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("m"))
                 .collect()[0].m
             )
             dm_over_n = dm / n
+            if prev_cached is not None:
+                prev_cached.unpersist()
+            prev_cached = ranks
         else:
             dm_over_n = 0.0
         contrib = (
