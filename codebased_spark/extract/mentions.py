@@ -47,6 +47,50 @@ VERB_GAPS = {
 }
 
 _CAPSEQ = re.compile(r"\b[A-Z][a-z]+(?: [A-Z][a-z]+)+\b")
+_ALLCAPS = re.compile(r"\b[A-Z]{3,}\b")
+_QUOTED = re.compile(r'"([^"\n]{3,60})"')
+
+# all-caps tokens that are ordinary words/initialisms, not entity names —
+# the skip predicate of the candidate family (the reference's analog is
+# the private-name skip in its variable-emit heuristics, SURVEY.md E10)
+ALLCAPS_SKIP = frozenset(
+    {"THE", "AND", "FOR", "NOT", "ALL", "NEW", "OUT", "NOW", "GET",
+     "FAQ", "PDF", "URL", "USD", "EUR", "GMT", "UTC"}
+)
+
+
+def _capseq_candidates(text: str) -> list[tuple[str, int, int]]:
+    """Capitalized multi-word sequences ("Jane Doe") — proper-name shape."""
+    return [(m.group(0), *m.span()) for m in _CAPSEQ.finditer(text)]
+
+
+def _allcaps_candidates(text: str) -> list[tuple[str, int, int]]:
+    """ALL-CAPS runs >= 3 chars ("NATO") minus the skip list — the web
+    analog of the reference's constant-name heuristic."""
+    return [
+        (m.group(0), *m.span())
+        for m in _ALLCAPS.finditer(text)
+        if m.group(0) not in ALLCAPS_SKIP
+    ]
+
+
+def _quoted_candidates(text: str) -> list[tuple[str, int, int]]:
+    """Double-quoted phrases (3-60 chars, single line) — titled works and
+    coined terms; span excludes the quotes."""
+    return [(m.group(1), m.start(1), m.end(1)) for m in _QUOTED.finditer(text)]
+
+
+# E10 in full: the reference emits VARIABLE candidates through a FAMILY of
+# heuristics (constant detection, type inference, private-name skip —
+# python.py variable emit); the web analog is this registry of fuzzy
+# candidate detectors. The pipeline default stays ("capseq",) — the
+# proper-name shape — and callers opt into more recall per corpus.
+CANDIDATE_HEURISTICS = {
+    "capseq": _capseq_candidates,
+    "allcaps": _allcaps_candidates,
+    "quoted": _quoted_candidates,
+}
+DEFAULT_HEURISTICS = ("capseq",)
 
 
 def build_automaton(surfaces: tuple[str, ...]) -> re.Pattern:
@@ -64,22 +108,29 @@ MENTION_SCHEMA = (
 )
 
 
-def finish_scan(text: str, exact_mentions: list) -> tuple[list, list]:
+def finish_scan(
+    text: str,
+    exact_mentions: list,
+    heuristics: tuple[str, ...] = DEFAULT_HEURISTICS,
+) -> tuple[list, list]:
     """Shared scan tail: fuzzy candidates + gap-pattern relations.
 
-    Takes the exact mentions (surface, start, end, True), adds capitalized
-    sequences that overlap no exact mention as fuzzy candidates, and emits
-    gap-text relations between consecutive mentions. Both the automaton
-    path (scan_doc) and the join-based big-gazetteer fallback
-    (mentions_join.py) run THIS tail, so their semantics agree by
-    construction rather than by parallel implementations.
+    Takes the exact mentions (surface, start, end, True), adds candidates
+    from the configured heuristic family (CANDIDATE_HEURISTICS) that
+    overlap no already-accepted span — heuristics apply in listed order,
+    so earlier detectors win overlaps — and emits gap-text relations
+    between consecutive mentions. Both the automaton path (scan_doc) and
+    the join-based big-gazetteer fallback (mentions_join.py) run THIS
+    tail, so their semantics agree by construction rather than by
+    parallel implementations.
     """
     mentions = list(exact_mentions)
     taken = [(s, e) for _, s, e, _ in mentions]
-    for m in _CAPSEQ.finditer(text):
-        s, e = m.span()
-        if not any(s < te and ts < e for ts, te in taken):
-            mentions.append((m.group(0), s, e, False))
+    for name in heuristics:
+        for surf, s, e in CANDIDATE_HEURISTICS[name](text):
+            if not any(s < te and ts < e for ts, te in taken):
+                mentions.append((surf, s, e, False))
+                taken.append((s, e))
     mentions.sort(key=lambda t: t[1])
     rels = []
     for (s1, a1, b1, _), (s2, a2, b2, _) in zip(mentions, mentions[1:]):
@@ -89,15 +140,23 @@ def finish_scan(text: str, exact_mentions: list) -> tuple[list, list]:
     return mentions, rels
 
 
-def scan_doc(text: str, automaton: re.Pattern) -> tuple[list, list]:
+def scan_doc(
+    text: str,
+    automaton: re.Pattern,
+    heuristics: tuple[str, ...] = DEFAULT_HEURISTICS,
+) -> tuple[list, list]:
     """One document: exact mentions, fuzzy candidates, gap-pattern relations."""
     if not text:
         return [], []
     exact = [(m.group(0), m.start(), m.end(), True) for m in automaton.finditer(text)]
-    return finish_scan(text, exact)
+    return finish_scan(text, exact, heuristics=heuristics)
 
 
-def scan_mentions_series(text: pd.Series, surfaces: tuple[str, ...]) -> pd.DataFrame:
+def scan_mentions_series(
+    text: pd.Series,
+    surfaces: tuple[str, ...],
+    heuristics: tuple[str, ...] = DEFAULT_HEURISTICS,
+) -> pd.DataFrame:
     """Batch scan (pure pandas core, testable without Spark).
 
     Returns a DataFrame with columns `mentions` / `rels` (list-of-dict each),
@@ -106,7 +165,7 @@ def scan_mentions_series(text: pd.Series, surfaces: tuple[str, ...]) -> pd.DataF
     automaton = build_automaton(surfaces)
     m_col, r_col = [], []
     for t in text:
-        mentions, rels = scan_doc(t, automaton)
+        mentions, rels = scan_doc(t, automaton, heuristics=heuristics)
         m_col.append(
             [
                 {"surface": s, "mstart": a, "mend": b, "exact": ex}
@@ -147,7 +206,12 @@ def _surfaces_broadcast(sc, surfaces: tuple[str, ...]):
     return b
 
 
-def with_mentions(df: DataFrame, surfaces: list[str], text_col: str = "text") -> DataFrame:
+def with_mentions(
+    df: DataFrame,
+    surfaces: list[str],
+    text_col: str = "text",
+    heuristics: tuple[str, ...] = DEFAULT_HEURISTICS,
+) -> DataFrame:
     """Add an `extraction` struct column (mentions + rels) via Arrow UDF.
 
     `surfaces` ships as an ``sc.broadcast`` variable — one copy per executor
@@ -162,6 +226,6 @@ def with_mentions(df: DataFrame, surfaces: list[str], text_col: str = "text") ->
 
     @pandas_udf(MENTION_SCHEMA)
     def _scan(batch: pd.Series) -> pd.DataFrame:
-        return scan_mentions_series(batch, surf_b.value)
+        return scan_mentions_series(batch, surf_b.value, heuristics=heuristics)
 
     return df.withColumn("extraction", _scan(F.col(text_col)))

@@ -41,7 +41,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from codebased_spark.extract.mentions import finish_scan
+from codebased_spark.extract.mentions import DEFAULT_HEURISTICS, finish_scan
 
 FLAT_SCHEMA = (
     "url string, kind string, surface string, mstart int, mend int, "
@@ -78,6 +78,7 @@ def scan_mentions_join(
     url_col: str = "url",
     alias_col: str = "alias_key",
     max_surface_tokens: int | None = None,
+    heuristics: tuple[str, ...] = DEFAULT_HEURISTICS,
 ) -> DataFrame:
     """Flat mention/relation rows (pipeline `flat` shape) via a
     distributed dictionary join — no driver-side surface collect."""
@@ -169,7 +170,9 @@ def scan_mentions_join(
             )
             if text[a:b] == s
         ]
-        mentions, rels = finish_scan(text, _leftmost_longest(cands))
+        mentions, rels = finish_scan(
+            text, _leftmost_longest(cands), heuristics=heuristics
+        )
         rows = [
             (url, "m", s, int(a), int(b), bool(ex), None, None, None)
             for s, a, b, ex in mentions

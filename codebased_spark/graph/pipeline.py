@@ -53,6 +53,7 @@ def extract_triples(
     max_html_bytes: int | None = 10 * 1024 * 1024,
     external_blocklist: list[str] | None = None,
     max_broadcast_surfaces: int = 2_000_000,
+    mention_heuristics: tuple[str, ...] | None = None,
 ) -> GraphResult:
     """Run extraction + linking + canonicalization.
 
@@ -63,6 +64,10 @@ def extract_triples(
     (measured 2.5x end-to-end at 20k docs). At cluster scale the same
     role is played by the manifest runner materializing per-bucket output;
     MEMORY_AND_DISK spills rather than OOMs on big partitions.
+
+    `mention_heuristics` selects the fuzzy-candidate detector family
+    (extract/mentions.CANDIDATE_HEURISTICS — E10 in full: capseq /
+    allcaps / quoted); None keeps the proper-name default.
 
     `max_broadcast_surfaces` guards the one driver-memory-bound step: the
     automaton path collects the alias vocabulary for the executor-side
@@ -108,17 +113,22 @@ def extract_triples(
         )
     )
 
+    from codebased_spark.extract.mentions import DEFAULT_HEURISTICS
+
+    heur = tuple(mention_heuristics) if mention_heuristics else DEFAULT_HEURISTICS
     mention_pages = pages.where(F.col("lang").isin(*MENTION_LANGS))
     if use_join_scan:
         # big-gazetteer fallback: distributed dictionary join, same flat
         # row shape (mentions_join runs the same finish_scan tail)
         from codebased_spark.extract.mentions_join import scan_mentions_join
 
-        flat = scan_mentions_join(mention_pages, alias_table, text_col="text")
-    else:
-        scanned = with_mentions(mention_pages, surfaces, "text").select(
-            "url", "extraction"
+        flat = scan_mentions_join(
+            mention_pages, alias_table, text_col="text", heuristics=heur
         )
+    else:
+        scanned = with_mentions(
+            mention_pages, surfaces, "text", heuristics=heur
+        ).select("url", "extraction")
 
         # Flatten BOTH extraction arrays in one explode and persist the
         # flat rows. Caching the nested array<struct> column instead is a

@@ -147,3 +147,96 @@ def test_surfaces_broadcast_cached_per_gazetteer_version(spark):
     b3 = _surfaces_broadcast(sc, ("Other",))
     assert b3 is not b1
     assert b3.value == ("Other",)
+
+
+def test_join_scan_parity_on_adversarial_text(spark):
+    """scan_mentions_join must reproduce the automaton scan exactly on
+    texts with irregular whitespace, punctuation-adjacent mentions,
+    punctuation-bearing surfaces, nested/overlapping candidates, and
+    chain overlaps (A kills B, B would have killed C)."""
+    import pandas as pd
+
+    from codebased_spark.extract.mentions import build_automaton, scan_doc
+    from codebased_spark.extract.mentions_join import scan_mentions_join
+
+    surfaces = [
+        "Acme", "Acme Corporation", "A. Hopperfield", "Hyper-Engine",
+        "aa bb", "bb cc", "Globex",
+    ]
+    texts = [
+        "Acme Corporation, and Globex.",           # punctuation-adjacent
+        "Acme  Corporation has  double spaces",    # irregular whitespace
+        "meet A. Hopperfield of Acme today",       # dotted surface
+        "the Hyper-Engine, by Acme Corporation",   # hyphen surface
+        "aa bb cc",                                # chain overlap
+        "Acme Corporation Acme",                   # longest-then-short
+        "(Globex) [Acme] {A. Hopperfield}",        # bracketed
+        "nothing to see here",
+        "",
+        "Acme\nCorporation spans lines near Globex",  # newline separator
+    ]
+    pages = spark.createDataFrame(
+        pd.DataFrame({"url": [f"u{i}" for i in range(len(texts))], "text": texts})
+    )
+    alias = spark.createDataFrame(pd.DataFrame({"alias_key": surfaces}))
+    got = scan_mentions_join(pages, alias).collect()
+    got_m = {
+        (r.url, r.surface, r.mstart, r.mend, r.exact)
+        for r in got if r.kind == "m" and r.exact
+    }
+    automaton = build_automaton(tuple(surfaces))
+    want_m = set()
+    for i, t in enumerate(texts):
+        mentions, _ = scan_doc(t, automaton)
+        for s, a, b, ex in mentions:
+            if ex:
+                want_m.add((f"u{i}", s, a, b, ex))
+    assert got_m == want_m
+    # full-row parity incl. fuzzy candidates and relations
+    got_all = {tuple(r) for r in got}
+    want_all = set()
+    for i, t in enumerate(texts):
+        mentions, rels = scan_doc(t, automaton)
+        for s, a, b, ex in mentions:
+            want_all.add((f"u{i}", "m", s, a, b, ex, None, None, None))
+        for s1, p, s2 in rels:
+            want_all.add((f"u{i}", "r", None, None, None, None, s1, p, s2))
+    assert got_all == want_all
+
+
+def test_candidate_heuristic_family():
+    """E10 in full: the fuzzy-candidate detector FAMILY (capseq/allcaps/
+    quoted + the all-caps skip predicate), with earlier detectors winning
+    overlaps and exact mentions suppressing all of them."""
+    from codebased_spark.extract.mentions import (
+        ALLCAPS_SKIP,
+        build_automaton,
+        scan_doc,
+    )
+
+    auto = build_automaton(("Acme Corporation",))
+    text = 'Acme Corporation told NATO THE "Flux Capacitor" story of Jane Doe'
+    all_h = ("capseq", "allcaps", "quoted")
+    mentions, _ = scan_doc(text, auto, heuristics=all_h)
+    by_surface = {m[0]: m for m in mentions}
+    assert by_surface["Acme Corporation"][3] is True      # exact
+    assert by_surface["NATO"][3] is False                  # allcaps candidate
+    assert "THE" not in by_surface and "THE" in ALLCAPS_SKIP  # skip predicate
+    assert by_surface["Flux Capacitor"][3] is False        # inside quotes
+    assert by_surface["Jane Doe"][3] is False              # capseq
+    # span of the quoted candidate excludes the quotes themselves
+    s, a, b, _ = by_surface["Flux Capacitor"]
+    assert text[a:b] == "Flux Capacitor"
+
+    # default family is unchanged: only capseq fires (which also sees the
+    # capitalized pair inside the quotes — but never the all-caps run)
+    default_mentions, _ = scan_doc(text, auto)
+    surfaces = {m[0] for m in default_mentions}
+    assert "NATO" not in surfaces
+    assert "Jane Doe" in surfaces and "Flux Capacitor" in surfaces
+
+    # order wins overlaps: quoted-first suppresses the capseq inside it
+    t2 = 'he read "Jane Doe Goes Home" twice'
+    q_first, _ = scan_doc(t2, auto, heuristics=("quoted", "capseq"))
+    got = {m[0] for m in q_first}
+    assert "Jane Doe Goes Home" in got and "Jane Doe" not in got

@@ -65,3 +65,49 @@ def test_minhash_signature_stays_jvm(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     p = plan(with_minhash(docs, k=8))
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_sample_hash_is_map_only(spark):
+    """tx_sample_hash must be a pure scan+filter: NO exchange, NO sort —
+    that's the whole point of rate-based hash sampling at 10^12 rows."""
+    from codebased_spark.dataops import tx_sample_hash
+
+    p = plan(tx_sample_hash(spark, SF))
+    assert "Exchange" not in p
+    assert "Sort" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    """The benchmark fingerprint set is the small side — the corpus-side
+    contamination check must be a broadcast semi join, never a shuffle of
+    the corpus against the benchmark."""
+    from codebased_spark.dataops import tx_decontaminate
+
+    p = plan(tx_decontaminate(spark, SF))
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+
+
+def test_join_scan_no_rowwise_python_and_no_cartesian(spark):
+    """The big-gazetteer fallback: per-row work is Arrow-batched
+    (FlatMapCoGroupsInPandas), never row-at-a-time Python, and the
+    dictionary join is an equi-join — no cartesian/broadcast-nested-loop
+    anywhere in the plan."""
+    import pandas as pd
+
+    from codebased_spark.extract.mentions_join import scan_mentions_join
+
+    pages = spark.createDataFrame(
+        pd.DataFrame({
+            "url": ["u1", "u2"],
+            "text": ["Acme Corporation ships widgets", "no entities at all"],
+        })
+    )
+    alias = spark.createDataFrame(
+        pd.DataFrame({"alias_key": ["Acme Corporation", "Globex"]})
+    )
+    p = plan(scan_mentions_join(pages, alias))
+    assert "FlatMapCoGroupsInPandas" in p
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
