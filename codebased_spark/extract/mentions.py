@@ -176,33 +176,35 @@ def scan_mentions_series(
     return pd.DataFrame({"mentions": m_col, "rels": r_col})
 
 
-# (applicationId, surfaces-hash) -> Broadcast. One gazetteer version is
-# broadcast ONCE per SparkContext: repeated pipeline invocations in one
-# session (steady-state benchmark loops, incremental batches) previously
-# created a fresh broadcast per call and never destroyed it, accumulating
-# blocks on the driver and executors. Small LRU keyed by content; evicted
-# entries are destroyed (their DataFrames have been executed by then in
-# the steady-state pattern this cache exists for).
-_SURF_BCAST_CACHE: dict[tuple[str, int], object] = {}
+# (applicationId, len, hash) -> (surfaces, Broadcast). One gazetteer
+# version is broadcast ONCE per SparkContext: repeated pipeline
+# invocations in one session (steady-state benchmark loops, incremental
+# batches) previously created a fresh broadcast per call and never
+# released it, accumulating blocks on the driver and executors. Small
+# FIFO cache; evicted entries are NOT destroy()ed — a lazily-built
+# DataFrame may still close over the Broadcast, and destroying it would
+# fail any later action on that frame. Dropping our reference is enough:
+# once every referencing plan is gone, the driver-side Broadcast object
+# is GC'd and Spark's ContextCleaner removes its blocks cluster-wide.
+# Hits verify the stored tuple for equality, so a hash collision between
+# two gazetteers can never silently reuse the wrong surface list.
+_SURF_BCAST_CACHE: dict[tuple, tuple] = {}
 _SURF_BCAST_MAX = 4
 
 
 def _surfaces_broadcast(sc, surfaces: tuple[str, ...]):
-    key = (sc.applicationId, hash(surfaces))
-    b = _SURF_BCAST_CACHE.get(key)
-    if b is not None:
-        return b
+    key = (sc.applicationId, len(surfaces), hash(surfaces))
+    hit = _SURF_BCAST_CACHE.get(key)
+    if hit is not None and hit[0] == surfaces:
+        return hit[1]
     # drop cache entries from dead contexts outright
     for k in [k for k in _SURF_BCAST_CACHE if k[0] != sc.applicationId]:
         _SURF_BCAST_CACHE.pop(k, None)
     while len(_SURF_BCAST_CACHE) >= _SURF_BCAST_MAX:
-        _, old = _SURF_BCAST_CACHE.popitem()
-        try:
-            old.destroy()
-        except Exception:
-            pass
+        # FIFO: evict the OLDEST insertion (dicts preserve insert order)
+        _SURF_BCAST_CACHE.pop(next(iter(_SURF_BCAST_CACHE)))
     b = sc.broadcast(surfaces)
-    _SURF_BCAST_CACHE[key] = b
+    _SURF_BCAST_CACHE[key] = (surfaces, b)
     return b
 
 

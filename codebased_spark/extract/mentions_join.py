@@ -48,6 +48,11 @@ FLAT_SCHEMA = (
     "exact boolean, subj string, pred string, obj string"
 )
 
+# n-gram generation cost (lead columns × candidate structs) grows linearly
+# with the longest alias, so one pathological 50-token surface must not
+# 50× the scan plan. Aliases LONGER than the cap are still matched — via
+# their cap-token PREFIX gram (see scan_mentions_join) — so the cap bounds
+# plan size without silently dropping long surfaces.
 MAX_SURFACE_TOKENS_CAP = 8
 
 
@@ -87,12 +92,27 @@ def scan_mentions_join(
     # the text ("A. Hopperfield" -> "A  Hopperfield"), so punctuation-
     # bearing surfaces are matchable; the original spelling rides along
     # for the exact verification against the raw text
-    ak = alias_table.select(
-        F.col(alias_col).alias("surface"), _norm(F.col(alias_col)).alias("gram")
+    ak_full = alias_table.select(
+        F.col(alias_col).alias("surface"), _norm(F.col(alias_col)).alias("gram_full")
     ).distinct()
     if max_surface_tokens is None:
-        row = ak.agg(F.max(F.size(F.split("gram", " "))).alias("m")).collect()
+        row = ak_full.agg(
+            F.max(F.size(F.split("gram_full", " "))).alias("m")
+        ).collect()
         max_surface_tokens = min(int(row[0].m or 1), MAX_SURFACE_TOKENS_CAP)
+    # aliases longer than max_surface_tokens join on their PREFIX gram (the
+    # first max_surface_tokens tokens, reconstructed losslessly — split on
+    # single spaces re-joined with single spaces is exact); the finish step
+    # then verifies the FULL surface at the candidate offset against the
+    # original text, so long surfaces keep automaton-path parity while the
+    # n-gram plan stays bounded by the cap. Shorter aliases are unchanged
+    # (slice past the end returns the whole token array).
+    ak = ak_full.select(
+        "surface",
+        F.array_join(
+            F.slice(F.split("gram_full", " "), 1, max_surface_tokens), " "
+        ).alias("gram"),
+    )
 
     # length-preserving normalization: punctuation -> space, so offsets in
     # the normalized tokenization are offsets in the ORIGINAL text and the

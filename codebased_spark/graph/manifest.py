@@ -242,8 +242,19 @@ def run_partitioned(
     """
     run_id = uuid.uuid4().hex[:12]
     pages_b = with_bucket(pages, n_buckets)
+    # committed = latest manifest row is a real commit — the SAME definition
+    # read_graph gates on. A bucket whose latest row is a NULL-hash tombstone
+    # (vanished, partitions deleted) must be rebuilt here if its pages are
+    # back in the corpus; counting any manifest row would skip it forever
+    # while read_graph returns nothing for its pages.
     committed = [
-        r.bucket for r in committed_buckets(spark, out_dir).select("bucket").collect()
+        r.bucket
+        for r in committed_buckets(spark, out_dir)
+        .groupBy("bucket")
+        .agg(F.max_by("content_hash", "committed_at").alias("_h"))
+        .where(F.col("_h").isNotNull())
+        .select("bucket")
+        .collect()
     ]
     todo = [b for b in range(n_buckets) if b not in committed]
     done = _process_buckets(

@@ -96,6 +96,17 @@ def pagerank(
                 (F.lit(teleport) + F.lit(damping) * inflow_term).alias("pr"),
             )
         )
-    return ranks.select(
+    out = ranks.select(
         F.col("v").alias(node_col), round_stable(F.col("pr"), out_decimals).alias("pr")
     )
+    if prev_cached is not None:
+        # the final ranks' lineage still reads the last persisted vector —
+        # materialize the (N-row, 2-col) result once via localCheckpoint,
+        # then drop the SQL cache entry. Unlike DataFrame.persist (held by
+        # the CacheManager until an unpersist nobody downstream can issue),
+        # checkpoint blocks are released by the ContextCleaner when the
+        # returned plan is GC'd, so repeated pagerank calls don't leak one
+        # cached rank vector per call (benchmark loops, scheduled jobs).
+        out = out.localCheckpoint(eager=True)
+        prev_cached.unpersist()
+    return out

@@ -35,6 +35,25 @@ _DML = re.compile(
     r"(table|view|temporary)|truncate\s+table|alter\s+table)\b",
     re.I,
 )
+_STRIP_FOR_GUARD = re.compile(
+    r"/\*.*?\*/"      # block comments (INSERT /*x*/ INTO would split the token pair)
+    r"|--[^\n]*"      # line comments
+    r"|'(?:[^'\\]|\\.)*'",  # single-quoted literals ("... LIKE '%drop table%'")
+    re.S,
+)
+
+
+def _guard_view(q: str) -> str:
+    """Query text as seen by the read-only guard: comments become spaces
+    (so keywords split by a comment re-join for matching) and string
+    literals are blanked (so DML phrases in data predicates don't
+    false-positive). Applied repeatedly to a fixpoint so nested comment
+    tricks can't smuggle tokens through one stripping pass."""
+    prev = None
+    while prev != q:
+        prev = q
+        q = _STRIP_FOR_GUARD.sub(" ", q)
+    return q
 
 
 def register_views(
@@ -63,9 +82,10 @@ def sql(spark: SparkSession, query: str, limit: int | None = DEFAULT_LIMIT) -> D
     (F5 read-only guard; structural here, but explicit beats implicit).
     """
     q = _TRAILING_COMMENT.sub("", query.strip()).rstrip().rstrip(";")
-    if not _IS_SELECT.match(q):
+    guard = _guard_view(q)
+    if not _IS_SELECT.match(guard.strip()):
         raise ValueError("only SELECT/WITH queries are allowed on the graph views")
-    if _DML.search(q):
+    if _DML.search(guard):
         raise ValueError("DML/DDL is not allowed on the graph views (read-only)")
     if limit is not None and not _HAS_LIMIT.search(q):
         q = f"{q} LIMIT {limit}"

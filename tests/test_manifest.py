@@ -210,3 +210,40 @@ def test_tombstone_crash_window_is_safe(spark, pages_gaz, tmp_path_factory):
         nodes2.where(F.col("id").isin(stale_ids) & (F.col("type") == "Page")).count()
         == len(stale_ids)
     )
+
+
+def test_run_partitioned_rebuilds_tombstoned_bucket(
+    spark, pages_gaz, tmp_path_factory
+):
+    """run_partitioned must use the SAME committed definition as read_graph
+    (latest manifest row non-null): a tombstoned bucket whose pages are back
+    in the corpus is rebuilt by the full runner, not skipped because some
+    old manifest row exists (code-review r3: silent data loss when the
+    resume path is run_partitioned rather than incremental_update)."""
+    from pyspark.sql import functions as F
+
+    from codebased_spark.graph.manifest import with_bucket
+
+    pages, gaz = pages_gaz
+    out = str(tmp_path_factory.mktemp("rebuild"))
+    run_partitioned(spark, pages, gaz, out, n_buckets=N_BUCKETS, batch_size=N_BUCKETS)
+
+    victim = 2
+    pages_b = with_bucket(pages, N_BUCKETS)
+    victim_urls = {
+        r.url for r in pages_b.where(F.col("bucket") == victim).select("url").collect()
+    }
+    remaining = pages_b.where(F.col("bucket") != victim).drop("bucket")
+    rep = incremental_update(spark, remaining, gaz, out, n_buckets=N_BUCKETS)
+    assert rep.buckets_deleted == [victim]
+
+    # full runner over the restored corpus: the tombstoned bucket is todo
+    rep2 = run_partitioned(spark, pages, gaz, out, n_buckets=N_BUCKETS)
+    assert rep2.buckets_processed == [victim]
+    assert rep2.buckets_skipped == N_BUCKETS - 1
+    nodes, _ = read_graph(spark, out)
+    stale_ids = [f"page:{u}" for u in victim_urls]
+    assert (
+        nodes.where(F.col("id").isin(stale_ids) & (F.col("type") == "Page")).count()
+        == len(stale_ids)
+    )

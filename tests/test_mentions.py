@@ -162,8 +162,15 @@ def test_join_scan_parity_on_adversarial_text(spark):
     surfaces = [
         "Acme", "Acme Corporation", "A. Hopperfield", "Hyper-Engine",
         "aa bb", "bb cc", "Globex",
+        # 10 tokens — beyond MAX_SURFACE_TOKENS_CAP (8): must match via
+        # the prefix-gram path, not be silently unmatchable
+        "International Business and Trade Council of the Greater Metro Region",
     ]
     texts = [
+        "the International Business and Trade Council of the Greater Metro Region met",
+        # prefix present but full surface absent -> prefix candidate must
+        # be discarded by the exact verification
+        "International Business and Trade Council of the Greater Lakes",
         "Acme Corporation, and Globex.",           # punctuation-adjacent
         "Acme  Corporation has  double spaces",    # irregular whitespace
         "meet A. Hopperfield of Acme today",       # dotted surface
