@@ -53,13 +53,24 @@ def main() -> None:
     # state arrives at run 3. A 100 TB job runs for hours at steady
     # state, so that is the number that extrapolates; the warmup cost is
     # one-time and disclosed here.
-    entry_mod._run_pipeline(spark, SF_DIR).triples.count()
-    entry_mod._run_pipeline(spark, SF_DIR).triples.count()
+    # fresh=True: each flagship run must be a full pipeline execution
+    # (the memo in __spark_entry__ would otherwise return the cached
+    # result and time nothing); warmup results release their internal
+    # caches so repeated runs don't accumulate CacheManager entries.
+    for _ in range(2):
+        w = entry_mod._run_pipeline(spark, SF_DIR, fresh=True)
+        w.triples.count()
+        w.release()
     t0 = time.perf_counter()
-    res = entry_mod._run_pipeline(spark, SF_DIR)
+    res = entry_mod._run_pipeline(spark, SF_DIR, fresh=True)
     n_triples = res.triples.count()
     kg_sec = time.perf_counter() - t0
     timings["kg_pipeline_e2e"] = round(kg_sec, 3)
+    # donate the timed run's result: kg_graph_stats (and any other query
+    # over the constructed graph) reuses the materialized pipeline instead
+    # of rebuilding it — the stats scan is measured as what it is in
+    # production, a query over the stored graph (reference S12).
+    entry_mod._seed_pipeline_memo(spark, SF_DIR, res)
 
     n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
 
@@ -86,11 +97,15 @@ def main() -> None:
     # measured run sequences (r3, 5 identical 200k runs: 70/36/12/11/11s)
     # show C2 needs two full passes before the generated code is fully
     # tiered — the single-warmup number was still ~3x steady state.
-    extract_triples(spark, pages, gaz).triples.count()
-    extract_triples(spark, pages, gaz).triples.count()
+    for _ in range(2):
+        w = extract_triples(spark, pages, gaz)
+        w.triples.count()
+        w.release()
     t0 = time.perf_counter()
-    n_synth_triples = extract_triples(spark, pages, gaz).triples.count()
+    synth_res = extract_triples(spark, pages, gaz)
+    n_synth_triples = synth_res.triples.count()
     synth_sec = time.perf_counter() - t0
+    synth_res.release()
     timings["kg_throughput_200k"] = round(synth_sec, 3)
 
     total = round(sum(v for v in timings.values() if v > 0), 3)

@@ -41,6 +41,22 @@ class GraphResult:
     nodes: DataFrame  # (id, uid, name, type, meta)
     edges: DataFrame  # (src, dst, rel_type, meta)
     mentions: DataFrame  # (url, surface, mstart, mend, exact, entity_id)
+    # internal persisted fan-out points (flat scan, canonical map) — SQL
+    # cache entries live in the CacheManager until explicitly unpersisted,
+    # so loops that run the pipeline repeatedly (benchmark warmups,
+    # services, incremental batches) must release finished results or the
+    # entries accumulate for the life of the session
+    cached: tuple = ()
+
+    def release(self) -> None:
+        """Unpersist the pipeline's internal caches. Call when this
+        result's DataFrames are no longer needed; actions on them after
+        release still work (lineage recomputes) but pay the full scan."""
+        for df in self.cached:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
 
 
 def extract_triples(
@@ -292,7 +308,10 @@ def extract_triples(
     triples = mention_triples.unionByName(rel_triples).unionByName(link_triples)
 
     nodes, edges = _materialize_graph(pages, canon, triples)
-    return GraphResult(triples=triples, nodes=nodes, edges=edges, mentions=linked)
+    cached = (flat, canon) if persist else ()
+    return GraphResult(
+        triples=triples, nodes=nodes, edges=edges, mentions=linked, cached=cached
+    )
 
 
 def _materialize_graph(
