@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mentions": q.kg_mentions,
         "kg_top_entities": q.kg_top_entities,
         "kg_cooccurrence": q.kg_cooccurrence,
+        "kg_entity_pmi": q.kg_entity_pmi,
         "kg_unlinked_entities": q.kg_unlinked_entities,
         "kg_doc_fingerprint": q.kg_doc_fingerprint,
         "q_agg_pricing": q.q_agg_pricing,
@@ -193,6 +194,36 @@ def oracle_sql() -> dict[str, str]:
             FROM m a JOIN m b ON a.doc_id = b.doc_id
             WHERE a.canonical_id < b.canonical_id
             GROUP BY a.canonical_id, b.canonical_id
+        """,
+        "kg_entity_pmi": f"""
+            WITH {gaz_cte}, {toks_cte},
+            m AS (
+              SELECT DISTINCT doc_id, canonical_id
+              FROM toks JOIN gaz ON word = surface_form
+            ),
+            cnt AS (
+              SELECT canonical_id, count(*) AS c FROM m GROUP BY canonical_id
+            ),
+            nn AS (SELECT count(*) AS n_total FROM documents),
+            pairs AS (
+              SELECT a.canonical_id AS src, b.canonical_id AS dst,
+                     count(*) AS n_docs
+              FROM m a JOIN m b ON a.doc_id = b.doc_id
+              WHERE a.canonical_id < b.canonical_id
+              GROUP BY a.canonical_id, b.canonical_id
+            ),
+            r AS (
+              SELECT src, dst, n_docs,
+                     CAST(n_docs * (SELECT n_total FROM nn) AS DOUBLE)
+                       / CAST(ca.c * cb.c AS DOUBLE) AS ratio
+              FROM pairs
+              JOIN cnt ca ON pairs.src = ca.canonical_id
+              JOIN cnt cb ON pairs.dst = cb.canonical_id
+            )
+            SELECT src, dst, n_docs,
+                   floor(ratio * 10000 + 0.5) / 10000 AS lift,
+                   floor(ln(ratio) * 10000 + 0.5) / 10000 AS pmi
+            FROM r
         """,
         "kg_unlinked_entities": f"""
             WITH {gaz_cte}, {toks_cte},

@@ -242,6 +242,15 @@ def tx_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tx_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style n-gram repetition filters (top-2-gram share, duplicated
+    5-gram occurrence share) — the boilerplate/spam signal a web-corpus
+    pipeline computes per document before training (Rae et al. 2021 §A1.1)."""
+    from codebased_spark.textops.repetition import repetition_metrics
+
+    return repetition_metrics(_docs(spark, sf_dir))
+
+
 def tx_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting two ways: whitespace + BPE-ish regex segmentation.
 
@@ -503,6 +512,7 @@ QUERIES = {
     "tx_redact": tx_redact,
     "tx_sample_hash": tx_sample_hash,
     "tx_token_counts": tx_token_counts,
+    "tx_repetition": tx_repetition,
     "tx_tfidf_top_terms": tx_tfidf_top_terms,
     "kg_doc_entity_types": kg_doc_entity_types,
     "kg_top_docs_per_type": kg_top_docs_per_type,
@@ -998,6 +1008,54 @@ ORACLES = {
         SELECT doc_id, len(toks) AS ws_tokens,
                len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_tokens
         FROM documents JOIN t USING (doc_id)
+    """,
+    "tx_repetition": """
+        WITH w AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS words
+          FROM documents
+        ),
+        base AS (
+          SELECT doc_id, words, len(words) AS n_words
+          FROM w WHERE len(words) > 0
+        ),
+        g2 AS (
+          SELECT doc_id, array_to_string(list_slice(words, i, i + 1), ' ') AS g
+          FROM (SELECT doc_id, words,
+                       unnest(range(1, len(words))) AS i FROM base)
+        ),
+        g5 AS (
+          SELECT doc_id, array_to_string(list_slice(words, i, i + 4), ' ') AS g
+          FROM (SELECT doc_id, words,
+                       unnest(range(1, len(words) - 3)) AS i FROM base)
+        ),
+        t2 AS (
+          SELECT doc_id, max(c) AS max2, sum(c) AS tot2 FROM (
+            SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g
+          ) GROUP BY doc_id
+        ),
+        t5 AS (
+          SELECT doc_id,
+                 sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup5,
+                 sum(c) AS tot5
+          FROM (
+            SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY doc_id, g
+          ) GROUP BY doc_id
+        ),
+        sel AS (
+          SELECT b.doc_id, b.n_words,
+                 floor(coalesce(max2 / CAST(tot2 AS DOUBLE), 0.0) * 10000 + 0.5)
+                   / 10000 AS top_bigram_frac,
+                 floor(coalesce(dup5 / CAST(tot5 AS DOUBLE), 0.0) * 10000 + 0.5)
+                   / 10000 AS dup_5gram_frac
+          FROM base b
+          LEFT JOIN t2 ON b.doc_id = t2.doc_id
+          LEFT JOIN t5 ON b.doc_id = t5.doc_id
+        )
+        SELECT doc_id, n_words, top_bigram_frac, dup_5gram_frac,
+               CASE WHEN top_bigram_frac >= 0.20 OR dup_5gram_frac >= 0.30
+                    THEN 1 ELSE 0 END AS is_repetitive
+        FROM sel
     """,
     "tx_tfidf_top_terms": """
         WITH toks AS (

@@ -109,6 +109,62 @@ def kg_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_entity_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-mention PMI edge weighting — the knowledge-fusion scorer.
+
+    Raw co-occurrence counts (kg_cooccurrence) over-weight head entities;
+    PMI(a,b) = ln(P(a,b) / (P(a)P(b))) normalizes by marginal frequency,
+    which is the standard relatedness weight a KG pipeline attaches to
+    co-mention edges before thresholding. Emits the exact integer-ratio
+    `lift` alongside the rounded log for a bit-exact cross-engine column.
+
+    Scale shape: the doc-keyed pair join is bounded by per-doc entity-set
+    size; both marginal-count joins broadcast (vocabulary-sized); the
+    corpus total is one scalar. No corpus-sized shuffle beyond the
+    distinct mention set that kg_cooccurrence already pays.
+    """
+    gaz = F.broadcast(_gaz_df(spark))
+    docs = _read(spark, sf_dir, "documents")
+    n_total = docs.count()
+    m = (
+        _tokens(spark, sf_dir)
+        .join(gaz, F.col("word") == gaz.surface_form)
+        .select("doc_id", "canonical_id")
+        .distinct()
+    )
+    cnt = m.groupBy("canonical_id").agg(F.count(F.lit(1)).alias("c"))
+    a, b = m.alias("a"), m.alias("b")
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("a.canonical_id") < F.col("b.canonical_id"))
+        .groupBy(
+            F.col("a.canonical_id").alias("src"),
+            F.col("b.canonical_id").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    ratio = (F.col("n_docs") * F.lit(n_total)).cast("double") / (
+        F.col("ca") * F.col("cb")
+    ).cast("double")
+    return (
+        pairs.join(
+            F.broadcast(cnt.select(F.col("canonical_id").alias("src"), F.col("c").alias("ca"))),
+            "src",
+        )
+        .join(
+            F.broadcast(cnt.select(F.col("canonical_id").alias("dst"), F.col("c").alias("cb"))),
+            "dst",
+        )
+        .select(
+            "src",
+            "dst",
+            "n_docs",
+            round_stable(ratio).alias("lift"),
+            round_stable(F.log(ratio)).alias("pmi"),
+        )
+    )
+
+
 def kg_unlinked_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gazetteer entries never mentioned (Q2 anti-join: unused entities)."""
     gaz = _gaz_df(spark)

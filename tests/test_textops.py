@@ -156,3 +156,62 @@ def test_redact_patterns(spark):
     assert (got[0].n_email, got[0].n_iso_date, got[0].n_money) == (2, 1, 1)
     assert got[1].redacted == "no pii here at all"
     assert (got[1].n_email, got[1].n_iso_date, got[1].n_money) == (0, 0, 0)
+
+
+def test_repetition_metrics_hand_computed(spark):
+    from codebased_spark.textops.repetition import repetition_metrics
+
+    rows = [
+        # "ha ha ha ha": bigrams = [ha ha]x3 -> top 3/3 = 1.0;
+        # 5-grams: none (4 words) -> 0.0; flagged by the bigram rule.
+        (0, "ha ha ha ha"),
+        # 10 distinct words: every bigram unique -> 1/9; no dup 5-gram.
+        (1, "one two three four five six seven eight nine ten"),
+        # a 5-word phrase repeated 3x (period-5 string): top bigram
+        # "a b" 3/14; all 11 5-grams are cyclic shifts each appearing
+        # >=2 times -> dup 11/11 = 1.0; flagged by the 5-gram rule.
+        (2, "a b c d e a b c d e a b c d e"),
+        (3, "   "),  # whitespace-only: dropped entirely
+    ]
+    got = {
+        r.doc_id: r
+        for r in repetition_metrics(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    assert set(got) == {0, 1, 2}
+    assert got[0].n_words == 4
+    assert got[0].top_bigram_frac == 1.0 and got[0].dup_5gram_frac == 0.0
+    assert got[0].is_repetitive == 1
+    assert got[1].top_bigram_frac == round(1 / 9, 4)
+    assert got[1].dup_5gram_frac == 0.0 and got[1].is_repetitive == 0
+    assert got[2].top_bigram_frac == round(3 / 14, 4)
+    assert got[2].dup_5gram_frac == 1.0
+    assert got[2].is_repetitive == 1
+
+
+def test_entity_pmi_hand_computed(spark, tmp_path):
+    """kg_entity_pmi on a 4-doc corpus with known marginals.
+
+    docs: {spark,join} {spark,join} {spark} {filter}; N=4.
+    pair (join,spark): n_docs=2, c(spark)=3, c(join)=2
+    -> lift = 2*4/(3*2) = 4/3, pmi = ln(4/3).
+    """
+    import math
+
+    from codebased_spark.graph.queries import kg_entity_pmi
+
+    rows = [
+        (0, "spark join"), (1, "join spark runs"),
+        (2, "spark only here"), (3, "filter alone"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sf = str(tmp_path)
+    docs.write.parquet(f"{sf}/documents.parquet")
+    got = {(r.src, r.dst): r for r in kg_entity_pmi(spark, sf).collect()}
+    key = ("ent:concept:spark", "ent:op:join")  # src < dst lexicographically
+    assert set(got) == {key}
+    r = got[key]
+    assert r.n_docs == 2
+    assert r.lift == round(4 / 3, 4)
+    assert abs(r.pmi - round(math.log(4 / 3), 4)) < 1e-9
