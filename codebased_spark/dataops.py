@@ -251,6 +251,37 @@ def tx_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_metrics(_docs(spark, sf_dir))
 
 
+def kg_latest_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl collapse: latest capture per url wins (sources/recrawl.py).
+
+    Deterministic recrawl fixture from `documents`: url = doc_id mod 100
+    (so every url has several captures), warc_ts = epoch + doc_id seconds.
+    The winner per url is therefore the max-doc_id capture — declaratively
+    restatable in SQL (max_by), so the oracle checks the operator's pick,
+    its timestamp round-trip, the surviving content hash, and the lineage
+    counter n_captures.
+    """
+    from codebased_spark.sources.recrawl import latest_captures
+
+    caps = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("https://recrawl.example.org/page/"),
+            (F.col("doc_id") % 100).cast("string"),
+        ).alias("url"),
+        F.timestamp_seconds(F.lit(1735689600) + F.col("doc_id")).alias("warc_ts"),
+        F.col("doc_id"),
+        F.col("text"),
+    )
+    out = latest_captures(caps, content_col="text")
+    return out.select(
+        "url",
+        F.unix_timestamp("warc_ts").alias("ts_epoch"),
+        F.col("doc_id").alias("latest_doc_id"),
+        F.sha2("text", 256).alias("text_sha256"),
+        "n_captures",
+    )
+
+
 def tx_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting two ways: whitespace + BPE-ish regex segmentation.
 
@@ -513,6 +544,7 @@ QUERIES = {
     "tx_sample_hash": tx_sample_hash,
     "tx_token_counts": tx_token_counts,
     "tx_repetition": tx_repetition,
+    "kg_latest_capture": kg_latest_capture,
     "tx_tfidf_top_terms": tx_tfidf_top_terms,
     "kg_doc_entity_types": kg_doc_entity_types,
     "kg_top_docs_per_type": kg_top_docs_per_type,
@@ -1008,6 +1040,19 @@ ORACLES = {
         SELECT doc_id, len(toks) AS ws_tokens,
                len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_tokens
         FROM documents JOIN t USING (doc_id)
+    """,
+    "kg_latest_capture": """
+        WITH caps AS (
+          SELECT 'https://recrawl.example.org/page/' || CAST(doc_id % 100 AS VARCHAR) AS url,
+                 1735689600 + doc_id AS ts_epoch, doc_id, text
+          FROM documents
+        )
+        SELECT url,
+               max(ts_epoch) AS ts_epoch,
+               max_by(doc_id, ts_epoch) AS latest_doc_id,
+               sha256(max_by(text, ts_epoch)) AS text_sha256,
+               count(*) AS n_captures
+        FROM caps GROUP BY url
     """,
     "tx_repetition": """
         WITH w AS (

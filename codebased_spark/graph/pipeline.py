@@ -70,6 +70,7 @@ def extract_triples(
     external_blocklist: list[str] | None = None,
     max_broadcast_surfaces: int = 2_000_000,
     mention_heuristics: tuple[str, ...] | None = None,
+    dedupe_captures: bool = False,
 ) -> GraphResult:
     """Run extraction + linking + canonicalization.
 
@@ -99,6 +100,15 @@ def extract_triples(
     probe = alias_table.select("alias_key").limit(max_broadcast_surfaces + 1).collect()
     use_join_scan = len(probe) > max_broadcast_surfaces
     surfaces = [] if use_join_scan else [r.alias_key for r in probe]
+
+    # recrawl collapse FIRST (latest warc_ts wins per url) so stale
+    # captures never reach the decode UDF — incremental.py:159-274's
+    # one-row-per-path rule, web-table form (sources/recrawl.py)
+    if dedupe_captures and "warc_ts" in pages.columns:
+        from codebased_spark.sources.recrawl import latest_captures
+
+        content = "html" if "html" in pages.columns else "text"
+        pages = latest_captures(pages, content_col=content).drop("n_captures")
 
     # size guard before any UDF work (reference base.py:146-149 max_file_size
     # skip): pathological documents are dropped map-side, never decoded

@@ -1,4 +1,5 @@
-"""Source/sink helpers: bucketed tables, WARC crawl archives."""
+"""Source/sink helpers: bucketed tables, WARC crawl archives, recrawl collapse."""
 
 from codebased_spark.sources.bucketed import write_bucketed  # noqa: F401
+from codebased_spark.sources.recrawl import latest_captures  # noqa: F401
 from codebased_spark.sources.warc import read_warc, warc_to_pages, write_warc  # noqa: F401

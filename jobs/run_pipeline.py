@@ -39,6 +39,10 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--n-buckets", type=int, default=64)
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--incremental", action="store_true")
+    ap.add_argument(
+        "--dedupe-captures", action="store_true",
+        help="collapse recrawls first: latest warc_ts wins per url",
+    )
     ap.add_argument("--master", default=None, help="override master (tests); cluster runs leave unset")
     args = ap.parse_args(argv)
 
@@ -63,6 +67,12 @@ def main(argv: list[str] | None = None) -> None:
             ap.error("--pages and --gazetteer required unless --synth-docs/--warc")
         pages = spark.read.parquet(args.pages)
         gaz = spark.read.parquet(args.gazetteer)
+
+    if args.dedupe_captures and "warc_ts" in pages.columns:
+        from codebased_spark.sources.recrawl import latest_captures
+
+        content = "html" if "html" in pages.columns else "text"
+        pages = latest_captures(pages, content_col=content).drop("n_captures")
 
     run = incremental_update if args.incremental else run_partitioned
     report = run(

@@ -161,3 +161,57 @@ def test_entry_pipeline_memo(spark):
     c = entry_mod._run_pipeline(spark, entry_mod.SF_DEFAULT, fresh=True)
     assert c is not a
     c.release()
+
+
+def test_latest_captures_picks_newest_and_breaks_ties(spark):
+    import datetime as dt
+
+    from codebased_spark.sources.recrawl import latest_captures
+
+    t0 = dt.datetime(2025, 1, 1)
+    t1 = dt.datetime(2025, 2, 1)
+    rows = [
+        ("u1", t0, b"old"), ("u1", t1, b"new"),
+        # equal timestamps: deterministic md5(content) tiebreak
+        ("u2", t0, b"aaa"), ("u2", t0, b"bbb"),
+        ("u3", t1, b"only"),
+    ]
+    got = {
+        r.url: r
+        for r in latest_captures(
+            spark.createDataFrame(rows, "url string, warc_ts timestamp, html binary")
+        ).collect()
+    }
+    assert bytes(got["u1"].html) == b"new" and got["u1"].n_captures == 2
+    import hashlib
+    tie = max(b"aaa", b"bbb", key=lambda s: hashlib.md5(s).hexdigest())
+    assert bytes(got["u2"].html) == tie and got["u2"].n_captures == 2
+    assert bytes(got["u3"].html) == b"only" and got["u3"].n_captures == 1
+
+
+def test_pipeline_dedupe_captures_ignores_stale_recrawl(spark):
+    """A stale older capture of a url must not contribute triples when
+    dedupe_captures=True: output equals the single-capture run."""
+    import pandas as pd
+
+    from codebased_spark.synth.pages import gen_pages
+
+    corpus = gen_pages(n_docs=12, n_entities=10, seed=7)
+    pages = corpus.pages
+    stale = pages.iloc[[0]].copy()
+    stale["warc_ts"] = stale["warc_ts"] - pd.Timedelta(days=30)
+    stale["html"] = [pages.iloc[1]["html"]]  # different (stale) content
+    stale["text"] = [pages.iloc[1]["text"]]
+    gaz = spark.createDataFrame(corpus.gazetteer)
+
+    base = extract_triples(spark, spark.createDataFrame(pages), gaz, persist=False)
+    dup = extract_triples(
+        spark,
+        spark.createDataFrame(pd.concat([pages, stale], ignore_index=True)),
+        gaz,
+        persist=False,
+        dedupe_captures=True,
+    )
+    assert set(map(tuple, dup.triples.collect())) == set(
+        map(tuple, base.triples.collect())
+    )
