@@ -251,6 +251,32 @@ def tx_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_metrics(_docs(spark, sf_dir))
 
 
+def tx_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed keep/drop decision table (textops/filters.py): language +
+    length + quality + repetition + exact-dup rules as per-rule reject
+    flags and a single keep bit — the curation report a corpus build
+    materializes before tokenization."""
+    from codebased_spark.textops.filters import filter_decisions
+
+    return filter_decisions(_docs(spark, sf_dir))
+
+
+def tx_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window token chunking with overlap (textops/chunk.py) —
+    map-side only, no shuffle; the pre-tokenization splitter."""
+    from codebased_spark.textops.chunk import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir))
+
+
+def g_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the doc graph (graph/triangles.py):
+    canonical-oriented two-join enumeration, each triangle once."""
+    from codebased_spark.graph.triangles import triangle_counts
+
+    return triangle_counts(_doc_edges(spark, sf_dir))
+
+
 def kg_latest_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recrawl collapse: latest capture per url wins (sources/recrawl.py).
 
@@ -545,6 +571,9 @@ QUERIES = {
     "tx_token_counts": tx_token_counts,
     "tx_repetition": tx_repetition,
     "kg_latest_capture": kg_latest_capture,
+    "tx_filter_pipeline": tx_filter_pipeline,
+    "tx_chunk": tx_chunk,
+    "g_triangles": g_triangles,
     "tx_tfidf_top_terms": tx_tfidf_top_terms,
     "kg_doc_entity_types": kg_doc_entity_types,
     "kg_top_docs_per_type": kg_top_docs_per_type,
@@ -1041,6 +1070,45 @@ ORACLES = {
                len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_tokens
         FROM documents JOIN t USING (doc_id)
     """,
+    "tx_chunk": """
+        WITH w AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS words
+          FROM documents
+        ),
+        base AS (
+          SELECT doc_id, words, len(words) AS n FROM w WHERE len(words) > 0
+        ),
+        sel AS (
+          SELECT doc_id, words, n,
+                 unnest(generate_series(1, greatest(n - 16, 1), 48)) AS s
+          FROM base
+        )
+        SELECT doc_id,
+               (s - 1) // 48 AS chunk_idx,
+               s AS chunk_start,
+               least(64, n - s + 1) AS n_chunk_tokens,
+               array_to_string(list_slice(words, s, s + 63), ' ') AS chunk_text
+        FROM sel
+    """,
+    "g_triangles": f"""
+        WITH {_EDGES_SQL},
+        und AS (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM edges WHERE src <> dst
+        ),
+        tri AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM und e1
+          JOIN und e2 ON e1.b = e2.a
+          JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+        )
+        SELECT node, count(*) AS n_triangles FROM (
+          SELECT x AS node FROM tri
+          UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri
+        ) GROUP BY node
+    """,
     "kg_latest_capture": """
         WITH caps AS (
           SELECT 'https://recrawl.example.org/page/' || CAST(doc_id % 100 AS VARCHAR) AS url,
@@ -1266,3 +1334,38 @@ ORACLES = {
         SELECT comp, count(*) AS n_nodes FROM lab GROUP BY comp
     """,
 }
+
+# Composed from the component oracles (same SQL text by construction), so
+# the filter rules can never drift from the standalone tx_quality /
+# tx_repetition checks. Thresholds mirror textops/filters.py constants.
+ORACLES["tx_filter_pipeline"] = f"""
+    WITH q AS (
+      SELECT doc_id, n_tokens, quality_score FROM ({ORACLES["tx_quality"]})
+    ),
+    rep AS (
+      SELECT doc_id, is_repetitive FROM ({ORACLES["tx_repetition"]})
+    ),
+    dupf AS (
+      SELECT doc_id,
+             CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY sha256(text))
+                  THEN 1 ELSE 0 END AS r_dup
+      FROM documents
+    ),
+    sel AS (
+      SELECT d.doc_id,
+             CASE WHEN d.lang <> 'en' THEN 1 ELSE 0 END AS r_lang,
+             CASE WHEN coalesce(q.n_tokens, 0) < 5 THEN 1 ELSE 0 END AS r_short,
+             CASE WHEN coalesce(q.quality_score, 0.0) < 0.5 THEN 1 ELSE 0 END
+               AS r_quality,
+             coalesce(rep.is_repetitive, 0) AS r_repetitive,
+             dupf.r_dup
+      FROM documents d
+      LEFT JOIN q USING (doc_id)
+      LEFT JOIN rep USING (doc_id)
+      JOIN dupf USING (doc_id)
+    )
+    SELECT doc_id, r_lang, r_short, r_quality, r_repetitive, r_dup,
+           CASE WHEN r_lang + r_short + r_quality + r_repetitive + r_dup = 0
+                THEN 1 ELSE 0 END AS keep
+    FROM sel
+"""

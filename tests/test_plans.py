@@ -111,3 +111,36 @@ def test_join_scan_no_rowwise_python_and_no_cartesian(spark):
     assert "BatchEvalPython" not in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_chunking_is_map_only(spark):
+    from codebased_spark.textops.chunk import chunk_documents
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(chunk_documents(docs))
+    assert "Exchange" not in p  # no shuffle: scales with scan bandwidth
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # only the two needed columns are read
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
+
+
+def test_recrawl_collapse_partial_aggregates(spark):
+    from codebased_spark.sources.recrawl import latest_captures
+    from codebased_spark.synth.pages import pages_from_documents_spark
+
+    pages = pages_from_documents_spark(spark.read.parquet(f"{SF}/documents.parquet"))
+    p = plan(latest_captures(pages))
+    # ONE url-keyed exchange, with a map-side partial aggregate before it
+    # (the groupBy/max(struct) shape; a window form would sort-shuffle
+    # every capture with no partial reduction)
+    assert p.count("Exchange") == 1
+    assert "partial_max" in p or "partial_first" in p or "SortAggregate" in p
+    assert "Window" not in p
+
+
+def test_filter_decisions_no_python(spark):
+    from codebased_spark.textops.filters import filter_decisions
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(filter_decisions(docs))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

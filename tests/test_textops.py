@@ -215,3 +215,80 @@ def test_entity_pmi_hand_computed(spark, tmp_path):
     assert r.n_docs == 2
     assert r.lift == round(4 / 3, 4)
     assert abs(r.pmi - round(math.log(4 / 3), 4)) < 1e-9
+
+
+def test_filter_decisions_every_rule(spark):
+    from codebased_spark.textops.filters import filter_decisions
+
+    good = ("the good and long document of the day with is for on many fine "
+            "words in a row here now then")  # >5 tokens, stopwordy, diverse
+    rows = [
+        (0, good, "en"),                      # keeps
+        (1, good, "de"),                      # r_lang
+        (2, "tiny doc", "en"),                # r_short (2 tokens)
+        (3, "", "en"),                        # r_short via empty (no q row)
+        (4, "zz qq xx ww vv uu tt ss", "en"),  # r_quality: no stopwords
+        (5, "ha ha ha ha ha ha ha ha", "en"),  # r_repetitive (+quality)
+        (6, good, "en"),                      # r_dup of doc 0
+    ]
+    got = {
+        r.doc_id: r
+        for r in filter_decisions(
+            spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+        ).collect()
+    }
+    assert got[0].keep == 1 and got[0].r_dup == 0
+    assert got[1].r_lang == 1 and got[1].keep == 0
+    assert got[2].r_short == 1
+    assert got[3].r_short == 1 and got[3].keep == 0
+    assert got[4].r_quality == 1
+    assert got[5].r_repetitive == 1
+    assert got[6].r_dup == 1 and got[6].r_lang == 0
+    # every rule fires somewhere; survivor of the dup pair is min doc_id
+    for flag in ("r_lang", "r_short", "r_quality", "r_repetitive", "r_dup"):
+        assert any(getattr(r, flag) == 1 for r in got.values()), flag
+
+
+def test_chunk_documents_boundaries(spark):
+    from codebased_spark.textops.chunk import chunk_documents
+
+    w65 = " ".join(f"w{i}" for i in range(1, 66))
+    rows = [(0, "a b c"), (1, w65), (2, "")]
+    got = chunk_documents(
+        spark.createDataFrame(rows, ["doc_id", "text"]),
+        chunk_tokens=64, overlap=16,
+    ).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 2 not in by_doc  # empty doc -> no chunks
+    (c0,) = by_doc[0]  # short doc -> exactly one whole chunk
+    assert (c0.chunk_idx, c0.chunk_start, c0.n_chunk_tokens) == (0, 1, 3)
+    assert c0.chunk_text == "a b c"
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    assert [(r.chunk_idx, r.chunk_start, r.n_chunk_tokens) for r in c1] == [
+        (0, 1, 64), (1, 49, 17),
+    ]
+    assert c1[0].chunk_text.startswith("w1 w2 ") and c1[0].chunk_text.endswith(" w64")
+    assert c1[1].chunk_text == " ".join(f"w{i}" for i in range(49, 66))
+    # overlap: last 16 tokens of chunk 0 == first 16 of chunk 1
+    assert c1[0].chunk_text.split()[-16:] == c1[1].chunk_text.split()[:16]
+
+
+def test_triangle_counts_known_graph(spark):
+    from codebased_spark.graph.triangles import triangle_counts, triangles
+
+    # K4 on {1,2,3,4} (4 triangles, each node in 3) + pendant edge 4-5,
+    # given as DIRECTED edges with duplicates/reversals to exercise
+    # canonicalization
+    e = [(1, 2), (2, 1), (1, 3), (1, 4), (2, 3), (3, 2), (2, 4), (3, 4), (4, 5), (5, 5)]
+    edges = spark.createDataFrame(e, ["src", "dst"])
+    assert triangles(edges).count() == 4
+    got = {r.node: r.n_triangles for r in triangle_counts(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    # degree-ordered orientation enumerates the same triangles
+    got_deg = {
+        r.node: r.n_triangles
+        for r in triangle_counts(edges, order_by_degree=True).collect()
+    }
+    assert got_deg == got
