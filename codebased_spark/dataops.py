@@ -255,10 +255,11 @@ def tx_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed keep/drop decision table (textops/filters.py): language +
     length + quality + repetition + exact-dup rules as per-rule reject
     flags and a single keep bit — the curation report a corpus build
-    materializes before tokenization."""
+    materializes before tokenization. near_dup=True folds the minhash-LSH
+    keep-one cluster rule (dd_clusters) in as r_neardup."""
     from codebased_spark.textops.filters import filter_decisions
 
-    return filter_decisions(_docs(spark, sf_dir))
+    return filter_decisions(_docs(spark, sf_dir), near_dup=True, neardup_threshold=NEARDUP_T)
 
 
 def tx_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -275,6 +276,14 @@ def g_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from codebased_spark.graph.triangles import triangle_counts
 
     return triangle_counts(_doc_edges(spark, sf_dir))
+
+
+def g_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node (graph/triangles.py):
+    2*triangles / (deg*(deg-1)) over the undirected doc graph."""
+    from codebased_spark.graph.triangles import clustering_coefficient
+
+    return clustering_coefficient(_doc_edges(spark, sf_dir))
 
 
 def kg_latest_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -574,6 +583,7 @@ QUERIES = {
     "tx_filter_pipeline": tx_filter_pipeline,
     "tx_chunk": tx_chunk,
     "g_triangles": g_triangles,
+    "g_clustering": g_clustering,
     "tx_tfidf_top_terms": tx_tfidf_top_terms,
     "kg_doc_entity_types": kg_doc_entity_types,
     "kg_top_docs_per_type": kg_top_docs_per_type,
@@ -836,6 +846,21 @@ _WINNOW_CTES = """
         )
 """
 
+# canonical-oriented undirected edge set + one-row-per-triangle enumeration
+# (expects an `edges` CTE in scope; shared by g_triangles / g_clustering)
+_TRI_SQL = """
+        und AS (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM edges WHERE src <> dst
+        ),
+        tri AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM und e1
+          JOIN und e2 ON e1.b = e2.a
+          JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+        )
+"""
+
 _EDGES_SQL = """
         cnt AS (SELECT count(*) AS n FROM documents),
         edges AS (
@@ -1092,22 +1117,33 @@ ORACLES = {
         FROM sel
     """,
     "g_triangles": f"""
-        WITH {_EDGES_SQL},
-        und AS (
-          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-          FROM edges WHERE src <> dst
-        ),
-        tri AS (
-          SELECT e1.a AS x, e1.b AS y, e2.b AS z
-          FROM und e1
-          JOIN und e2 ON e1.b = e2.a
-          JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
-        )
+        WITH {_EDGES_SQL}, {_TRI_SQL}
         SELECT node, count(*) AS n_triangles FROM (
           SELECT x AS node FROM tri
           UNION ALL SELECT y FROM tri
           UNION ALL SELECT z FROM tri
         ) GROUP BY node
+    """,
+    "g_clustering": f"""
+        WITH {_EDGES_SQL}, {_TRI_SQL},
+        tcnt AS (
+          SELECT node, count(*) AS n_triangles FROM (
+            SELECT x AS node FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri
+          ) GROUP BY node
+        ),
+        deg AS (
+          SELECT node, count(*) AS degree FROM (
+            SELECT a AS node FROM und UNION ALL SELECT b FROM und
+          ) GROUP BY node HAVING count(*) >= 2
+        )
+        SELECT deg.node, degree,
+               coalesce(n_triangles, 0) AS n_triangles,
+               floor(CAST(2 * coalesce(n_triangles, 0) AS DOUBLE)
+                     / (degree * (degree - 1)) * 10000 + 0.5) / 10000
+                 AS clustering
+        FROM deg LEFT JOIN tcnt USING (node)
     """,
     "kg_latest_capture": """
         WITH caps AS (
@@ -1351,6 +1387,11 @@ ORACLES["tx_filter_pipeline"] = f"""
                   THEN 1 ELSE 0 END AS r_dup
       FROM documents
     ),
+    nd AS (
+      SELECT doc_id,
+             CASE WHEN is_survivor = 0 THEN 1 ELSE 0 END AS r_neardup
+      FROM ({ORACLES["dd_clusters"]})
+    ),
     sel AS (
       SELECT d.doc_id,
              CASE WHEN d.lang <> 'en' THEN 1 ELSE 0 END AS r_lang,
@@ -1358,14 +1399,17 @@ ORACLES["tx_filter_pipeline"] = f"""
              CASE WHEN coalesce(q.quality_score, 0.0) < 0.5 THEN 1 ELSE 0 END
                AS r_quality,
              coalesce(rep.is_repetitive, 0) AS r_repetitive,
-             dupf.r_dup
+             dupf.r_dup,
+             nd.r_neardup
       FROM documents d
       LEFT JOIN q USING (doc_id)
       LEFT JOIN rep USING (doc_id)
       JOIN dupf USING (doc_id)
+      JOIN nd USING (doc_id)
     )
-    SELECT doc_id, r_lang, r_short, r_quality, r_repetitive, r_dup,
-           CASE WHEN r_lang + r_short + r_quality + r_repetitive + r_dup = 0
+    SELECT doc_id, r_lang, r_short, r_quality, r_repetitive, r_dup, r_neardup,
+           CASE WHEN r_lang + r_short + r_quality + r_repetitive + r_dup
+                     + r_neardup = 0
                 THEN 1 ELSE 0 END AS keep
     FROM sel
 """

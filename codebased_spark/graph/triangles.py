@@ -75,3 +75,34 @@ def triangle_counts(edges: DataFrame, order_by_degree: bool = False) -> DataFram
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def clustering_coefficient(
+    edges: DataFrame, order_by_degree: bool = False
+) -> DataFrame:
+    """Local clustering coefficient: 2*triangles / (deg * (deg - 1)).
+
+    (node, degree, n_triangles, clustering) for every node of degree >= 2
+    (the coefficient is undefined below that); nodes in no triangle get
+    0.0. The ratio of two exact integers is bit-identical across engines;
+    rounded to 4 decimals like every double column (util.round_stable).
+    """
+    from codebased_spark.util import round_stable
+
+    und = _canonical_edges(edges, order_by_degree=False)
+    deg = (
+        und.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .where(F.col("degree") >= 2)
+    )
+    tri = triangle_counts(edges, order_by_degree)
+    return deg.join(tri, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+        round_stable(
+            (2 * F.coalesce("n_triangles", F.lit(0))).cast("double")
+            / (F.col("degree") * (F.col("degree") - 1)).cast("double")
+        ).alias("clustering"),
+    )

@@ -15,6 +15,8 @@ Rules (1 = reject by that rule; keep = 1 iff all are 0):
   r_quality    — composite quality_score below `min_quality`
   r_repetitive — Gopher-style repetition thresholds tripped
   r_dup        — exact-content duplicate that is not the keep-one survivor
+  r_neardup    — (near_dup=True) member of a minhash-LSH near-dup cluster
+                 that is not its keep-one survivor (dedup/clusters.py)
 
 Scale shape: quality is map-side only; repetition is two (doc_id, gram)
 aggregations; the dup rule is one content-hash groupBy; all joins are
@@ -41,8 +43,10 @@ def filter_decisions(
     keep_lang: str = "en",
     min_tokens: int = MIN_TOKENS,
     min_quality: float = MIN_QUALITY,
+    near_dup: bool = False,
+    neardup_threshold: float = 0.8,
 ) -> DataFrame:
-    """(doc_id, r_lang, r_short, r_quality, r_repetitive, r_dup, keep)."""
+    """(doc_id, r_lang, r_short, r_quality, r_repetitive, r_dup[, r_neardup], keep)."""
     q = doc_quality(docs, id_col, text_col).select(
         id_col, "n_tokens", "quality_score"
     )
@@ -72,7 +76,22 @@ def filter_decisions(
             "r_dup",
         )
     )
-    n_reject = sum(
-        F.col(c) for c in ("r_lang", "r_short", "r_quality", "r_repetitive", "r_dup")
-    )
+    rules = ["r_lang", "r_short", "r_quality", "r_repetitive", "r_dup"]
+    if near_dup:
+        from codebased_spark.dedup.clusters import dedup_clusters
+        from codebased_spark.dedup.minhash import minhash_near_dupes
+
+        clusters = dedup_clusters(
+            docs, minhash_near_dupes(docs, n=3, threshold=neardup_threshold),
+            id_col=id_col,
+        )
+        flags = flags.join(
+            clusters.select(
+                F.col(id_col),
+                (~F.col("is_survivor")).cast("int").alias("r_neardup"),
+            ),
+            id_col,
+        )
+        rules.append("r_neardup")
+    n_reject = sum(F.col(c) for c in rules)
     return flags.withColumn("keep", (n_reject == 0).cast("int"))

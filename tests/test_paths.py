@@ -96,3 +96,19 @@ def test_pagerank_dangling_mass_redistributed(spark):
         assert got[i] == pytest.approx(pr[i], abs=1e-6)
     # with the dangling term the chain remains stochastic: mass == 1
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_clustering_coefficient_known_graph(spark):
+    from codebased_spark.graph.triangles import clustering_coefficient
+
+    # triangle 1-2-3 plus pendant 3-4: deg(1)=deg(2)=2 (coeff 1.0),
+    # deg(3)=3 (coeff 2*1/(3*2)=0.3333), deg(4)=1 (excluded)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], ["src", "dst"]
+    )
+    got = {r.node: r for r in clustering_coefficient(edges).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1].clustering == 1.0 and got[1].degree == 2
+    assert got[2].clustering == 1.0
+    assert got[3].degree == 3 and got[3].n_triangles == 1
+    assert got[3].clustering == round(1 / 3, 4)

@@ -292,3 +292,27 @@ def test_triangle_counts_known_graph(spark):
         for r in triangle_counts(edges, order_by_degree=True).collect()
     }
     assert got_deg == got
+
+
+def test_filter_decisions_near_dup_rule(spark):
+    from codebased_spark.textops.filters import filter_decisions
+
+    boiler = ("the quick brown fox jumps over the lazy dog and then the "
+              "slow red hen walks under a tall green tree every single day")
+    rows = [
+        (0, boiler, "en"),                              # survivor of cluster
+        (1, boiler + " with one extra tail", "en"),     # near-dup, r_neardup
+        (2, "a completely different story about spark shuffles and "
+            "broadcast joins in the big cluster of many machines", "en"),
+    ]
+    got = {
+        r.doc_id: r
+        for r in filter_decisions(
+            spark.createDataFrame(rows, ["doc_id", "text", "lang"]),
+            near_dup=True, neardup_threshold=0.6,
+        ).collect()
+    }
+    assert "r_neardup" in got[0].asDict()
+    assert got[0].r_neardup == 0           # min-id survivor keeps
+    assert got[1].r_neardup == 1 and got[1].keep == 0
+    assert got[2].r_neardup == 0
