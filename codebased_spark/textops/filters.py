@@ -20,7 +20,12 @@ Rules (1 = reject by that rule; keep = 1 iff all are 0):
 
 Scale shape: quality is map-side only; repetition is two (doc_id, gram)
 aggregations; the dup rule is one content-hash groupBy; all joins are
-doc_id-keyed. Nothing corpus-global, no Python rows.
+doc_id-keyed. Nothing corpus-global, no Python rows. Each rule scans the
+corpus independently (column-pruned to id/text/lang at the parquet
+scan) — deliberately NOT cached: at 100 TB the corpus exceeds cluster
+memory, so re-reading a pruned scan is cheaper than spilling a cache,
+and the scans run concurrently under the same job when the final join
+executes.
 """
 
 from __future__ import annotations

@@ -130,15 +130,16 @@ def test_join_scan_fallback_matches_automaton_path(spark, corpus):
 
 
 def test_release_unpersists_internal_caches(spark, corpus):
-    """GraphResult.release() must drop the pipeline's two persisted
-    fan-out points (flat scan, canonical map) from the CacheManager —
-    repeated pipeline runs in one session (benchmark warmups, services)
-    previously accumulated cache entries for the life of the session."""
+    """GraphResult.release() must drop the pipeline's three persisted
+    fan-out points (flat scan, canonical map, triples) from the
+    CacheManager — repeated pipeline runs in one session (benchmark
+    warmups, services) previously accumulated cache entries for the life
+    of the session."""
     pages = spark.createDataFrame(corpus.pages)
     gaz = spark.createDataFrame(corpus.gazetteer)
     res = extract_triples(spark, pages, gaz)
     res.triples.count()
-    assert len(res.cached) == 2
+    assert len(res.cached) == 3
     assert all(df.storageLevel.useMemory or df.storageLevel.useDisk for df in res.cached)
     res.release()
     assert all(
