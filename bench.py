@@ -89,10 +89,13 @@ def main() -> None:
     # dominated; the authoritative triples/sec (BASELINE.json metric) is
     # measured on a compute-dominated synthetic corpus
     from codebased_spark.graph.pipeline import extract_triples
-    from codebased_spark.synth.scale import synth_pages_spark
+    from codebased_spark.synth.scale import synth_pages_materialized
 
     synth_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "200000"))
-    pages, gaz = synth_pages_spark(spark, synth_docs)
+    # materialized: the measured runs scan parquet (the production input
+    # shape) instead of fusing the generator expression into — and thereby
+    # de-codegen-ing — the pipeline's own stages (see synth/scale.py)
+    pages, gaz = synth_pages_materialized(spark, synth_docs)
     # same steady-state discipline, now TWO untimed full-size warmups:
     # measured run sequences (r3, 5 identical 200k runs: 70/36/12/11/11s)
     # show C2 needs two full passes before the generated code is fully

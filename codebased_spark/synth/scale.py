@@ -100,3 +100,36 @@ def synth_pages_spark(
     )
     gazetteer = spark.createDataFrame(gaz_pd)
     return pages, gazetteer
+
+
+def synth_pages_materialized(
+    spark: SparkSession,
+    n_docs: int,
+    n_entities: int = 120,
+    seed: int = 42,
+    base_dir: str = "/tmp/spark_graft_synth",
+) -> tuple[DataFrame, DataFrame]:
+    """Like synth_pages_spark, but the pages are written to parquet once
+    and read back.
+
+    Two reasons benchmarks should use this form:
+    - Input shape: the production input is a columnar table scan (the
+      north rule's Iceberg pages table), not a generator expression; a
+      parquet read is the honest stand-in.
+    - Codegen: the inline generator is a ~13k-line expression tree
+      (element_at over literal arrays per sentence slot). Whole-stage
+      codegen fuses it into every downstream stage, and the fused
+      hashAgg class exceeds janino's method limit — Spark falls back to
+      interpreted execution for exactly the stages being measured. A
+      parquet boundary keeps the pipeline's own stages in codegen.
+
+    The corpus is deterministic in (n_docs, n_entities, seed), so the
+    parquet dir is keyed by those and reused when already committed.
+    """
+    import os
+
+    pages, gazetteer = synth_pages_spark(spark, n_docs, n_entities, seed)
+    path = f"{base_dir}_{n_docs}_{n_entities}_{seed}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        pages.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path), gazetteer

@@ -52,9 +52,9 @@ def main(argv: list[str] | None = None) -> None:
     spark = get_spark("codebased-kg-pipeline", master=args.master)
     t0 = time.time()
     if args.synth_docs:
-        from codebased_spark.synth.scale import synth_pages_spark
+        from codebased_spark.synth.scale import synth_pages_materialized
 
-        pages, gaz = synth_pages_spark(spark, args.synth_docs)
+        pages, gaz = synth_pages_materialized(spark, args.synth_docs)
     elif args.warc:
         if not args.gazetteer:
             ap.error("--gazetteer required with --warc")

@@ -216,3 +216,20 @@ def test_pipeline_dedupe_captures_ignores_stale_recrawl(spark):
     assert set(map(tuple, dup.triples.collect())) == set(
         map(tuple, base.triples.collect())
     )
+
+
+def test_synth_materialized_roundtrips_generator(spark, tmp_path):
+    """synth_pages_materialized must yield exactly the generator's rows
+    (benchmarks rely on the parquet boundary changing the PLAN — keeping
+    the pipeline's stages in codegen — without changing the corpus)."""
+    from codebased_spark.synth.scale import synth_pages_materialized, synth_pages_spark
+
+    inline, _ = synth_pages_spark(spark, 200)
+    mat, _ = synth_pages_materialized(spark, 200, base_dir=str(tmp_path / "synth"))
+    # parquet reads back nullable; names and types must match exactly
+    assert [(f.name, f.dataType) for f in mat.schema] == [
+        (f.name, f.dataType) for f in inline.schema
+    ]
+    assert mat.count() == 200
+    assert mat.exceptAll(inline).count() == 0
+    assert inline.exceptAll(mat).count() == 0

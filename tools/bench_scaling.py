@@ -48,7 +48,7 @@ def child(cpus: int, docs: int, executors: int = 0) -> None:
     sys.path.insert(0, REPO)
     from codebased_spark.graph.pipeline import extract_triples
     from codebased_spark.session import get_spark
-    from codebased_spark.synth.scale import synth_pages_spark
+    from codebased_spark.synth.scale import synth_pages_materialized
 
     if executors:
         # N separate executor JVMs x `cpus` cores each — the in-sandbox
@@ -67,7 +67,7 @@ def child(cpus: int, docs: int, executors: int = 0) -> None:
             f"bench-scaling-{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus
         )
     spark.sparkContext.setLogLevel("ERROR")
-    pages, gaz = synth_pages_spark(spark, docs)
+    pages, gaz = synth_pages_materialized(spark, docs)
     # warm up JVM/codegen/Arrow so we measure steady-state throughput
     extract_triples(spark, pages.limit(2000), gaz).triples.count()
     t0 = time.perf_counter()
