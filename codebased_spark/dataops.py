@@ -560,6 +560,38 @@ def g_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comps.groupBy("comp").agg(F.count(F.lit(1)).alias("n_nodes"))
 
 
+def kg_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 incoming anchor texts per link target — the web-KG naming/
+    alias signal (reference analog: import-alias naming of cross-file
+    references). Real HTML anchor extraction on the Spark side; the
+    oracle restates the planted anchors declaratively."""
+    from codebased_spark.extract.anchors import anchor_text_summary
+    from codebased_spark.synth.pages import pages_with_links_spark
+
+    return anchor_text_summary(pages_with_links_spark(_docs(spark, sf_dir)), k=2)
+
+
+def kg_domain_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level link graph with edge weights — the page graph collapsed
+    to the unit crawl schedulers and quality models operate on."""
+    from codebased_spark.extract.anchors import domain_graph
+    from codebased_spark.synth.pages import pages_with_links_spark
+
+    return domain_graph(pages_with_links_spark(_docs(spark, sf_dir)))
+
+
+def kg_canonical_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """<link rel="canonical"> page-identity collapse: variants group onto
+    their declared canonical url, one max_by aggregation (same scale
+    shape as the recrawl collapse). Real markup extraction on the Spark
+    side; the oracle restates the planted declarations."""
+    from codebased_spark.sources.canonical import collapse_canonical
+    from codebased_spark.synth.pages import pages_with_canonical_spark
+
+    pages = pages_with_canonical_spark(_docs(spark, sf_dir))
+    return collapse_canonical(pages).select("url", "src_url", "n_variants")
+
+
 QUERIES = {
     "dd_exact": dd_exact,
     "dd_ngram_jaccard": dd_ngram_jaccard,
@@ -600,6 +632,9 @@ QUERIES = {
     "g_components": g_components,
     "g_pagerank": g_pagerank,
     "g_pagerank_dangling": g_pagerank_dangling,
+    "kg_anchor_text": kg_anchor_text,
+    "kg_domain_graph": kg_domain_graph,
+    "kg_canonical_collapse": kg_canonical_collapse,
 }
 
 # ---------------------------------------------------------------------------
@@ -1368,6 +1403,70 @@ ORACLES = {
         ),
         lab AS (SELECT start AS id, min(node) AS comp FROM r GROUP BY start)
         SELECT comp, count(*) AS n_nodes FROM lab GROUP BY comp
+    """,
+    # planted anchors (synth/pages.py pages_with_links_spark): internal
+    # .../doc/(doc_id%97) with text 'doc N' (doc_id%3=0) else 'article N';
+    # external cdn asset (doc_id%13) with text 'download'; an empty-text
+    # anchor that must NOT appear here
+    "kg_anchor_text": """
+        WITH a AS (
+          SELECT 'https://' || source || '.example.org/' || lang || '/doc/'
+                   || (doc_id % 97) AS target,
+                 CASE WHEN doc_id % 3 = 0 THEN 'doc ' || (doc_id % 97)
+                      ELSE 'article ' || (doc_id % 97) END AS anchor_text,
+                 doc_id
+          FROM documents
+          UNION ALL
+          SELECT 'https://cdn.example.net/asset/' || (doc_id % 13),
+                 'download', doc_id
+          FROM documents
+        ),
+        c AS (
+          SELECT target, anchor_text, count(*) AS n_refs,
+                 count(DISTINCT doc_id) AS n_src_pages
+          FROM a GROUP BY 1, 2
+        ),
+        r AS (
+          SELECT *, row_number() OVER (PARTITION BY target
+                   ORDER BY n_refs DESC, anchor_text) AS rnk
+          FROM c
+        )
+        SELECT target, anchor_text, n_refs, n_src_pages, rnk
+        FROM r WHERE rnk <= 2
+    """,
+    # planted canonical declarations (pages_with_canonical_spark):
+    # doc_id%4==0 declares none (self group, singleton); others declare
+    # hub.example.org/c/(doc_id%50); kept variant = latest warc_ts =
+    # max doc_id (no hub url is itself crawled, so no self-capture wins)
+    "kg_canonical_collapse": """
+        WITH m AS (
+          SELECT CASE WHEN doc_id % 4 = 0
+                      THEN 'https://' || source || '.example.org/' || lang
+                           || '/doc/' || doc_id
+                      ELSE 'https://hub.example.org/c/' || (doc_id % 50)
+                 END AS url,
+                 'https://' || source || '.example.org/' || lang || '/doc/'
+                   || doc_id AS src_url,
+                 doc_id
+          FROM documents
+        )
+        SELECT url, arg_max(src_url, doc_id) AS src_url,
+               count(*) AS n_variants
+        FROM m GROUP BY url
+    """,
+    # same planted anchors; the empty-text anchor DOES count as a link
+    "kg_domain_graph": """
+        WITH l AS (
+          SELECT source || '.example.org' AS src_host,
+                 source || '.example.org' AS dst_host, doc_id FROM documents
+          UNION ALL
+          SELECT source || '.example.org', 'cdn.example.net', doc_id FROM documents
+          UNION ALL
+          SELECT source || '.example.org', 't.example.net', doc_id FROM documents
+        )
+        SELECT src_host, dst_host, count(*) AS n_links,
+               count(DISTINCT doc_id) AS n_src_pages
+        FROM l GROUP BY 1, 2
     """,
 }
 

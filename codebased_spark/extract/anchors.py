@@ -1,0 +1,132 @@
+"""Anchor-text extraction + incoming-anchor aggregation + domain graph.
+
+Web-KG analogs of the reference's cross-file reference naming
+(reference: extractor.py import-alias emit, src/graph call-site edges):
+on the web, the text inside <a href="...">...</a> is how OTHER pages
+name a target — the classic alias/naming signal for entity linking and
+page titling (used by every web-scale KG build since WebTables/Knowledge
+Vault). The domain graph is the host-level collapse of the page graph —
+the unit crawl schedulers and spam/quality models operate on.
+
+All Spark-native: one regexp pass per page extracts (href, text) pairs
+inside codegen (no Python anywhere); the aggregations are two narrow
+shuffles keyed by target — at 10^12 pages the shuffle carries only
+(target, text) pairs, never HTML.
+
+Scale notes:
+- anchor_text_summary groups by (target, text): hot targets (homepages
+  with 10^8 in-links) produce hot KEYS but the per-(target,text) partial
+  aggregation is map-side combined, so the shuffle row count per target
+  is its distinct anchor-text count, not its in-degree. The top-k window
+  then runs per target over at most that many rows.
+- domain_graph groups by (src_host, dst_host) after per-page explode;
+  the same map-side combine bounds shuffle rows by distinct host pairs.
+
+Heuristic scope (documented, tested): anchors whose inner content holds
+nested markup (<a ...><b>x</b></a>) are skipped by the single-pass
+regexp — the aggregate wants human-readable naming text, and nested-
+markup anchors are overwhelmingly images/buttons. Whitespace is
+collapsed, empty texts are dropped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from codebased_spark.extract.urlops import host_col
+
+_ANCHOR_RE = '<a\\s+href="([^"]+)"[^>]*>([^<]*)</a>'
+
+
+def anchor_entries_col(html_col: Column) -> Column:
+    """array<struct<href:string, text:string>> of simple-text anchors.
+
+    One regexp_extract_all over the raw html collects whole tags; a
+    transform re-extracts the two groups per element — still one scan of
+    the string, all inside whole-stage codegen.
+    """
+    h = html_col.cast("string")
+    tags = F.regexp_extract_all(h, F.lit(_ANCHOR_RE), 0)
+    return F.transform(
+        tags,
+        lambda t: F.struct(
+            F.regexp_extract(t, _ANCHOR_RE, 1).alias("href"),
+            F.trim(
+                F.regexp_replace(F.regexp_extract(t, _ANCHOR_RE, 2), "\\s+", " ")
+            ).alias("text"),
+        ),
+    )
+
+
+def with_anchors(
+    df: DataFrame, html_col: str = "html", out: str = "anchors"
+) -> DataFrame:
+    return df.withColumn(out, anchor_entries_col(F.col(html_col)))
+
+
+def exploded_anchors(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """(src_url, target, anchor_text) — one row per non-empty-text anchor."""
+    return (
+        with_anchors(pages, html_col=html_col)
+        .select(F.col("url").alias("src_url"), F.explode("anchors").alias("a"))
+        .select(
+            "src_url",
+            F.col("a.href").alias("target"),
+            F.col("a.text").alias("anchor_text"),
+        )
+        .where(F.col("anchor_text") != "")
+    )
+
+
+def anchor_text_summary(
+    pages: DataFrame, k: int = 3, html_col: str = "html"
+) -> DataFrame:
+    """Top-k incoming anchor texts per target url.
+
+    (target, anchor_text, n_refs, n_src_pages, rnk) with rnk <= k; rank
+    order (n_refs DESC, anchor_text ASC) is total, so output is
+    deterministic and SQL-twinnable.
+    """
+    pairs = exploded_anchors(pages, html_col=html_col)
+    counts = pairs.groupBy("target", "anchor_text").agg(
+        F.count(F.lit(1)).alias("n_refs"),
+        F.countDistinct("src_url").alias("n_src_pages"),
+    )
+    w = Window.partitionBy("target").orderBy(
+        F.col("n_refs").desc(), F.col("anchor_text")
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("target", "anchor_text", "n_refs", "n_src_pages", "rnk")
+    )
+
+
+def domain_graph(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Host-level link graph: (src_host, dst_host, n_links, n_src_pages).
+
+    Collapses the page graph to registr-level hosts; malformed hrefs
+    (try_parse_url NULL) are dropped, self-loops kept (intra-site links
+    are a real signal). Includes empty-text anchors — the graph cares
+    about the link, not its label — so it re-extracts from href targets,
+    not exploded_anchors.
+    """
+    from codebased_spark.extract.html_text import href_targets
+
+    links = pages.select(
+        F.col("url"), F.explode(href_targets(F.col(html_col))).alias("href")
+    )
+    return (
+        links.select(
+            "url",
+            host_col(F.col("url")).alias("src_host"),
+            host_col(F.col("href")).alias("dst_host"),
+        )
+        .where(F.col("src_host").isNotNull() & F.col("dst_host").isNotNull())
+        .groupBy("src_host", "dst_host")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.countDistinct("url").alias("n_src_pages"),
+        )
+    )

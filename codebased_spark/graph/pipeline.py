@@ -71,6 +71,7 @@ def extract_triples(
     max_broadcast_surfaces: int = 2_000_000,
     mention_heuristics: tuple[str, ...] | None = None,
     dedupe_captures: bool = False,
+    canonical_collapse: bool = False,
 ) -> GraphResult:
     """Run extraction + linking + canonicalization.
 
@@ -85,6 +86,11 @@ def extract_triples(
     `mention_heuristics` selects the fuzzy-candidate detector family
     (extract/mentions.CANDIDATE_HEURISTICS — E10 in full: capseq /
     allcaps / quoted); None keeps the proper-name default.
+
+    `dedupe_captures` / `canonical_collapse` are the two opt-in identity
+    pre-steps: latest capture wins per url (sources/recrawl.py), then
+    declared-variant pages collapse onto their <link rel="canonical">
+    target (sources/canonical.py) — both one combined aggregation each.
 
     `max_broadcast_surfaces` guards the one driver-memory-bound step: the
     automaton path collects the alias vocabulary for the executor-side
@@ -109,6 +115,14 @@ def extract_triples(
 
         content = "html" if "html" in pages.columns else "text"
         pages = latest_captures(pages, content_col=content).drop("n_captures")
+
+    # canonical collapse second (recrawl first settles WHICH capture of a
+    # variant speaks, then <link rel="canonical"> settles page identity):
+    # triples from declared variants attach to the canonical url
+    if canonical_collapse and "html" in pages.columns:
+        from codebased_spark.sources.canonical import collapse_canonical
+
+        pages = collapse_canonical(pages).drop("src_url", "n_variants")
 
     # size guard before any UDF work (reference base.py:146-149 max_file_size
     # skip): pathological documents are dropped map-side, never decoded

@@ -334,3 +334,99 @@ def write_fixture(out_dir: str, n_docs: int = 200, n_entities: int = 120, seed: 
     c.golden_triples.to_parquet(f"{out_dir}/golden_triples.parquet", index=False)
     c.golden_text.to_parquet(f"{out_dir}/golden_text.parquet", index=False)
     return c
+
+
+def pages_with_links_spark(docs):
+    """pages_from_documents_spark plus three planted anchors per page —
+    deterministic functions of the documents columns so a SQL oracle can
+    state the expected link/anchor-text output declaratively while the
+    Spark side does real HTML anchor extraction:
+
+    - internal: href .../doc/(doc_id % 97), text 'doc N' on every third
+      page and 'article N' otherwise (two competing anchor texts per
+      target, exercising the top-k ranking);
+    - external: href cdn.example.net/asset/(doc_id % 13), text 'download'
+      (a hot shared target);
+    - empty-text: t.example.net/p with whitespace inner text (dropped by
+      the anchor-text summary, kept by the domain graph).
+    """
+    from pyspark.sql import functions as F
+
+    n97 = (F.col("doc_id") % 97).cast("string")
+    int_href = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.org/"),
+        F.col("lang"), F.lit("/doc/"), n97,
+    )
+    int_text = F.when(
+        F.col("doc_id") % 3 == 0, F.concat(F.lit("doc "), n97)
+    ).otherwise(F.concat(F.lit("article "), n97))
+    ext_href = F.concat(
+        F.lit("https://cdn.example.net/asset/"),
+        (F.col("doc_id") % 13).cast("string"),
+    )
+    anchor_html = F.concat(
+        F.lit('<a href="'), int_href, F.lit('">'), int_text, F.lit("</a>"),
+        F.lit('<a href="'), ext_href, F.lit('" rel="nofollow">download</a>'),
+        F.lit('<a href="https://t.example.net/p"> </a>'),
+    )
+    # carry the anchor block through the canonical adapter on a side
+    # column, splice it into the body, then project to the pages schema
+    base = pages_from_documents_spark(docs)
+    keyed = docs.select("doc_id", "source", "lang", anchor_html.alias("_anchors"))
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.org/"),
+        F.col("lang"), F.lit("/doc/"), F.col("doc_id").cast("string"),
+    )
+    keyed = keyed.select(url.alias("url"), "_anchors")
+    joined = base.join(keyed, "url")
+    html = F.encode(
+        F.concat(
+            F.regexp_replace(
+                F.decode(F.col("html"), "UTF-8"), "</p></body></html>$", "</p>"
+            ),
+            F.col("_anchors"),
+            F.lit("</body></html>"),
+        ),
+        "UTF-8",
+    )
+    return joined.select(
+        "url", "warc_ts", html.alias("html"), "text", "lang"
+    )
+
+
+def pages_with_canonical_spark(docs):
+    """pages_from_documents_spark plus a planted <link rel="canonical">:
+    docs with doc_id % 4 != 0 declare canonical
+    https://hub.example.org/c/(doc_id % 50) — odd doc_ids in the
+    rel-then-href attribute order, even in href-then-rel, so both
+    extraction regexps are exercised; doc_id % 4 == 0 declares none and
+    groups under its own url."""
+    from pyspark.sql import functions as F
+
+    base = pages_from_documents_spark(docs)
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.org/"),
+        F.col("lang"), F.lit("/doc/"), F.col("doc_id").cast("string"),
+    )
+    hub = F.concat(
+        F.lit("https://hub.example.org/c/"), (F.col("doc_id") % 50).cast("string")
+    )
+    link = F.when(
+        F.col("doc_id") % 4 == 0, F.lit("")
+    ).when(
+        F.col("doc_id") % 2 == 1,
+        F.concat(F.lit('<link rel="canonical" href="'), hub, F.lit('"/>')),
+    ).otherwise(
+        F.concat(F.lit('<link href="'), hub, F.lit('" rel="canonical"/>')),
+    )
+    keyed = docs.select(url.alias("url"), link.alias("_link"))
+    joined = base.join(keyed, "url")
+    html = F.encode(
+        F.replace(
+            F.decode(F.col("html"), "UTF-8"),
+            F.lit("</head>"),
+            F.concat(F.col("_link"), F.lit("</head>")),
+        ),
+        "UTF-8",
+    )
+    return joined.select("url", "warc_ts", html.alias("html"), "text", "lang")

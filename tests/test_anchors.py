@@ -1,0 +1,100 @@
+"""Anchor-text extraction + aggregation + domain graph (extract/anchors.py)."""
+
+from __future__ import annotations
+
+from codebased_spark.extract.anchors import (
+    anchor_text_summary,
+    domain_graph,
+    exploded_anchors,
+    with_anchors,
+)
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(
+        [(u, h.encode()) for u, h in rows], ["url", "html"]
+    )
+
+
+def test_anchor_extraction_shapes(spark):
+    pages = _pages(
+        spark,
+        [
+            (
+                "https://a.example.com/p1",
+                '<p>x</p><a href="https://t.example.com/x">  Click\n here </a>'
+                '<a href="https://t.example.com/y" rel="nofollow" class="z">Other</a>'
+                '<a href="https://t.example.com/img"><img src="i.png"/></a>'
+                '<a href="https://t.example.com/e"></a>',
+            )
+        ],
+    )
+    got = {
+        (r.target, r.anchor_text)
+        for r in exploded_anchors(pages).collect()
+    }
+    # whitespace collapsed+trimmed; attribute tail tolerated; nested-markup
+    # and empty-text anchors dropped
+    assert got == {
+        ("https://t.example.com/x", "Click here"),
+        ("https://t.example.com/y", "Other"),
+    }
+    arr = with_anchors(pages).select("anchors").first()[0]
+    assert [a.href for a in arr] == [
+        "https://t.example.com/x",
+        "https://t.example.com/y",
+        "https://t.example.com/e",
+    ]
+
+
+def test_anchor_text_summary_ranks_and_cuts(spark):
+    rows = [
+        (f"https://s{i}.example.com/p", '<a href="https://t.example.com/">Home</a>')
+        for i in range(3)
+    ] + [
+        ("https://s9.example.com/p", '<a href="https://t.example.com/">Start</a>'),
+        ("https://s9.example.com/q", '<a href="https://t.example.com/">Alpha</a>'),
+    ]
+    out = anchor_text_summary(_pages(spark, rows), k=2).collect()
+    by_rank = {r.rnk: r for r in out}
+    assert len(out) == 2
+    assert by_rank[1].anchor_text == "Home" and by_rank[1].n_refs == 3
+    assert by_rank[1].n_src_pages == 3
+    # tie between Start/Alpha (1 ref each) broken alphabetically; k=2 cut
+    assert by_rank[2].anchor_text == "Alpha"
+
+
+def test_domain_graph_counts_and_drops_malformed(spark):
+    rows = [
+        (
+            "https://a.example.com/p1",
+            '<a href="https://b.example.com/x">b</a>'
+            '<a href="https://b.example.com/y">b2</a>'
+            '<a href="https://a.example.com/self">self</a>'
+            '<a href="not a url">junk</a>',
+        ),
+        ("https://a.example.com/p2", '<a href="https://b.example.com/z"> </a>'),
+    ]
+    got = {
+        (r.src_host, r.dst_host): (r.n_links, r.n_src_pages)
+        for r in domain_graph(_pages(spark, rows)).collect()
+    }
+    # empty-text anchors count as links; malformed hrefs are dropped;
+    # self-loops kept
+    assert got == {
+        ("a.example.com", "b.example.com"): (3, 2),
+        ("a.example.com", "a.example.com"): (1, 1),
+    }
+
+
+def test_anchor_plans_stay_jvm_with_partial_agg(spark):
+    """Plan contract: anchor extraction is pure JVM (no Python fallback)
+    and both aggregations keep a map-side partial before the shuffle —
+    the property that bounds shuffle rows by distinct (target, text) /
+    host pairs instead of raw in-degree at web scale."""
+    pages = _pages(spark, [("https://a.example.com/p", '<a href="https://b.example.com/">b</a>')])
+    for df in (anchor_text_summary(pages), domain_graph(pages)):
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+        # partial_count before the exchange = map-side combine
+        assert "partial_count" in p

@@ -44,7 +44,7 @@ def _package_zip() -> str:
     return zpath
 
 
-def child(cpus: int, docs: int, executors: int = 0) -> None:
+def child(cpus: int, docs: int, executors: int = 0, mem_mb: int = 16384) -> None:
     sys.path.insert(0, REPO)
     from codebased_spark.graph.pipeline import extract_triples
     from codebased_spark.session import get_spark
@@ -54,7 +54,7 @@ def child(cpus: int, docs: int, executors: int = 0) -> None:
         # N separate executor JVMs x `cpus` cores each — the in-sandbox
         # emulation of an N-executor cluster (own heap/GC/python workers
         # per executor), scaled by the executor count like a real cluster
-        master = f"local-cluster[{executors},{cpus},8192]"
+        master = f"local-cluster[{executors},{cpus},{mem_mb}]"
         total = executors * cpus
         spark = get_spark(
             f"bench-scaling-{executors}x{cpus}", master=master,
@@ -68,24 +68,39 @@ def child(cpus: int, docs: int, executors: int = 0) -> None:
         )
     spark.sparkContext.setLogLevel("ERROR")
     pages, gaz = synth_pages_materialized(spark, docs)
-    # warm up JVM/codegen/Arrow so we measure steady-state throughput
-    extract_triples(spark, pages.limit(2000), gaz).triples.count()
+    # steady-state discipline (same as bench.py): two UNTIMED full-size
+    # warmups so C2 finishes tiering the generated code — a single small
+    # warmup leaves each config at a different point of the JIT curve and
+    # the efficiency ratio measures warmup, not scaling
+    for _ in range(2):
+        w = extract_triples(spark, pages, gaz)
+        w.triples.count()
+        w.release()
     t0 = time.perf_counter()
-    n = extract_triples(spark, pages, gaz).triples.count()
+    res = extract_triples(spark, pages, gaz)
+    n = res.triples.count()
     dt = time.perf_counter() - t0
+    res.release()
     print(json.dumps({"cpus": cpus, "seconds": round(dt, 2), "triples": n}))
     spark.stop()
 
 
-def run_child(cpus: int, docs: int, executors: int = 0) -> dict:
-    cmd = [sys.executable, __file__, "--child", str(cpus), "--docs", str(docs)]
+def run_child(cpus: int, docs: int, executors: int = 0, mem_mb: int = 16384) -> dict:
+    cmd = [sys.executable, __file__, "--child", str(cpus), "--docs", str(docs),
+           "--mem-mb", str(mem_mb)]
     if executors:
         cmd += ["--executors", str(executors)]
     out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, timeout=3600)
     for line in out.stdout.splitlines():
         if line.startswith("{"):
             return json.loads(line)
-    raise RuntimeError(f"child[{cpus}] produced no result:\n{out.stdout}\n{out.stderr[-2000:]}")
+    errlog = f"/tmp/bench_scaling_child_{cpus}_{executors}.stderr"
+    with open(errlog, "w") as f:
+        f.write(out.stderr)
+    raise RuntimeError(
+        f"child[{cpus}] produced no result (full stderr: {errlog}):\n"
+        f"{out.stdout}\n{out.stderr[-2000:]}"
+    )
 
 
 def main() -> None:
@@ -97,16 +112,18 @@ def main() -> None:
     ap.add_argument("--executor-cores", type=int, default=0,
                     help="if set, lo/hi are EXECUTOR counts in local-cluster mode with this many cores each")
     ap.add_argument("--executors", type=int, default=0, help="(child) executor count")
+    ap.add_argument("--mem-mb", type=int, default=16384,
+                    help="executor memory per local-cluster executor (MB)")
     ap.add_argument("--out", default=None, help="append a markdown report to this file")
     args = ap.parse_args()
     if args.child is not None:
         child(args.child if not args.executors else args.executor_cores or args.child,
-              args.docs, executors=args.executors)
+              args.docs, executors=args.executors, mem_mb=args.mem_mb)
         return
 
     if args.executor_cores:
-        lo = run_child(args.executor_cores, args.docs, executors=args.lo)
-        hi = run_child(args.executor_cores, args.docs, executors=args.hi)
+        lo = run_child(args.executor_cores, args.docs, executors=args.lo, mem_mb=args.mem_mb)
+        hi = run_child(args.executor_cores, args.docs, executors=args.hi, mem_mb=args.mem_mb)
     else:
         lo = run_child(args.lo, args.docs)
         hi = run_child(args.hi, args.docs)
