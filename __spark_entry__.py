@@ -53,7 +53,9 @@ def _run_pipeline(spark: SparkSession, sf_dir: str, fresh: bool = False):
             return hit
     pages = _kg_pages(spark, sf_dir)
     gaz = _doc_gazetteer(spark)
-    res = extract_triples(spark, pages, gaz)
+    # memoized results feed graph-materializing queries (kg_graph_stats)
+    # as well as triple slices, so cache the triples fan-out too
+    res = extract_triples(spark, pages, gaz, persist_triples=not fresh)
     if not fresh:
         _PIPELINE_MEMO[key] = res
     return res

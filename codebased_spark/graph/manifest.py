@@ -113,7 +113,7 @@ def _process_buckets(
         batches = batches[:max_batches]
     for batch in batches:
         sub = pages_b.where(F.col("bucket").isin(batch))
-        res = extract_triples(spark, sub, gazetteer)
+        res = extract_triples(spark, sub, gazetteer, persist_triples=True)
         # Attribute every output row to the bucket(s) whose pages produced
         # it. Entity nodes are referenced from many buckets — they get one
         # row per referencing bucket, so overwriting one bucket's

@@ -72,6 +72,7 @@ def extract_triples(
     mention_heuristics: tuple[str, ...] | None = None,
     dedupe_captures: bool = False,
     canonical_collapse: bool = False,
+    persist_triples: bool = False,
 ) -> GraphResult:
     """Run extraction + linking + canonicalization.
 
@@ -330,17 +331,27 @@ def extract_triples(
     )
 
     triples = mention_triples.unionByName(rel_triples).unionByName(link_triples)
-    if persist:
+    if persist and persist_triples:
         from pyspark import StorageLevel
 
-        # third fan-out point: triples feed the caller's action AND the
-        # node/edge materialization (used_ids, stubs, edge dedup) — without
-        # this each consumer re-pays the three dedup shuffles above
-        # (measured: nodes+edges actions went 43.7s -> ~13s at 200k docs)
+        # third fan-out point for GRAPH-MATERIALIZING callers (the
+        # manifest runner, stats): triples feed the caller's action AND
+        # the node/edge build (used_ids, stubs, edge dedup), so caching
+        # them saves re-running the three dedup shuffles per consumer.
+        # OFF by default: a triples-only consumer (the headline
+        # throughput path) would pay the corpus-sized cache write for
+        # nothing (measured ~25% of end-to-end at 200k docs), and at
+        # 100 TB a corpus-sized cache is a spill risk — flat/canon stay
+        # cached either way, so an unpersisted rebuild re-pays only the
+        # narrow dedup shuffles, never the scan UDFs.
         triples = triples.persist(StorageLevel.MEMORY_AND_DISK)
 
     nodes, edges = _materialize_graph(pages, canon, triples)
-    cached = (flat, canon, triples) if persist else ()
+    cached = (
+        (flat, canon, triples) if (persist and persist_triples)
+        else (flat, canon) if persist
+        else ()
+    )
     return GraphResult(
         triples=triples, nodes=nodes, edges=edges, mentions=linked, cached=cached
     )

@@ -130,14 +130,18 @@ def test_join_scan_fallback_matches_automaton_path(spark, corpus):
 
 
 def test_release_unpersists_internal_caches(spark, corpus):
-    """GraphResult.release() must drop the pipeline's three persisted
-    fan-out points (flat scan, canonical map, triples) from the
-    CacheManager — repeated pipeline runs in one session (benchmark
-    warmups, services) previously accumulated cache entries for the life
-    of the session."""
+    """GraphResult.release() must drop the pipeline's persisted fan-out
+    points (flat scan, canonical map, and — for graph-materializing
+    callers — triples) from the CacheManager; repeated pipeline runs in
+    one session (benchmark warmups, services) previously accumulated
+    cache entries for the life of the session. A triples-only caller
+    (default) must NOT pay the triples cache write."""
     pages = spark.createDataFrame(corpus.pages)
     gaz = spark.createDataFrame(corpus.gazetteer)
-    res = extract_triples(spark, pages, gaz)
+    lean = extract_triples(spark, pages, gaz)
+    assert len(lean.cached) == 2  # flat + canon only
+    lean.release()
+    res = extract_triples(spark, pages, gaz, persist_triples=True)
     res.triples.count()
     assert len(res.cached) == 3
     assert all(df.storageLevel.useMemory or df.storageLevel.useDisk for df in res.cached)
