@@ -104,11 +104,18 @@ def main() -> None:
         w = extract_triples(spark, pages, gaz)
         w.triples.count()
         w.release()
-    t0 = time.perf_counter()
-    synth_res = extract_triples(spark, pages, gaz)
-    n_synth_triples = synth_res.triples.count()
-    synth_sec = time.perf_counter() - t0
-    synth_res.release()
+    # median of 3 timed runs: this VM shows bursty multi-second slowdown
+    # windows (disclosed in BENCH.md), and the headline metric should not
+    # hinge on whether ONE run landed in such a window
+    runs = []
+    n_synth_triples = 0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        synth_res = extract_triples(spark, pages, gaz)
+        n_synth_triples = synth_res.triples.count()
+        runs.append(time.perf_counter() - t0)
+        synth_res.release()
+    synth_sec = sorted(runs)[1]
     timings["kg_throughput_200k"] = round(synth_sec, 3)
 
     total = round(sum(v for v in timings.values() if v > 0), 3)
@@ -126,6 +133,7 @@ def main() -> None:
         "synth_triples": n_synth_triples,
         "triples_per_sec": round(n_synth_triples / synth_sec, 1),
         "docs_per_sec": round(synth_docs / synth_sec, 1),
+        "throughput_runs_sec": [round(x, 3) for x in runs],
         "cpus": CPUS,
     }
     print(json.dumps(out))
