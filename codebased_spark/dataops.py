@@ -580,6 +580,33 @@ def kg_domain_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_graph(pages_with_links_spark(_docs(spark, sf_dir)))
 
 
+def kg_triple_lifespan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal fact windows over the recrawl fixture: per (url, entity)
+    mention-fact, first/last observation epoch, capture count, and
+    whether the url's LATEST capture still asserts it (graph/temporal.py).
+    Facts vanish in this fixture because different doc_ids (captures) of
+    the same url carry different texts."""
+    from codebased_spark.graph.queries import _gaz_df
+    from codebased_spark.graph.temporal import fact_lifespans
+
+    gaz = F.broadcast(_gaz_df(spark))
+    caps = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("https://recrawl.example.org/page/"),
+            (F.col("doc_id") % 100).cast("string"),
+        ).alias("url"),
+        (F.lit(1735689600) + F.col("doc_id")).alias("ts"),
+        F.col("text"),
+    )
+    obs = (
+        caps.select("url", "ts", F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .join(gaz, F.col("word") == gaz.surface_form)
+        .select("url", "ts", F.col("canonical_id").alias("entity_id"))
+    )
+    return fact_lifespans(obs, ts_col="ts")
+
+
 def kg_canonical_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """<link rel="canonical"> page-identity collapse: variants group onto
     their declared canonical url, one max_by aggregation (same scale
@@ -635,6 +662,7 @@ QUERIES = {
     "kg_anchor_text": kg_anchor_text,
     "kg_domain_graph": kg_domain_graph,
     "kg_canonical_collapse": kg_canonical_collapse,
+    "kg_triple_lifespan": kg_triple_lifespan,
 }
 
 # ---------------------------------------------------------------------------
@@ -1433,6 +1461,32 @@ ORACLES = {
         )
         SELECT target, anchor_text, n_refs, n_src_pages, rnk
         FROM r WHERE rnk <= 2
+    """,
+    # recrawl fixture (same construction as kg_latest_capture): url =
+    # doc_id%100, ts = epoch+doc_id; mention facts via the shared
+    # gazetteer VALUES; latest capture per url = max doc_id
+    "kg_triple_lifespan": f"""
+        WITH caps AS (
+          SELECT 'https://recrawl.example.org/page/' || (doc_id % 100) AS url,
+                 1735689600 + doc_id AS ts, doc_id, text
+          FROM documents
+        ),
+        gaz(surface_form, canonical_id, entity_type) AS (VALUES {GAZ_SQL_VALUES}),
+        tok AS (
+          SELECT url, ts, unnest(string_split(text, ' ')) AS word
+          FROM caps
+        ),
+        m AS (
+          SELECT t.url, t.ts, g.canonical_id AS entity_id
+          FROM tok t JOIN gaz g ON t.word = g.surface_form
+        ),
+        latest AS (SELECT url, max(ts) AS latest_ts FROM caps GROUP BY url)
+        SELECT m.url, m.entity_id,
+               min(m.ts) AS first_seen, max(m.ts) AS last_seen,
+               count(DISTINCT m.ts) AS n_obs,
+               CASE WHEN max(m.ts) = any_value(l.latest_ts) THEN 1 ELSE 0 END AS is_current
+        FROM m JOIN latest l ON m.url = l.url
+        GROUP BY m.url, m.entity_id
     """,
     # planted canonical declarations (pages_with_canonical_spark):
     # doc_id%4==0 declares none (self group, singleton); others declare

@@ -1,0 +1,55 @@
+"""Temporal fact tracking over recrawl captures.
+
+A web corpus observes each url many times; facts (triples, mentions)
+appear, persist, and VANISH across captures — "X works for Y" stops
+being stated after X leaves. The reference's incremental updater keeps
+only the latest state per path (incremental.py:159-274); a temporal KG
+additionally wants each fact's observation window, and whether the fact
+is still asserted by the url's LATEST capture (retraction signal).
+
+fact_lifespans turns an observation table
+(url, capture_ts, <fact columns...>) into one row per (url, fact):
+first_seen / last_seen / n_obs / is_current.
+
+Scale shape: two aggregations, both map-side combined —
+(url) -> latest capture ts, and (url, fact) -> window — then ONE
+url-keyed join between two url-partitioned aggregates. Nothing is
+corpus-global, nothing collects; a url with 10^4 captures contributes
+one row per distinct fact, not per capture.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def fact_lifespans(
+    obs: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    fact_cols: Sequence[str] = ("entity_id",),
+) -> DataFrame:
+    """One row per (url, fact): observation window + currency flag.
+
+    `obs` holds one row per (capture, fact) observation; duplicate
+    observations inside one capture are fine (n_obs counts distinct
+    capture timestamps). is_current = 1 iff the fact appears in the
+    url's latest capture — last_seen equals the latest capture ts.
+    """
+    latest = obs.groupBy(url_col).agg(F.max(ts_col).alias("_latest_ts"))
+    per_fact = obs.groupBy(url_col, *fact_cols).agg(
+        F.min(ts_col).alias("first_seen"),
+        F.max(ts_col).alias("last_seen"),
+        F.countDistinct(ts_col).alias("n_obs"),
+    )
+    return (
+        per_fact.join(latest, url_col)
+        .withColumn(
+            "is_current",
+            (F.col("last_seen") == F.col("_latest_ts")).cast("int"),
+        )
+        .drop("_latest_ts")
+    )
