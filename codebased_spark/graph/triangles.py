@@ -37,8 +37,11 @@ def _canonical_edges(edges: DataFrame, order_by_degree: bool) -> DataFrame:
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
     )
-    da = F.broadcast(deg).withColumnsRenamed({"n": "a", "d": "da"})
-    db = F.broadcast(deg).withColumnsRenamed({"n": "b", "d": "db"})
+    # no broadcast hint: deg is node-cardinality (10^9+ at web scale, which
+    # would OOM a forced broadcast); AQE converts these to broadcast joins
+    # automatically whenever deg is actually small
+    da = deg.withColumnsRenamed({"n": "a", "d": "da"})
+    db = deg.withColumnsRenamed({"n": "b", "d": "db"})
     j = und.join(da, "a").join(db, "b")
     keep = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
