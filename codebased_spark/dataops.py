@@ -580,6 +580,19 @@ def kg_domain_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_graph(pages_with_links_spark(_docs(spark, sf_dir)))
 
 
+def g_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the deterministic doc graph, 4
+    L1-normalized rounds — value-checked against the SAME rounds unrolled
+    as SQL CTEs (graph/hits.py, the pagerank fixed-k discipline)."""
+    from codebased_spark.graph.hits import hits
+
+    docs = _docs(spark, sf_dir)
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    return hits(nodes, _doc_edges(spark, sf_dir), n_iter=4).withColumnRenamed(
+        "node", "doc_id"
+    )
+
+
 def kg_triple_lifespan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal fact windows over the recrawl fixture: per (url, entity)
     mention-fact, first/last observation epoch, capture count, and
@@ -663,6 +676,7 @@ QUERIES = {
     "kg_domain_graph": kg_domain_graph,
     "kg_canonical_collapse": kg_canonical_collapse,
     "kg_triple_lifespan": kg_triple_lifespan,
+    "g_hits": g_hits,
 }
 
 # ---------------------------------------------------------------------------
@@ -998,6 +1012,48 @@ def _pagerank_sql(
         SELECT v AS doc_id,
                floor(pr * 1000000 + 0.5) / 1000000 AS pr
         FROM p{n_iter}
+    """
+
+
+def _hits_sql(n_iter: int = 4) -> str:
+    """The SAME fixed L1-normalized HITS rounds as graph/hits.py, unrolled
+    as chained CTEs: a_i = inflow of h_{i-1} over edges (normalized by its
+    sum), h_i = outflow of a_i (normalized). Nodes with no in/out links
+    coalesce to 0."""
+    parts = []
+    for i in range(1, n_iter + 1):
+        # MATERIALIZED: each CTE is referenced twice (join + scalar-sum
+        # normalizer); without it DuckDB inlines the chain and the
+        # re-execution tree grows exponentially with rounds
+        parts.append(f"""
+        a{i}r AS MATERIALIZED (
+          SELECT e.dst AS id, sum(h{i-1}.s) AS x
+          FROM edges e JOIN h{i-1} ON e.src = h{i-1}.id GROUP BY e.dst
+        ),
+        a{i} AS MATERIALIZED (
+          SELECT d.doc_id AS id,
+                 coalesce(a{i}r.x, 0.0) / (SELECT sum(x) FROM a{i}r) AS s
+          FROM documents d LEFT JOIN a{i}r ON d.doc_id = a{i}r.id
+        ),
+        h{i}r AS MATERIALIZED (
+          SELECT e.src AS id, sum(a{i}.s) AS x
+          FROM edges e JOIN a{i} ON e.dst = a{i}.id GROUP BY e.src
+        ),
+        h{i} AS MATERIALIZED (
+          SELECT d.doc_id AS id,
+                 coalesce(h{i}r.x, 0.0) / (SELECT sum(x) FROM h{i}r) AS s
+          FROM documents d LEFT JOIN h{i}r ON d.doc_id = h{i}r.id
+        )""")
+    return f"""
+        WITH {_EDGES_SQL},
+        nn AS (SELECT count(*) AS c FROM documents),
+        h0 AS MATERIALIZED (
+          SELECT doc_id AS id, 1.0/(SELECT c FROM nn) AS s FROM documents),
+        {",".join(parts)}
+        SELECT h{n_iter}.id AS doc_id,
+               floor(h{n_iter}.s * 1000000 + 0.5) / 1000000 AS hub,
+               floor(a{n_iter}.s * 1000000 + 0.5) / 1000000 AS auth
+        FROM h{n_iter} JOIN a{n_iter} ON h{n_iter}.id = a{n_iter}.id
     """
 
 
@@ -1414,6 +1470,7 @@ ORACLES = {
         SELECT DISTINCT origin AS doc_id FROM r WHERE node = origin
     """,
     "g_pagerank": _pagerank_sql(n_iter=5, damping=0.85),
+    "g_hits": _hits_sql(n_iter=4),
     "g_pagerank_dangling": _pagerank_sql(n_iter=5, damping=0.85, dangling=True),
     # weak-component labels = min reachable id over the symmetrized edge
     # set — the CC FIXPOINT is iterative, but its result is a recursive
