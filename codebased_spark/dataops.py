@@ -580,6 +580,17 @@ def kg_domain_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_graph(pages_with_links_spark(_docs(spark, sf_dir)))
 
 
+def kg_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebTables-style structured extraction: planted <table> markup
+    parsed to relational (url, table_idx, row_idx, col_idx, cell) rows
+    with nested-markup stripping (extract/tables.py); the oracle restates
+    the planted cells declaratively."""
+    from codebased_spark.extract.tables import html_table_cells
+    from codebased_spark.synth.pages import pages_with_tables_spark
+
+    return html_table_cells(pages_with_tables_spark(_docs(spark, sf_dir)))
+
+
 def g_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs/authorities over the deterministic doc graph, 4
     L1-normalized rounds — value-checked against the SAME rounds unrolled
@@ -677,6 +688,7 @@ QUERIES = {
     "kg_canonical_collapse": kg_canonical_collapse,
     "kg_triple_lifespan": kg_triple_lifespan,
     "g_hits": g_hits,
+    "kg_html_tables": kg_html_tables,
 }
 
 # ---------------------------------------------------------------------------
@@ -1518,6 +1530,28 @@ ORACLES = {
         )
         SELECT target, anchor_text, n_refs, n_src_pages, rnk
         FROM r WHERE rnk <= 2
+    """,
+    # planted table (pages_with_tables_spark): header row + two data rows
+    # per page; the nested <b> markup in the doc cell must be stripped
+    "kg_html_tables": """
+        WITH p AS (
+          SELECT 'https://' || source || '.example.org/' || lang || '/doc/'
+                   || doc_id AS url,
+                 source, lang, n_chars, doc_id
+          FROM documents
+        ),
+        cells(row_idx, col_idx, cell) AS (
+          SELECT * FROM (VALUES (0, 0, NULL), (0, 1, NULL), (0, 2, NULL),
+                                (1, 0, NULL), (1, 1, NULL), (1, 2, NULL),
+                                (2, 0, NULL), (2, 1, NULL), (2, 2, NULL))
+        )
+        SELECT url, 0 AS table_idx, row_idx, col_idx,
+               CASE
+                 WHEN row_idx = 0 THEN ['name', 'lang', 'chars'][col_idx + 1]
+                 WHEN row_idx = 1 THEN [source, lang, n_chars::VARCHAR][col_idx + 1]
+                 ELSE ['doc ' || doc_id, 'mixed', (doc_id % 7)::VARCHAR][col_idx + 1]
+               END AS cell
+        FROM p, cells
     """,
     # recrawl fixture (same construction as kg_latest_capture): url =
     # doc_id%100, ts = epoch+doc_id; mention facts via the shared

@@ -1,0 +1,64 @@
+"""HTML table extraction — structured rows out of web markup.
+
+The WebTables lineage (Cafarella et al., VLDB'08): relational data on
+the web overwhelmingly lives in <table> markup, and harvesting it is a
+standard KG-population source alongside free-text triples (reference
+analog: the structured extractors that read declarations rather than
+prose, SURVEY.md E14/E15).
+
+One pass of nested JVM regexps — tables, then rows, then cells, then a
+tag-strip per cell — entirely inside Catalyst expressions (regexp over
+binary-cast html; transform over the extracted arrays). No Python
+anywhere; the output is fully relational (url, table_idx, row_idx,
+col_idx, cell) so it joins/aggregates like any other fact table.
+
+Heuristic scope (documented): nested tables inside a cell are not
+recursed into — the inner markup is stripped with the other tags (layout
+tables-within-tables are presentation, and a single non-backtracking
+pass is what scales). <th> and <td> both count as cells.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_TABLE_RE = "(?s)<table[^>]*>(.*?)</table>"
+_ROW_RE = "(?s)<tr[^>]*>(.*?)</tr>"
+_CELL_RE = "(?s)<t[dh][^>]*>(.*?)</t[dh]>"
+
+
+def _clean(cell: Column) -> Column:
+    stripped = F.regexp_replace(cell, "(?s)<[^>]*>", "")
+    return F.trim(F.regexp_replace(stripped, "\\s+", " "))
+
+
+def tables_col(html_col: Column) -> Column:
+    """array<array<array<string>>>: tables -> rows -> cleaned cells."""
+    h = html_col.cast("string")
+    return F.transform(
+        F.regexp_extract_all(h, F.lit(_TABLE_RE), 1),
+        lambda t: F.transform(
+            F.regexp_extract_all(t, F.lit(_ROW_RE), 1),
+            lambda r: F.transform(
+                F.regexp_extract_all(r, F.lit(_CELL_RE), 1), _clean
+            ),
+        ),
+    )
+
+
+def html_table_cells(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """(url, table_idx, row_idx, col_idx, cell) — 0-based indexes, rows
+    with no cells (separator <tr>s) dropped."""
+    t = pages.select(
+        "url", F.posexplode(tables_col(F.col(html_col))).alias("table_idx", "_t")
+    )
+    r = t.select(
+        "url", "table_idx", F.posexplode("_t").alias("row_idx", "_r")
+    )
+    return (
+        r.select(
+            "url", "table_idx", "row_idx",
+            F.posexplode("_r").alias("col_idx", "cell"),
+        )
+    )

@@ -430,3 +430,36 @@ def pages_with_canonical_spark(docs):
         "UTF-8",
     )
     return joined.select("url", "warc_ts", html.alias("html"), "text", "lang")
+
+
+def pages_with_tables_spark(docs):
+    """pages_from_documents_spark plus a planted 3-row <table> (header +
+    two data rows derived from the documents columns, one cell carrying
+    nested markup that extraction must strip)."""
+    from pyspark.sql import functions as F
+
+    table = F.concat(
+        F.lit("<table><tr><th>name</th><th>lang</th><th>chars</th></tr>"),
+        F.lit("<tr><td>"), F.col("source"),
+        F.lit("</td><td>"), F.col("lang"),
+        F.lit("</td><td>"), F.col("n_chars").cast("string"),
+        F.lit("</td></tr><tr><td><b>doc "), F.col("doc_id").cast("string"),
+        F.lit("</b></td><td> mixed </td><td>"), (F.col("doc_id") % 7).cast("string"),
+        F.lit("</td></tr></table>"),
+    )
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.org/"),
+        F.col("lang"), F.lit("/doc/"), F.col("doc_id").cast("string"),
+    )
+    base = pages_from_documents_spark(docs)
+    keyed = docs.select(url.alias("url"), table.alias("_table"))
+    joined = base.join(keyed, "url")
+    html = F.encode(
+        F.replace(
+            F.decode(F.col("html"), "UTF-8"),
+            F.lit("</body></html>"),
+            F.concat(F.col("_table"), F.lit("</body></html>")),
+        ),
+        "UTF-8",
+    )
+    return joined.select("url", "warc_ts", html.alias("html"), "text", "lang")

@@ -1,0 +1,42 @@
+"""HTML table extraction (extract/tables.py)."""
+
+from __future__ import annotations
+
+from codebased_spark.extract.tables import html_table_cells
+
+
+def _pages(spark, html):
+    return spark.createDataFrame([("u", html.encode())], ["url", "html"])
+
+
+def test_multiline_tables_and_tag_stripping(spark):
+    html = """
+    <html><body><p>intro</p>
+    <table class="data">
+      <tr><th> Col A </th><th>Col B</th></tr>
+      <tr><td><a href="/x"><b>linked  text</b></a></td>
+          <td>plain</td></tr>
+    </table>
+    <table><tr><td>second</td></tr></table>
+    </body></html>"""
+    got = {
+        (r.table_idx, r.row_idx, r.col_idx): r.cell
+        for r in html_table_cells(_pages(spark, html)).collect()
+    }
+    assert got == {
+        (0, 0, 0): "Col A",
+        (0, 0, 1): "Col B",
+        (0, 1, 0): "linked text",
+        (0, 1, 1): "plain",
+        (1, 0, 0): "second",
+    }
+
+
+def test_no_tables_yields_no_rows(spark):
+    assert html_table_cells(_pages(spark, "<p>no tables here</p>")).count() == 0
+
+
+def test_plan_is_pure_jvm(spark):
+    df = html_table_cells(_pages(spark, "<table><tr><td>x</td></tr></table>"))
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
