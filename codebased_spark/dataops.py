@@ -591,6 +591,16 @@ def kg_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_table_cells(pages_with_tables_spark(_docs(spark, sf_dir)))
 
 
+def kg_jsonld(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """schema.org JSON-LD entity extraction (extract/jsonld.py): regexp
+    block collection + JVM from_json parse; malformed blocks (every 10th
+    planted doc) surface as NULL fields, never failures."""
+    from codebased_spark.extract.jsonld import jsonld_entities
+    from codebased_spark.synth.pages import pages_with_jsonld_spark
+
+    return jsonld_entities(pages_with_jsonld_spark(_docs(spark, sf_dir)))
+
+
 def g_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs/authorities over the deterministic doc graph, 4
     L1-normalized rounds — value-checked against the SAME rounds unrolled
@@ -689,6 +699,7 @@ QUERIES = {
     "kg_triple_lifespan": kg_triple_lifespan,
     "g_hits": g_hits,
     "kg_html_tables": kg_html_tables,
+    "kg_jsonld": kg_jsonld,
 }
 
 # ---------------------------------------------------------------------------
@@ -1530,6 +1541,24 @@ ORACLES = {
         )
         SELECT target, anchor_text, n_refs, n_src_pages, rnk
         FROM r WHERE rnk <= 2
+    """,
+    # planted JSON-LD (pages_with_jsonld_spark): NewsArticle fields from
+    # the documents columns; every 10th doc's block is malformed -> NULLs
+    "kg_jsonld": """
+        SELECT 'https://' || source || '.example.org/' || lang || '/doc/'
+                 || doc_id AS url,
+               0 AS block_idx,
+               CASE WHEN doc_id % 10 = 0 THEN NULL ELSE 'NewsArticle' END
+                 AS entity_type,
+               CASE WHEN doc_id % 10 = 0 THEN NULL
+                    ELSE source || ' doc ' || doc_id END AS name,
+               CASE WHEN doc_id % 10 = 0 THEN NULL
+                    ELSE 'https://' || source || '.example.org/' || lang
+                         || '/doc/' || doc_id END AS declared_url,
+               CASE WHEN doc_id % 10 = 0 THEN NULL
+                    ELSE '2025-01-' || lpad((doc_id % 28 + 1)::VARCHAR, 2, '0')
+               END AS date_published
+        FROM documents
     """,
     # planted table (pages_with_tables_spark): header row + two data rows
     # per page; the nested <b> markup in the doc cell must be stripped

@@ -463,3 +463,41 @@ def pages_with_tables_spark(docs):
         "UTF-8",
     )
     return joined.select("url", "warc_ts", html.alias("html"), "text", "lang")
+
+
+def pages_with_jsonld_spark(docs):
+    """pages_from_documents_spark plus a planted schema.org JSON-LD block
+    (NewsArticle with name/url/datePublished derived from the documents
+    columns); every 10th doc carries a MALFORMED block instead, which
+    extraction must surface as NULL fields rather than fail on."""
+    from pyspark.sql import functions as F
+
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.org/"),
+        F.col("lang"), F.lit("/doc/"), F.col("doc_id").cast("string"),
+    )
+    good = F.concat(
+        F.lit('{"@context":"https://schema.org","@type":"NewsArticle","name":"'),
+        F.col("source"), F.lit(" doc "), F.col("doc_id").cast("string"),
+        F.lit('","url":"'), url,
+        F.lit('","datePublished":"2025-01-'),
+        F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+        F.lit('"}'),
+    )
+    block = F.concat(
+        F.lit('<script type="application/ld+json">'),
+        F.when(F.col("doc_id") % 10 == 0, F.lit('{"@type": broken')).otherwise(good),
+        F.lit("</script>"),
+    )
+    base = pages_from_documents_spark(docs)
+    keyed = docs.select(url.alias("url"), block.alias("_block"))
+    joined = base.join(keyed, "url")
+    html = F.encode(
+        F.replace(
+            F.decode(F.col("html"), "UTF-8"),
+            F.lit("</head>"),
+            F.concat(F.col("_block"), F.lit("</head>")),
+        ),
+        "UTF-8",
+    )
+    return joined.select("url", "warc_ts", html.alias("html"), "text", "lang")
