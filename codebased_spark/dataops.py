@@ -601,6 +601,17 @@ def kg_jsonld(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jsonld_entities(pages_with_jsonld_spark(_docs(spark, sf_dir)))
 
 
+def kg_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic KG-embedding negative sampling over the doc graph:
+    3 map-only tail corruptions per edge, rerun-identical, neg != true
+    tail by construction (graph/negatives.py)."""
+    from codebased_spark.graph.negatives import corrupt_tails
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    return corrupt_tails(_doc_edges(spark, sf_dir), n_entities=n, k=3)
+
+
 def g_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs/authorities over the deterministic doc graph, 4
     L1-normalized rounds — value-checked against the SAME rounds unrolled
@@ -700,6 +711,7 @@ QUERIES = {
     "g_hits": g_hits,
     "kg_html_tables": kg_html_tables,
     "kg_jsonld": kg_jsonld,
+    "kg_negatives": kg_negatives,
 }
 
 # ---------------------------------------------------------------------------
@@ -1541,6 +1553,18 @@ ORACLES = {
         )
         SELECT target, anchor_text, n_refs, n_src_pages, rnk
         FROM r WHERE rnk <= 2
+    """,
+    # identical corruption arithmetic over the shared edge fixture
+    "kg_negatives": f"""
+        WITH {_EDGES_SQL},
+        ks AS (
+          SELECT src, dst, unnest(generate_series(0, 2)) AS neg_idx FROM edges
+        )
+        SELECT src, dst, neg_idx,
+               (dst + 1 + (src*31 + dst*7 + neg_idx*17)
+                          % ((SELECT n FROM cnt) - 1))
+                 % (SELECT n FROM cnt) AS neg_dst
+        FROM ks
     """,
     # planted JSON-LD (pages_with_jsonld_spark): NewsArticle fields from
     # the documents columns; every 10th doc's block is malformed -> NULLs
