@@ -612,6 +612,32 @@ def kg_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corrupt_tails(_doc_edges(spark, sf_dir), n_entities=n, k=3)
 
 
+def kg_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt compliance filter (sources/robots.py): REAL stateful
+    parse of planted per-host robots bodies (UA-group selection, comment
+    strip, empty-Disallow skip), prefix-applied to the documents-derived
+    url table; the oracle restates the planted policy declaratively."""
+    from codebased_spark.sources.robots import apply_robots
+
+    docs = _docs(spark, sf_dir)
+    urls = docs.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.org/"),
+            F.col("lang"), F.lit("/doc/"), F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    body = F.concat(
+        F.lit("# policy\nUser-agent: special\nDisallow: /en/\n\n"
+              "User-agent: *\nDisallow: /de/\nDisallow: /fr/\n"
+              "Disallow: /en/doc/1\nDisallow:\n")
+    )
+    robots = docs.select("source").distinct().select(
+        F.concat(F.col("source"), F.lit(".example.org")).alias("host"),
+        body.alias("robots_txt"),
+    )
+    return apply_robots(urls, robots)
+
+
 def g_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs/authorities over the deterministic doc graph, 4
     L1-normalized rounds — value-checked against the SAME rounds unrolled
@@ -712,6 +738,7 @@ QUERIES = {
     "kg_html_tables": kg_html_tables,
     "kg_jsonld": kg_jsonld,
     "kg_negatives": kg_negatives,
+    "kg_robots": kg_robots,
 }
 
 # ---------------------------------------------------------------------------
@@ -1553,6 +1580,16 @@ ORACLES = {
         )
         SELECT target, anchor_text, n_refs, n_src_pages, rnk
         FROM r WHERE rnk <= 2
+    """,
+    # planted robots policy: star group disallows /de/, /fr/, /en/doc/1;
+    # the special-UA group's /en/ rule must NOT apply
+    "kg_robots": """
+        SELECT 'https://' || source || '.example.org/' || lang || '/doc/'
+                 || doc_id AS url,
+               CASE WHEN lang IN ('de', 'fr')
+                         OR (lang = 'en' AND doc_id::VARCHAR LIKE '1%')
+                    THEN 0 ELSE 1 END AS allowed
+        FROM documents
     """,
     # identical corruption arithmetic over the shared edge fixture
     "kg_negatives": f"""
