@@ -638,6 +638,38 @@ def kg_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_robots(urls, robots)
 
 
+def kg_sitemap_stale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-driven refetch worklist (sources/sitemap.py): REAL XML
+    entry parsing of planted per-doc sitemap bodies, joined against a
+    planted crawl state — stale = declared lastmod newer than the stored
+    capture, or never crawled (every 7th doc)."""
+    from codebased_spark.sources.sitemap import parse_sitemap, stale_urls
+
+    docs = _docs(spark, sf_dir)
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.org/"),
+        F.col("lang"), F.lit("/doc/"), F.col("doc_id").cast("string"),
+    )
+    lastmod = F.concat(
+        F.lit("2025-01-"), F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0")
+    )
+    body = F.concat(
+        F.lit("<urlset><url><loc> "), url,
+        F.lit(" </loc><lastmod>"), lastmod, F.lit("</lastmod></url></urlset>"),
+    )
+    sitemaps = docs.select(
+        F.concat(F.col("source"), F.lit(".example.org")).alias("host"),
+        body.alias("sitemap_xml"),
+    )
+    crawled = docs.where(F.col("doc_id") % 7 != 0).select(
+        url.alias("url"),
+        F.timestamp_seconds(F.unix_timestamp(F.lit("2025-01-15 00:00:00"))).alias("warc_ts"),
+    )
+    return stale_urls(parse_sitemap(sitemaps), crawled).select(
+        "url", F.col("_declared").alias("declared_lastmod")
+    )
+
+
 def g_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs/authorities over the deterministic doc graph, 4
     L1-normalized rounds — value-checked against the SAME rounds unrolled
@@ -739,6 +771,7 @@ QUERIES = {
     "kg_jsonld": kg_jsonld,
     "kg_negatives": kg_negatives,
     "kg_robots": kg_robots,
+    "kg_sitemap_stale": kg_sitemap_stale,
 }
 
 # ---------------------------------------------------------------------------
@@ -1580,6 +1613,16 @@ ORACLES = {
         )
         SELECT target, anchor_text, n_refs, n_src_pages, rnk
         FROM r WHERE rnk <= 2
+    """,
+    # planted sitemaps: lastmod = 2025-01-(doc_id%28+1); crawl state at
+    # 2025-01-15 with every 7th doc never crawled
+    "kg_sitemap_stale": """
+        SELECT 'https://' || source || '.example.org/' || lang || '/doc/'
+                 || doc_id AS url,
+               ('2025-01-' || lpad((doc_id % 28 + 1)::VARCHAR, 2, '0'))::TIMESTAMP
+                 AS declared_lastmod
+        FROM documents
+        WHERE doc_id % 7 = 0 OR (doc_id % 28 + 1) > 15
     """,
     # planted robots policy: star group disallows /de/, /fr/, /en/doc/1;
     # the special-UA group's /en/ rule must NOT apply
