@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""spark-submit entry point for training-corpus curation.
+
+Composes the engine's curation operators into the standard corpus-build
+job an LLM-data pipeline runs over a crawl snapshot:
+
+    robots compliance filter        (sources/robots.py, optional)
+    -> latest capture per url       (sources/recrawl.py)
+    -> canonical-url collapse       (sources/canonical.py)
+    -> html -> text extraction      (extract/html_text.py, if html input)
+    -> keep/drop decision table     (textops/filters.py: lang, length,
+                                     quality, repetition, exact-dup,
+                                     optional minhash near-dup keep-one)
+    -> fixed-window token chunking  (textops/chunk.py)
+
+Outputs under --out:
+    decisions/   one row per url with per-rule reject flags (audit table)
+    chunks/      training-ready (url, chunk_idx, chunk_text) parquet
+    report line  counts per rule on stdout (one JSON line)
+
+Usage:
+    spark-submit --py-files codebased_spark.zip jobs/curate_corpus.py \\
+        --pages /path/pages_parquet --out /tmp/corpus \\
+        [--robots /path/robots_parquet] [--lang en] [--near-dup]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def main(argv: list[str] | None = None) -> None:
+    # direct `python jobs/curate_corpus.py` runs (tests, dev); under
+    # spark-submit --py-files the zip provides the package instead
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--pages", required=True,
+                    help="parquet with (url, warc_ts, html|text, lang)")
+    ap.add_argument("--robots", help="parquet with (host, robots_txt)")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--lang", default="en")
+    ap.add_argument("--near-dup", action="store_true",
+                    help="also drop minhash near-dup non-survivors")
+    ap.add_argument("--chunk-tokens", type=int, default=512)
+    ap.add_argument("--overlap", type=int, default=64)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from codebased_spark.extract.html_text import with_text
+    from codebased_spark.session import get_spark
+    from codebased_spark.sources.canonical import collapse_canonical
+    from codebased_spark.sources.recrawl import latest_captures
+    from codebased_spark.textops.chunk import chunk_documents
+    from codebased_spark.textops.filters import filter_decisions
+
+    spark = get_spark("codebased-curate-corpus", master=args.master)
+    pages = spark.read.parquet(args.pages)
+    n_input = pages.count()
+
+    if args.robots:
+        from codebased_spark.sources.robots import apply_robots
+
+        robots = spark.read.parquet(args.robots)
+        pages = apply_robots(pages, robots).where(F.col("allowed") == 1).drop("allowed")
+
+    if "warc_ts" in pages.columns:
+        content = "html" if "html" in pages.columns else "text"
+        pages = latest_captures(pages, content_col=content).drop("n_captures")
+    if "html" in pages.columns:
+        pages = collapse_canonical(pages).drop("src_url", "n_variants")
+        pages = with_text(pages, "html", "text")
+
+    docs = pages.select("url", "text", "lang")
+    decisions = filter_decisions(
+        docs, id_col="url", keep_lang=args.lang, near_dup=args.near_dup
+    )
+    decisions.write.mode("overwrite").parquet(f"{args.out}/decisions")
+    decisions = spark.read.parquet(f"{args.out}/decisions")
+
+    kept = docs.join(decisions.where(F.col("keep") == 1).select("url"), "url", "left_semi")
+    chunks = chunk_documents(
+        kept, id_col="url", chunk_tokens=args.chunk_tokens, overlap=args.overlap
+    )
+    chunks.write.mode("overwrite").parquet(f"{args.out}/chunks")
+
+    rules = [c for c in decisions.columns if c.startswith("r_")] + ["keep"]
+    counts = decisions.agg(
+        *[F.sum(c).alias(c) for c in rules], F.count(F.lit(1)).alias("n_urls")
+    ).collect()[0].asDict()
+    report = {
+        "n_input_rows": n_input,
+        "n_chunks": spark.read.parquet(f"{args.out}/chunks").count(),
+        **{k: int(v) for k, v in counts.items()},
+    }
+    print(json.dumps(report))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
