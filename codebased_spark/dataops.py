@@ -670,6 +670,30 @@ def kg_sitemap_stale(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def g_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition receipt: anchor extraction -> domain link graph ->
+    PageRank = host-level crawl-priority scores (the signal a frontier
+    scheduler ranks by). cdn/t hosts have no out-links, so the dangling
+    redistribution path is exercised on a second, structurally different
+    fixture. Oracle = the same 5 iterations unrolled over the planted
+    host graph."""
+    from codebased_spark.extract.anchors import domain_graph
+    from codebased_spark.graph.pagerank import pagerank
+    from codebased_spark.synth.pages import pages_with_links_spark
+
+    g = domain_graph(pages_with_links_spark(_docs(spark, sf_dir))).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    hosts = (
+        g.select(F.col("src").alias("node"))
+        .unionByName(g.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    return pagerank(hosts, g, n_iter=5, out_decimals=6).withColumnRenamed(
+        "node", "host"
+    )
+
+
 def g_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs/authorities over the deterministic doc graph, 4
     L1-normalized rounds — value-checked against the SAME rounds unrolled
@@ -772,6 +796,7 @@ QUERIES = {
     "kg_negatives": kg_negatives,
     "kg_robots": kg_robots,
     "kg_sitemap_stale": kg_sitemap_stale,
+    "g_domain_pagerank": g_domain_pagerank,
 }
 
 # ---------------------------------------------------------------------------
@@ -1149,6 +1174,51 @@ def _hits_sql(n_iter: int = 4) -> str:
                floor(h{n_iter}.s * 1000000 + 0.5) / 1000000 AS hub,
                floor(a{n_iter}.s * 1000000 + 0.5) / 1000000 AS auth
         FROM h{n_iter} JOIN a{n_iter} ON h{n_iter}.id = a{n_iter}.id
+    """
+
+
+def _domain_pagerank_sql(n_iter: int = 5, damping: float = 0.85) -> str:
+    """pagerank's dangling-form unroll over the planted anchor host graph
+    (pages_with_links_spark: per source host, edges to itself, to
+    cdn.example.net, and to t.example.net; the latter two are sinks)."""
+    teleport = 1.0 - damping
+    iters = []
+    for i in range(1, n_iter + 1):
+        iters.append(f"""
+        dm{i} AS (
+          SELECT coalesce(sum(pr), 0.0) AS m FROM p{i-1}
+          WHERE v NOT IN (SELECT src FROM deg)
+        ),
+        p{i} AS (
+          SELECT hosts.h AS v,
+                 {teleport!r}/(SELECT c FROM nn)
+                 + {damping!r} * (coalesce(s{i}.x, 0.0)
+                                  + (SELECT m FROM dm{i})/(SELECT c FROM nn)) AS pr
+          FROM hosts LEFT JOIN (
+            SELECT e.dst AS v, sum(p{i-1}.pr / deg.d) AS x
+            FROM edges e
+            JOIN p{i-1} ON e.src = p{i-1}.v
+            JOIN deg ON deg.src = e.src
+            GROUP BY e.dst
+          ) s{i} ON hosts.h = s{i}.v
+        )""")
+    return f"""
+        WITH srcs AS (SELECT DISTINCT source || '.example.org' AS h FROM documents),
+        hosts AS (
+          SELECT h FROM srcs
+          UNION SELECT 'cdn.example.net' UNION SELECT 't.example.net'
+        ),
+        edges AS (
+          SELECT h AS src, h AS dst FROM srcs
+          UNION SELECT h, 'cdn.example.net' FROM srcs
+          UNION SELECT h, 't.example.net' FROM srcs
+        ),
+        deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+        nn AS (SELECT count(*) AS c FROM hosts),
+        p0 AS (SELECT h AS v, 1.0/(SELECT c FROM nn) AS pr FROM hosts),
+        {",".join(iters)}
+        SELECT v AS host, floor(pr * 1000000 + 0.5) / 1000000 AS pr
+        FROM p{n_iter}
     """
 
 
@@ -1566,6 +1636,7 @@ ORACLES = {
     """,
     "g_pagerank": _pagerank_sql(n_iter=5, damping=0.85),
     "g_hits": _hits_sql(n_iter=4),
+    "g_domain_pagerank": _domain_pagerank_sql(),
     "g_pagerank_dangling": _pagerank_sql(n_iter=5, damping=0.85, dangling=True),
     # weak-component labels = min reachable id over the symmetrized edge
     # set — the CC FIXPOINT is iterative, but its result is a recursive
