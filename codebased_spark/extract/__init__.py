@@ -5,3 +5,6 @@ from codebased_spark.extract.metadata import nesting_depth_col, page_meta_rows, 
 from codebased_spark.extract.patterns import extract_pattern_mentions  # noqa: F401
 from codebased_spark.extract.registry import dispatch, register  # noqa: F401
 from codebased_spark.extract.urlops import with_url_parts  # noqa: F401
+from codebased_spark.extract.anchors import anchor_text_summary, domain_graph, exploded_anchors, with_anchors  # noqa: F401
+from codebased_spark.extract.tables import html_table_cells, tables_col  # noqa: F401
+from codebased_spark.extract.jsonld import jsonld_entities  # noqa: F401

@@ -39,12 +39,16 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--n-buckets", type=int, default=64)
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--incremental", action="store_true")
+    ap.add_argument("--export-ntriples", help="also export the committed graph as N-Triples to this dir")
+    ap.add_argument("--export-bulk", help="also export nodes.csv/edges.csv bulk-import dirs here")
     ap.add_argument(
         "--dedupe-captures", action="store_true",
         help="collapse recrawls first: latest warc_ts wins per url",
     )
     ap.add_argument("--master", default=None, help="override master (tests); cluster runs leave unset")
     args = ap.parse_args(argv)
+
+    from pyspark.sql import functions as F
 
     from codebased_spark.graph.manifest import incremental_update, run_partitioned
     from codebased_spark.session import get_spark
@@ -79,6 +83,22 @@ def main(argv: list[str] | None = None) -> None:
         spark, pages, gaz, args.out,
         n_buckets=args.n_buckets, batch_size=args.batch_size,
     )
+    if args.export_ntriples or args.export_bulk:
+        from codebased_spark.graph.manifest import read_graph
+        from codebased_spark.sinks.export import write_bulk_import, write_ntriples
+
+        nodes, edges = read_graph(spark, args.out)
+        if args.export_ntriples:
+            write_ntriples(
+                edges.select(
+                    F.col("src").alias("subj"),
+                    F.col("rel_type").alias("pred"),
+                    F.col("dst").alias("obj"),
+                ),
+                args.export_ntriples,
+            )
+        if args.export_bulk:
+            write_bulk_import(nodes, edges, args.export_bulk)
     print(
         json.dumps(
             {
