@@ -286,10 +286,15 @@ def pages_from_documents(docs: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def pages_from_documents_spark(docs):
+def pages_from_documents_spark(docs, head_extra=None, body_extra=None):
     """Spark-native pages adapter — pure column expressions, scales to any
     documents row count without driver materialization (unlike the pandas
-    twin above, which exists for small in-memory tests)."""
+    twin above, which exists for small in-memory tests).
+
+    `head_extra` / `body_extra` are optional Columns (built from the
+    documents columns) spliced before </head> / </body> — the planted-
+    markup adapters below use them so fixture pages are ONE select over
+    the scan, never a url self-join."""
     from pyspark.sql import functions as F
 
     esc = F.col("text")
@@ -304,9 +309,12 @@ def pages_from_documents_spark(docs):
             F.lit('<meta property="og:title" content="'), title, F.lit('"/>'),
             F.lit('<meta property="og:site_name" content="'), F.col("source"), F.lit('"/>'),
             F.lit('<meta property="og:locale" content="'), F.col("lang"), F.lit('"/>'),
+            head_extra if head_extra is not None else F.lit(""),
             F.lit("<script>junk()</script></head><body><p>"),
             esc,
-            F.lit("</p></body></html>"),
+            F.lit("</p>"),
+            body_extra if body_extra is not None else F.lit(""),
+            F.lit("</body></html>"),
         ),
         "UTF-8",
     )
@@ -364,34 +372,12 @@ def pages_with_links_spark(docs):
         F.lit("https://cdn.example.net/asset/"),
         (F.col("doc_id") % 13).cast("string"),
     )
-    anchor_html = F.concat(
+    anchors = F.concat(
         F.lit('<a href="'), int_href, F.lit('">'), int_text, F.lit("</a>"),
         F.lit('<a href="'), ext_href, F.lit('" rel="nofollow">download</a>'),
         F.lit('<a href="https://t.example.net/p"> </a>'),
     )
-    # carry the anchor block through the canonical adapter on a side
-    # column, splice it into the body, then project to the pages schema
-    base = pages_from_documents_spark(docs)
-    keyed = docs.select("doc_id", "source", "lang", anchor_html.alias("_anchors"))
-    url = F.concat(
-        F.lit("https://"), F.col("source"), F.lit(".example.org/"),
-        F.col("lang"), F.lit("/doc/"), F.col("doc_id").cast("string"),
-    )
-    keyed = keyed.select(url.alias("url"), "_anchors")
-    joined = base.join(keyed, "url")
-    html = F.encode(
-        F.concat(
-            F.regexp_replace(
-                F.decode(F.col("html"), "UTF-8"), "</p></body></html>$", "</p>"
-            ),
-            F.col("_anchors"),
-            F.lit("</body></html>"),
-        ),
-        "UTF-8",
-    )
-    return joined.select(
-        "url", "warc_ts", html.alias("html"), "text", "lang"
-    )
+    return pages_from_documents_spark(docs, body_extra=anchors)
 
 
 def pages_with_canonical_spark(docs):
@@ -403,11 +389,6 @@ def pages_with_canonical_spark(docs):
     groups under its own url."""
     from pyspark.sql import functions as F
 
-    base = pages_from_documents_spark(docs)
-    url = F.concat(
-        F.lit("https://"), F.col("source"), F.lit(".example.org/"),
-        F.col("lang"), F.lit("/doc/"), F.col("doc_id").cast("string"),
-    )
     hub = F.concat(
         F.lit("https://hub.example.org/c/"), (F.col("doc_id") % 50).cast("string")
     )
@@ -419,17 +400,7 @@ def pages_with_canonical_spark(docs):
     ).otherwise(
         F.concat(F.lit('<link href="'), hub, F.lit('" rel="canonical"/>')),
     )
-    keyed = docs.select(url.alias("url"), link.alias("_link"))
-    joined = base.join(keyed, "url")
-    html = F.encode(
-        F.replace(
-            F.decode(F.col("html"), "UTF-8"),
-            F.lit("</head>"),
-            F.concat(F.col("_link"), F.lit("</head>")),
-        ),
-        "UTF-8",
-    )
-    return joined.select("url", "warc_ts", html.alias("html"), "text", "lang")
+    return pages_from_documents_spark(docs, head_extra=link)
 
 
 def pages_with_tables_spark(docs):
@@ -447,22 +418,7 @@ def pages_with_tables_spark(docs):
         F.lit("</b></td><td> mixed </td><td>"), (F.col("doc_id") % 7).cast("string"),
         F.lit("</td></tr></table>"),
     )
-    url = F.concat(
-        F.lit("https://"), F.col("source"), F.lit(".example.org/"),
-        F.col("lang"), F.lit("/doc/"), F.col("doc_id").cast("string"),
-    )
-    base = pages_from_documents_spark(docs)
-    keyed = docs.select(url.alias("url"), table.alias("_table"))
-    joined = base.join(keyed, "url")
-    html = F.encode(
-        F.replace(
-            F.decode(F.col("html"), "UTF-8"),
-            F.lit("</body></html>"),
-            F.concat(F.col("_table"), F.lit("</body></html>")),
-        ),
-        "UTF-8",
-    )
-    return joined.select("url", "warc_ts", html.alias("html"), "text", "lang")
+    return pages_from_documents_spark(docs, body_extra=table)
 
 
 def pages_with_jsonld_spark(docs):
@@ -489,15 +445,5 @@ def pages_with_jsonld_spark(docs):
         F.when(F.col("doc_id") % 10 == 0, F.lit('{"@type": broken')).otherwise(good),
         F.lit("</script>"),
     )
-    base = pages_from_documents_spark(docs)
-    keyed = docs.select(url.alias("url"), block.alias("_block"))
-    joined = base.join(keyed, "url")
-    html = F.encode(
-        F.replace(
-            F.decode(F.col("html"), "UTF-8"),
-            F.lit("</head>"),
-            F.concat(F.col("_block"), F.lit("</head>")),
-        ),
-        "UTF-8",
-    )
-    return joined.select("url", "warc_ts", html.alias("html"), "text", "lang")
+    return pages_from_documents_spark(docs, head_extra=block)
+
