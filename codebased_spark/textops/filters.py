@@ -87,7 +87,11 @@ def filter_decisions(
         from codebased_spark.dedup.minhash import minhash_near_dupes
 
         clusters = dedup_clusters(
-            docs, minhash_near_dupes(docs, n=3, threshold=neardup_threshold),
+            docs,
+            minhash_near_dupes(
+                docs, n=3, threshold=neardup_threshold,
+                id_col=id_col, text_col=text_col,
+            ),
             id_col=id_col,
         )
         flags = flags.join(

@@ -316,3 +316,25 @@ def test_filter_decisions_near_dup_rule(spark):
     assert got[0].r_neardup == 0           # min-id survivor keeps
     assert got[1].r_neardup == 1 and got[1].keep == 0
     assert got[2].r_neardup == 0
+
+
+def test_filter_decisions_near_dup_with_custom_id_col(spark):
+    """Regression: near_dup=True must thread id_col/text_col through to
+    the minhash pair emitter (the curation job keys documents by url,
+    not doc_id — this path raised UNRESOLVED_COLUMN before the fix)."""
+    from codebased_spark.textops.filters import filter_decisions
+
+    body = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [("u1", body, "en"), ("u2", body + " extra", "en"),
+         ("u3", "a completely different and unrelated sentence here", "en")],
+        ["url", "text", "lang"],
+    )
+    got = {r.url: (r.r_neardup, r.keep) for r in filter_decisions(
+        docs, id_col="url", near_dup=True, neardup_threshold=0.5,
+        min_tokens=3, min_quality=0.0,
+    ).collect()}
+    # u1/u2 are near-dups: min-id survivor u1 kept, u2 dropped
+    assert got["u1"] == (0, 1)
+    assert got["u2"][0] == 1 and got["u2"][1] == 0
+    assert got["u3"] == (0, 1)
