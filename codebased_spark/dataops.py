@@ -694,6 +694,16 @@ def g_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-citation link similarity (Small '73) over the planted anchors:
+    pairs of targets linked from the same page, counted by distinct
+    co-citing pages; out-degree capped (extract/anchors.py)."""
+    from codebased_spark.extract.anchors import cocitation
+    from codebased_spark.synth.pages import pages_with_links_spark
+
+    return cocitation(pages_with_links_spark(_docs(spark, sf_dir)))
+
+
 def g_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs/authorities over the deterministic doc graph, 4
     L1-normalized rounds — value-checked against the SAME rounds unrolled
@@ -797,6 +807,7 @@ QUERIES = {
     "kg_robots": kg_robots,
     "kg_sitemap_stale": kg_sitemap_stale,
     "g_domain_pagerank": g_domain_pagerank,
+    "kg_cocitation": kg_cocitation,
 }
 
 # ---------------------------------------------------------------------------
@@ -1684,6 +1695,26 @@ ORACLES = {
         )
         SELECT target, anchor_text, n_refs, n_src_pages, rnk
         FROM r WHERE rnk <= 2
+    """,
+    # planted anchors: each page links (internal I, cdn C, t T) -> three
+    # pairs per page, ordered lexicographically
+    "kg_cocitation": """
+        WITH l AS (
+          SELECT doc_id,
+                 'https://' || source || '.example.org/' || lang || '/doc/'
+                   || (doc_id % 97) AS i,
+                 'https://cdn.example.net/asset/' || (doc_id % 13) AS c,
+                 'https://t.example.net/p' AS t
+          FROM documents
+        ),
+        p AS (
+          SELECT doc_id, least(i, c) AS ta, greatest(i, c) AS tb FROM l
+          UNION ALL SELECT doc_id, least(i, t), greatest(i, t) FROM l
+          UNION ALL SELECT doc_id, least(c, t), greatest(c, t) FROM l
+        )
+        SELECT ta AS target_a, tb AS target_b,
+               count(DISTINCT doc_id) AS n_cociting
+        FROM p GROUP BY 1, 2
     """,
     # planted sitemaps: lastmod = 2025-01-(doc_id%28+1); crawl state at
     # 2025-01-15 with every 7th doc never crawled

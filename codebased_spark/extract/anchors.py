@@ -130,3 +130,37 @@ def domain_graph(pages: DataFrame, html_col: str = "html") -> DataFrame:
             F.countDistinct("url").alias("n_src_pages"),
         )
     )
+
+
+def cocitation(
+    pages: DataFrame, html_col: str = "html", max_out: int = 64
+) -> DataFrame:
+    """Co-citation counts: (target_a, target_b, n_cociting) with
+    target_a < target_b — how many distinct pages link to BOTH targets
+    (Small '73), the link-structure similarity signal that needs no
+    content at all.
+
+    Scale note: a page with out-degree d contributes C(d,2) pairs, so
+    pages above `max_out` links are dropped (navigational link farms —
+    standard practice in co-citation analysis, and the quadratic guard
+    this operator needs at web scale). The pair join is keyed by the
+    source page, and the final count is map-side combined per pair.
+    """
+    from codebased_spark.extract.html_text import href_targets
+
+    links = (
+        pages.select(
+            F.col("url").alias("src"),
+            F.explode(href_targets(F.col(html_col))).alias("t"),
+        )
+        .distinct()
+    )
+    deg = links.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
+    links = links.join(deg.where(F.col("_d") <= max_out), "src").drop("_d")
+    a, b = links.alias("a"), links.alias("b")
+    return (
+        a.join(b, "src")
+        .where(F.col("a.t") < F.col("b.t"))
+        .groupBy(F.col("a.t").alias("target_a"), F.col("b.t").alias("target_b"))
+        .agg(F.countDistinct("src").alias("n_cociting"))
+    )

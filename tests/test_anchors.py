@@ -98,3 +98,27 @@ def test_anchor_plans_stay_jvm_with_partial_agg(spark):
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
         # partial_count before the exchange = map-side combine
         assert "partial_count" in p
+
+
+def test_cocitation_counts_and_out_degree_cap(spark):
+    from codebased_spark.extract.anchors import cocitation
+
+    def links(*hrefs):
+        return "".join(f'<a href="{h}">x</a>' for h in hrefs)
+
+    rows = [
+        ("https://s1.example.com/", links("https://a/", "https://b/")),
+        ("https://s2.example.com/", links("https://a/", "https://b/", "https://c/")),
+        # link farm above the cap: must contribute no pairs
+        ("https://farm.example.com/", links(*[f"https://f{i}/" for i in range(5)])),
+    ]
+    pages = _pages(spark, rows)
+    got = {
+        (r.target_a, r.target_b): r.n_cociting
+        for r in cocitation(pages, max_out=4).collect()
+    }
+    assert got == {
+        ("https://a/", "https://b/"): 2,
+        ("https://a/", "https://c/"): 1,
+        ("https://b/", "https://c/"): 1,
+    }
