@@ -704,6 +704,17 @@ def kg_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cocitation(pages_with_links_spark(_docs(spark, sf_dir)))
 
 
+def kg_microdata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline microdata (itemscope/itemprop) extraction — the third
+    schema.org markup family (extract/microdata.py); the planted Article
+    item carries a nested-markup value that must be tag-stripped, and
+    every 5th doc adds a second, typeless item."""
+    from codebased_spark.extract.microdata import microdata_items
+    from codebased_spark.synth.pages import pages_with_microdata_spark
+
+    return microdata_items(pages_with_microdata_spark(_docs(spark, sf_dir)))
+
+
 def g_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs/authorities over the deterministic doc graph, 4
     L1-normalized rounds — value-checked against the SAME rounds unrolled
@@ -808,6 +819,7 @@ QUERIES = {
     "kg_sitemap_stale": kg_sitemap_stale,
     "g_domain_pagerank": g_domain_pagerank,
     "kg_cocitation": kg_cocitation,
+    "kg_microdata": kg_microdata,
 }
 
 # ---------------------------------------------------------------------------
@@ -1695,6 +1707,27 @@ ORACLES = {
         )
         SELECT target, anchor_text, n_refs, n_src_pages, rnk
         FROM r WHERE rnk <= 2
+    """,
+    # planted microdata (pages_with_microdata_spark): Article item with
+    # headline + tag-stripped wordCount; every 5th doc a typeless note
+    "kg_microdata": """
+        WITH u AS (
+          SELECT doc_id, source, n_chars,
+                 'https://' || source || '.example.org/' || lang || '/doc/'
+                   || doc_id AS url
+          FROM documents
+        )
+        SELECT url, 0 AS item_idx,
+               'https://schema.org/Article' AS item_type,
+               'headline' AS prop, source || ' doc ' || doc_id AS value
+        FROM u
+        UNION ALL
+        SELECT url, 0, 'https://schema.org/Article', 'wordCount',
+               n_chars::VARCHAR
+        FROM u
+        UNION ALL
+        SELECT url, 1, NULL, 'note', 'n' || (doc_id % 9)
+        FROM u WHERE doc_id % 5 = 0
     """,
     # planted anchors: each page links (internal I, cdn C, t T) -> three
     # pairs per page, ordered lexicographically

@@ -1,0 +1,63 @@
+"""HTML microdata (itemscope/itemprop) extraction — the third markup
+family alongside JSON-LD (extract/jsonld.py) and OpenGraph meta
+(extract/metadata.py).
+
+schema.org entities are also declared INLINE on elements:
+
+    <div itemscope itemtype="https://schema.org/Person">
+      <span itemprop="name">Ada Lovelace</span>
+      <span itemprop="jobTitle">Mathematician</span>
+    </div>
+
+One regexp pass collects itemscope blocks (up to the enclosing tag's
+close is undecidable without a full parser, so the documented unit is
+the segment from an itemscope tag to the NEXT itemscope tag or
+end-of-document — properties bind to the most recent scope, which is
+the common single-level usage); per-block regexps pull the itemtype and
+each itemprop with its simple-text value. Nested-markup property values
+are tag-stripped like table cells. Pure Catalyst, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SCOPE_SPLIT_RE = "(?=<[a-zA-Z][^>]*\\bitemscope\\b)"
+_ITEMTYPE_RE = 'itemtype="([^"]+)"'
+_PROP_RE = '(?s)<[^>]*\\bitemprop="([^"]+)"[^>]*>(.*?)</'
+
+
+def microdata_items(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """(url, item_idx, item_type, prop, value) — one row per itemprop
+    with non-empty simple-text value; item_type NULL when undeclared."""
+    h = F.col(html_col).cast("string")
+    segments = F.filter(
+        F.split(h, _SCOPE_SPLIT_RE),
+        lambda s: s.rlike("^<[a-zA-Z][^>]*\\bitemscope\\b"),
+    )
+    items = pages.select(
+        "url", F.posexplode(segments).alias("item_idx", "_seg")
+    )
+    itype = F.regexp_extract("_seg", _ITEMTYPE_RE, 1)
+    props = F.regexp_extract_all(F.col("_seg"), F.lit(_PROP_RE), 0)
+    exploded = items.select(
+        "url",
+        "item_idx",
+        F.when(itype != "", itype).alias("item_type"),
+        F.explode(props).alias("_p"),
+    )
+    return exploded.select(
+        "url",
+        "item_idx",
+        "item_type",
+        F.regexp_extract("_p", _PROP_RE, 1).alias("prop"),
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_extract("_p", _PROP_RE, 2), "(?s)<[^>]*>", ""
+                ),
+                "\\s+", " ",
+            )
+        ).alias("value"),
+    ).where(F.col("value") != "")

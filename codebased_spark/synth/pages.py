@@ -447,3 +447,27 @@ def pages_with_jsonld_spark(docs):
     )
     return pages_from_documents_spark(docs, head_extra=block)
 
+
+
+def pages_with_microdata_spark(docs):
+    """pages_from_documents_spark plus a planted itemscope block: a
+    schema.org/Article with headline + wordCount itemprops (wordCount's
+    value carries nested markup that extraction must strip); every 5th
+    doc declares a second, typeless itemscope with one prop."""
+    from pyspark.sql import functions as F
+
+    item = F.concat(
+        F.lit('<div itemscope itemtype="https://schema.org/Article">'),
+        F.lit('<span itemprop="headline">'), F.col("source"),
+        F.lit(" doc "), F.col("doc_id").cast("string"), F.lit("</span>"),
+        F.lit('<span itemprop="wordCount"><b>'),
+        F.col("n_chars").cast("string"), F.lit("</b></span></div>"),
+    )
+    extra = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.lit('<p itemscope><span itemprop="note">n'),
+            (F.col("doc_id") % 9).cast("string"), F.lit("</span></p>"),
+        ),
+    ).otherwise(F.lit(""))
+    return pages_from_documents_spark(docs, body_extra=F.concat(item, extra))
