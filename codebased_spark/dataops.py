@@ -715,6 +715,17 @@ def kg_microdata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return microdata_items(pages_with_microdata_spark(_docs(spark, sf_dir)))
 
 
+def kg_hreflang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hreflang language-variant extraction (sources/canonical.py): the
+    multilingual page-identity declaration — variants are linked
+    translations, not duplicates. Planted en/de/x-default alternates,
+    one tag in href-before-rel attribute order."""
+    from codebased_spark.sources.canonical import hreflang_alternates
+    from codebased_spark.synth.pages import pages_with_hreflang_spark
+
+    return hreflang_alternates(pages_with_hreflang_spark(_docs(spark, sf_dir)))
+
+
 def g_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs/authorities over the deterministic doc graph, 4
     L1-normalized rounds — value-checked against the SAME rounds unrolled
@@ -820,6 +831,7 @@ QUERIES = {
     "g_domain_pagerank": g_domain_pagerank,
     "kg_cocitation": kg_cocitation,
     "kg_microdata": kg_microdata,
+    "kg_hreflang": kg_hreflang,
 }
 
 # ---------------------------------------------------------------------------
@@ -1707,6 +1719,19 @@ ORACLES = {
         )
         SELECT target, anchor_text, n_refs, n_src_pages, rnk
         FROM r WHERE rnk <= 2
+    """,
+    # planted hreflang alternates: en + de + x-default(en) per page
+    "kg_hreflang": """
+        WITH u AS (
+          SELECT 'https://' || source || '.example.org/' || lang || '/doc/'
+                   || doc_id AS url,
+                 'https://' || source || '.example.org/en/doc/' || doc_id AS en_url,
+                 'https://' || source || '.example.org/de/doc/' || doc_id AS de_url
+          FROM documents
+        )
+        SELECT url, 'en' AS hreflang, en_url AS alt_url FROM u
+        UNION ALL SELECT url, 'de', de_url FROM u
+        UNION ALL SELECT url, 'x-default', en_url FROM u
     """,
     # planted microdata (pages_with_microdata_spark): Article item with
     # headline + tag-stripped wordCount; every 5th doc a typeless note

@@ -82,3 +82,33 @@ def collapse_canonical(
         F.col(f"_best.{url_col}").alias("src_url"),
         "n_variants",
     )
+
+
+_HREFLANG_TAG_RE = '<link[^>]*\\bhreflang="[^"]*"[^>]*>'
+_HREFLANG_RE = 'hreflang="([^"]*)"'
+_HREF_RE = 'href="([^"]+)"'
+
+
+def hreflang_alternates(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """(url, hreflang, alt_url) — declared language variants of a page
+    (<link rel="alternate" hreflang=...>), the multilingual sibling of
+    the canonical declaration: the variants are DISTINCT pages (per-
+    language entities) linked as translations, not duplicates to
+    collapse. One regexp pass collects link tags carrying hreflang (any
+    attribute order); a filter keeps only rel="alternate" ones, then
+    per-tag regexps pull hreflang and href. Tags missing an href are
+    dropped; the x-default tag is kept (its hreflang value is the
+    literal 'x-default')."""
+    tags = F.regexp_extract_all(
+        F.col(html_col).cast("string"), F.lit(_HREFLANG_TAG_RE), 0
+    )
+    e = pages.select(
+        F.col(url_col).alias("url"), F.explode(tags).alias("_t")
+    ).where(F.col("_t").contains('rel="alternate"'))
+    return e.select(
+        "url",
+        F.regexp_extract("_t", _HREFLANG_RE, 1).alias("hreflang"),
+        F.regexp_extract("_t", _HREF_RE, 1).alias("alt_url"),
+    ).where(F.col("alt_url") != "")

@@ -471,3 +471,24 @@ def pages_with_microdata_spark(docs):
         ),
     ).otherwise(F.lit(""))
     return pages_from_documents_spark(docs, body_extra=F.concat(item, extra))
+
+
+def pages_with_hreflang_spark(docs):
+    """pages_from_documents_spark plus planted hreflang alternates: every
+    page declares its en and de variants (same path, swapped lang
+    segment) plus an x-default pointing at the en form; one of the three
+    tags uses href-before-hreflang attribute order."""
+    from pyspark.sql import functions as F
+
+    def variant(lang):
+        return F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.org/"),
+            F.lit(lang), F.lit("/doc/"), F.col("doc_id").cast("string"),
+        )
+
+    links = F.concat(
+        F.lit('<link rel="alternate" hreflang="en" href="'), variant("en"), F.lit('"/>'),
+        F.lit('<link href="'), variant("de"), F.lit('" rel="alternate" hreflang="de"/>'),
+        F.lit('<link rel="alternate" hreflang="x-default" href="'), variant("en"), F.lit('"/>'),
+    )
+    return pages_from_documents_spark(docs, head_extra=links)

@@ -106,3 +106,25 @@ def test_pipeline_canonical_collapse_merges_variant_triples(spark):
     b = {tuple(r) for r in merged.triples.select("subj", "pred", "obj").collect()}
     # self-capture wins over the newer thin variant -> identical triples
     assert a == b
+
+
+def test_hreflang_alternates_any_attr_order(spark):
+    from codebased_spark.sources.canonical import hreflang_alternates
+
+    html = (
+        '<head>'
+        '<link rel="alternate" hreflang="en" href="https://h/en"/>'
+        '<link href="https://h/de" rel="alternate" hreflang="de"/>'
+        '<link hreflang="fr" href="https://h/fr" rel="alternate"/>'
+        '<link rel="stylesheet" href="https://h/style.css"/>'
+        '<link rel="alternate" hreflang="x-default" href="https://h/en"/>'
+        "</head>"
+    )
+    pages = _pages(spark, [("https://h/en", 0, html)])
+    got = {(r.hreflang, r.alt_url) for r in hreflang_alternates(pages).collect()}
+    assert got == {
+        ("en", "https://h/en"),
+        ("de", "https://h/de"),
+        ("fr", "https://h/fr"),
+        ("x-default", "https://h/en"),
+    }

@@ -2,17 +2,20 @@
 """Scaling-efficiency benchmark: the same KG job at two parallelism levels.
 
 The north rule requires throughput scaling efficiency >= 0.8 from N to 4N
-executors. No multi-node cluster exists in this sandbox, so the evidence is
-the same job on the SAME input at local[8] vs local[32] (8 -> 32 worker
-threads = N -> 4N executor slots), per-config in a fresh subprocess (a JVM
-cannot change master after start).
+executors. No multi-node cluster exists in this sandbox; two evidence modes:
 
-    python tools/bench_scaling.py [--docs 400000] [--out BENCH.md]
+- thread mode (default): local[N] vs local[4N] worker threads, each in a
+  fresh subprocess (a JVM cannot change master after start):
+      python tools/bench_scaling.py --docs 2000000 --lo 1 --hi 4
+- executor mode (--executor-cores): local-cluster[N,c,mem] — N SEPARATE
+  executor JVMs x c cores, package shipped via addPyFile (spark-submit
+  --py-files semantics), the closest single-box analog of a real
+  N -> 4N executor scale-out:
+      python tools/bench_scaling.py --executor-cores 4 --lo 1 --hi 4 --docs 600000
 
-The job: distributed synthetic corpus generation (synth/scale.py, cost ~0)
--> full extract_triples pipeline -> triples.count(). Input size defaults
-large enough that extraction compute dominates fixed job overhead, which
-is what a 100 TB run looks like; efficiency = thr(4N) / (4 * thr(N)).
+The job: materialized synthetic corpus (synth/scale.py parquet) -> full
+extract_triples pipeline -> triples.count(), timed at steady state (two
+untimed full-size warmups). Efficiency = thr(4N) / (4 * thr(N)).
 """
 
 from __future__ import annotations
