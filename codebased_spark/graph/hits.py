@@ -29,6 +29,53 @@ from pyspark.sql import functions as F
 from codebased_spark.util import round_stable
 
 
+def _hits_driver_side(
+    node_rows, edge_rows, n_iter, out_decimals, spark, node_col, id_type
+):
+    """Driver-side twin for vocabulary-sized graphs (same adaptive
+    rationale as pagerank/cc): identical rounds in float64."""
+    import math
+
+    from pyspark.sql import types as T
+
+    vs = [r[0] for r in node_rows]
+    n = len(vs)
+    hub = {v: 1.0 / n for v in vs}
+    auth = dict(hub)
+
+    def half(score_by_src, key_src=True):
+        raw = {}
+        for u, v in edge_rows:
+            kin, kout = (u, v) if key_src else (v, u)
+            if kin in score_by_src:
+                raw[kout] = raw.get(kout, 0.0) + score_by_src[kin]
+        total = sum(raw.values())
+        if total == 0.0:
+            return {v: 0.0 for v in vs}
+        return {v: raw.get(v, 0.0) / total for v in vs}
+
+    for _ in range(n_iter):
+        auth = half(hub, key_src=True)
+        hub = half(auth, key_src=False)
+    scale = 10 ** out_decimals
+    schema = T.StructType(
+        [
+            T.StructField(node_col, id_type),
+            T.StructField("hub", T.DoubleType()),
+            T.StructField("auth", T.DoubleType()),
+        ]
+    )
+    rows = [
+        (
+            v,
+            math.floor(hub[v] * scale + 0.5) / scale,
+            math.floor(auth[v] * scale + 0.5) / scale,
+        )
+        for v in vs
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
 def hits(
     nodes: DataFrame,
     edges: DataFrame,
@@ -37,14 +84,27 @@ def hits(
     src: str = "src",
     dst: str = "dst",
     out_decimals: int = 6,
+    driver_threshold: int = 200_000,
 ) -> DataFrame:
     """(node, hub, auth) after `n_iter` L1-normalized HITS rounds.
 
     Round order is the standard one: authorities from the PREVIOUS hubs,
     then hubs from the NEW authorities. Nodes with no in-links get
-    authority 0, no out-links hub 0.
+    authority 0, no out-links hub 0. Adaptive like pagerank/cc: below
+    `driver_threshold` nodes+edges the rounds run driver-side (two probe
+    collects, zero iteration jobs).
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if driver_threshold:
+        np_ = nodes.select(node_col).limit(driver_threshold + 1).collect()
+        if len(np_) <= driver_threshold:
+            ep = e.limit(driver_threshold + 1).collect()
+            if len(ep) <= driver_threshold:
+                return _hits_driver_side(
+                    np_, [tuple(r) for r in ep], n_iter, out_decimals,
+                    nodes.sparkSession, node_col,
+                    nodes.schema[node_col].dataType,
+                )
     n = nodes.count()
     hub = nodes.select(F.col(node_col).alias("id"), (F.lit(1.0) / n).alias("s"))
     auth = hub

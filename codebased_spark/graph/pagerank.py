@@ -33,6 +33,40 @@ from pyspark.sql import functions as F
 from codebased_spark.util import round_stable
 
 
+def _pagerank_driver_side(
+    node_rows, edge_rows, n_iter, damping, out_decimals, spark, node_col, id_type
+):
+    """Power iterations on the driver for vocabulary-sized graphs —
+    identical formula, float64 arithmetic; the distributed loop costs
+    ~4 jobs per iteration, which dwarfs the work below ~10^5 edges
+    (the link/cc.py adaptive rationale applied to the iterative ops)."""
+    vs = [r[0] for r in node_rows]
+    n = len(vs)
+    deg: dict = {}
+    for a, _ in edge_rows:
+        deg[a] = deg.get(a, 0) + 1
+    pr = {v: 1.0 / n for v in vs}
+    teleport = (1.0 - damping) / n
+    for _ in range(n_iter):
+        dm = sum(p for v, p in pr.items() if v not in deg)
+        inflow = {v: 0.0 for v in vs}
+        for a, b in edge_rows:
+            if b in inflow:
+                inflow[b] += pr[a] / deg[a]
+        dm_over_n = dm / n
+        pr = {v: teleport + damping * (inflow[v] + dm_over_n) for v in vs}
+    scale = 10 ** out_decimals
+    import math
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField(node_col, id_type), T.StructField("pr", T.DoubleType())]
+    )
+    rows = [(v, math.floor(p * scale + 0.5) / scale) for v, p in pr.items()]
+    return spark.createDataFrame(rows, schema)
+
+
 def pagerank(
     nodes: DataFrame,
     edges: DataFrame,
@@ -42,8 +76,32 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     out_decimals: int = 7,
+    driver_threshold: int = 200_000,
 ) -> DataFrame:
-    """(node, pr) after `n_iter` power iterations from the uniform vector."""
+    """(node, pr) after `n_iter` power iterations from the uniform vector.
+
+    Adaptive like link/cc.py: graphs under `driver_threshold` nodes+edges
+    solve driver-side (two probe collects, zero iteration jobs — the
+    distributed loop's ~4 jobs/round dwarf the work at vocabulary scale);
+    larger graphs run the distributed loop below. Same formula, same
+    float64 arithmetic, same rounding on both paths.
+    """
+    if driver_threshold:
+        # ONE probe collect per side; if both fit, the rows ARE the input
+        np_ = nodes.select(node_col).limit(driver_threshold + 1).collect()
+        if len(np_) <= driver_threshold:
+            ep = (
+                edges.select(src, dst)
+                .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+                .limit(driver_threshold + 1)
+                .collect()
+            )
+            if len(ep) <= driver_threshold:
+                return _pagerank_driver_side(
+                    np_, [tuple(r) for r in ep], n_iter, damping, out_decimals,
+                    nodes.sparkSession, node_col,
+                    nodes.schema[node_col].dataType,
+                )
     n = nodes.count()
     deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("_deg"))
     e = edges.join(deg, src)

@@ -41,3 +41,16 @@ def test_hits_releases_caches(spark):
     before = spark._jsparkSession.sharedState().cacheManager().isEmpty()
     hits(nodes, edges, n_iter=2).collect()
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty() == before
+
+
+def test_driver_and_distributed_paths_identical(spark):
+    from codebased_spark.graph.hits import hits
+
+    nodes = spark.createDataFrame([(i,) for i in range(8)], ["node"])
+    edges = spark.createDataFrame(
+        [(i, (i * 3 + 1) % 8) for i in range(8)] + [(0, 5), (5, 2)],
+        ["src", "dst"],
+    )
+    a = sorted(tuple(r) for r in hits(nodes, edges, n_iter=4).collect())
+    b = sorted(tuple(r) for r in hits(nodes, edges, n_iter=4, driver_threshold=0).collect())
+    assert a == b

@@ -112,3 +112,22 @@ def test_clustering_coefficient_known_graph(spark):
     assert got[2].clustering == 1.0
     assert got[3].degree == 3 and got[3].n_triangles == 1
     assert got[3].clustering == round(1 / 3, 4)
+
+
+def test_pagerank_driver_and_distributed_paths_identical(spark):
+    """The adaptive driver-side pagerank must match the distributed loop
+    value-for-value (same formula, float64, rounding) — including on a
+    graph WITH dangling sinks."""
+    from codebased_spark.graph.pagerank import pagerank
+
+    nodes = spark.createDataFrame([(i,) for i in range(10)], ["node"])
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 3) % 10) for i in range(10) if i % 4 != 0],
+        ["src", "dst"],
+    )
+    a = sorted(tuple(r) for r in pagerank(nodes, edges, n_iter=5).collect())
+    b = sorted(
+        tuple(r)
+        for r in pagerank(nodes, edges, n_iter=5, driver_threshold=0).collect()
+    )
+    assert a == b
