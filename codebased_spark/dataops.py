@@ -726,6 +726,39 @@ def kg_hreflang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hreflang_alternates(pages_with_hreflang_spark(_docs(spark, sf_dir)))
 
 
+def kg_feed_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS/Atom feed parsing (sources/sitemap.py::parse_feed): planted
+    per-doc feed bodies — even doc_ids as RSS items (element-text link),
+    odd as Atom entries (href-attribute link) — so both syntax families
+    are value-checked."""
+    from codebased_spark.sources.sitemap import parse_feed
+
+    docs = _docs(spark, sf_dir)
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.org/"),
+        F.col("lang"), F.lit("/doc/"), F.col("doc_id").cast("string"),
+    )
+    title = F.concat(F.col("source"), F.lit(" doc "), F.col("doc_id").cast("string"))
+    day = F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0")
+    rss = F.concat(
+        F.lit("<rss><channel><item><title>"), title,
+        F.lit("</title><link>"), url,
+        F.lit("</link><pubDate>2025-01-"), day,
+        F.lit("</pubDate></item></channel></rss>"),
+    )
+    atom = F.concat(
+        F.lit("<feed><entry><title>"), title,
+        F.lit('</title><link rel="alternate" href="'), url,
+        F.lit('"/><updated>2025-01-'), day,
+        F.lit("</updated></entry></feed>"),
+    )
+    feeds = docs.select(
+        F.concat(F.col("source"), F.lit(".example.org")).alias("host"),
+        F.when(F.col("doc_id") % 2 == 0, rss).otherwise(atom).alias("feed_xml"),
+    )
+    return parse_feed(feeds)
+
+
 def g_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs/authorities over the deterministic doc graph, 4
     L1-normalized rounds — value-checked against the SAME rounds unrolled
@@ -832,6 +865,7 @@ QUERIES = {
     "kg_cocitation": kg_cocitation,
     "kg_microdata": kg_microdata,
     "kg_hreflang": kg_hreflang,
+    "kg_feed_items": kg_feed_items,
 }
 
 # ---------------------------------------------------------------------------
@@ -1719,6 +1753,17 @@ ORACLES = {
         )
         SELECT target, anchor_text, n_refs, n_src_pages, rnk
         FROM r WHERE rnk <= 2
+    """,
+    # planted feeds: RSS (even doc_ids) / Atom (odd) carrying the same
+    # title/link/date per doc
+    "kg_feed_items": """
+        SELECT source || '.example.org' AS host,
+               source || ' doc ' || doc_id AS title,
+               'https://' || source || '.example.org/' || lang || '/doc/'
+                 || doc_id AS link,
+               '2025-01-' || lpad((doc_id % 28 + 1)::VARCHAR, 2, '0')
+                 AS published
+        FROM documents
     """,
     # planted hreflang alternates: en + de + x-default(en) per page
     "kg_hreflang": """

@@ -80,3 +80,38 @@ def stale_urls(
         F.col("warc_ts").isNull()
         | (F.col("_declared").isNotNull() & (F.col("_declared") > F.col("warc_ts")))
     ).select(url_col, "_declared")
+
+
+_ITEM_RE = "(?s)<(?:item|entry)[\\s>](.*?)</(?:item|entry)>"
+_TITLE_RE = "(?s)<title[^>]*>\\s*(.*?)\\s*</title>"
+_FEED_LINK_RE = '(?s)<link[^>]*href="([^"]+)"|<link[^>]*>\\s*([^<\\s][^<]*?)\\s*</link>'
+_PUBDATE_RE = "(?s)<(?:pubDate|updated|published)[^>]*>\\s*(.*?)\\s*</(?:pubDate|updated|published)>"
+
+
+def parse_feed(
+    feeds: DataFrame, host: str = "host", body: str = "feed_xml"
+) -> DataFrame:
+    """(host, title, link, published) — one row per RSS <item> / Atom
+    <entry>. RSS carries the link as element text, Atom as an href
+    attribute; both forms are handled (the alternation's two capture
+    groups are coalesced). Entries without a link are dropped; missing
+    dates yield NULL. Same crawl-discovery family as parse_sitemap —
+    feeds declare NEW urls with freshness before any sitemap updates."""
+    e = feeds.select(
+        F.col(host), F.explode(_entries(F.col(body), _ITEM_RE)).alias("_e")
+    )
+    link_attr = F.regexp_extract("_e", _FEED_LINK_RE, 1)
+    link_text = F.regexp_extract("_e", _FEED_LINK_RE, 2)
+    title = F.regexp_extract("_e", _TITLE_RE, 1)
+    pub = F.regexp_extract("_e", _PUBDATE_RE, 1)
+    return (
+        e.select(
+            host,
+            F.when(title != "", title).alias("title"),
+            F.when(link_attr != "", link_attr)
+            .when(link_text != "", link_text)
+            .alias("link"),
+            F.when(pub != "", pub).alias("published"),
+        )
+        .where(F.col("link").isNotNull())
+    )
