@@ -49,7 +49,9 @@ def tables_col(html_col: Column) -> Column:
 
 def html_table_cells(pages: DataFrame, html_col: str = "html") -> DataFrame:
     """(url, table_idx, row_idx, col_idx, cell) — 0-based indexes, rows
-    with no cells (separator <tr>s) dropped."""
+    with no cells (separator <tr>s) dropped; EMPTY cells kept (they are
+    positional placeholders a table consumer needs). Property-tested
+    against an independent html.parser reference (test_markup_spec.py)."""
     t = pages.select(
         "url", F.posexplode(tables_col(F.col(html_col))).alias("table_idx", "_t")
     )
