@@ -115,8 +115,14 @@ def kg_entity_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     Raw co-occurrence counts (kg_cooccurrence) over-weight head entities;
     PMI(a,b) = ln(P(a,b) / (P(a)P(b))) normalizes by marginal frequency,
     which is the standard relatedness weight a KG pipeline attaches to
-    co-mention edges before thresholding. Emits the exact integer-ratio
-    `lift` alongside the rounded log for a bit-exact cross-engine column.
+    co-mention edges before thresholding.
+
+    The value-checked surface is the exact integer-ratio `lift` (pmi =
+    ln(lift) is a bijection of it): natural log is transcendental, and
+    JVM vs DuckDB libm can differ in the last ulp, which could flip the
+    4-decimal rounding at a boundary value and flake the hash gate
+    (ADVICE r3). The log itself stays available as
+    ``with_pmi(df)``, pytest-checked with a tolerance.
 
     Scale shape: the doc-keyed pair join is bounded by per-doc entity-set
     size; both marginal-count joins broadcast (vocabulary-sized); the
@@ -160,9 +166,14 @@ def kg_entity_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dst",
             "n_docs",
             round_stable(ratio).alias("lift"),
-            round_stable(F.log(ratio)).alias("pmi"),
         )
     )
+
+
+def with_pmi(scored: DataFrame, lift_col: str = "lift") -> DataFrame:
+    """Attach pmi = ln(lift). Kept OUT of the exact cross-engine hash gate
+    (see kg_entity_pmi docstring); covered by a tolerance test instead."""
+    return scored.withColumn("pmi", F.log(F.col(lift_col)))
 
 
 def kg_unlinked_entities(spark: SparkSession, sf_dir: str) -> DataFrame:

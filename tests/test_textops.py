@@ -199,7 +199,7 @@ def test_entity_pmi_hand_computed(spark, tmp_path):
     """
     import math
 
-    from codebased_spark.graph.queries import kg_entity_pmi
+    from codebased_spark.graph.queries import kg_entity_pmi, with_pmi
 
     rows = [
         (0, "spark join"), (1, "join spark runs"),
@@ -208,13 +208,18 @@ def test_entity_pmi_hand_computed(spark, tmp_path):
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
     sf = str(tmp_path)
     docs.write.parquet(f"{sf}/documents.parquet")
-    got = {(r.src, r.dst): r for r in kg_entity_pmi(spark, sf).collect()}
+    got = {
+        (r.src, r.dst): r
+        for r in with_pmi(kg_entity_pmi(spark, sf)).collect()
+    }
     key = ("ent:concept:spark", "ent:op:join")  # src < dst lexicographically
     assert set(got) == {key}
     r = got[key]
     assert r.n_docs == 2
     assert r.lift == round(4 / 3, 4)
-    assert abs(r.pmi - round(math.log(4 / 3), 4)) < 1e-9
+    # pmi is ln(rounded lift): tolerance-checked, excluded from the exact
+    # cross-engine hash gate (transcendental; ADVICE r3)
+    assert abs(r.pmi - math.log(round(4 / 3, 4))) < 1e-9
 
 
 def test_filter_decisions_every_rule(spark):

@@ -56,6 +56,9 @@ def main():
         )
 
     qs = entry_mod.queries()
+    if len(sys.argv) > 2:  # optional comma-separated name filter
+        keep = set(sys.argv[2].split(","))
+        qs = {k: v for k, v in qs.items() if k in keep}
     oracles = entry_mod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
