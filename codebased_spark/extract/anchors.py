@@ -36,7 +36,12 @@ from pyspark.sql import functions as F
 
 from codebased_spark.extract.urlops import host_col
 
-_ANCHOR_RE = '<a\\s+href="([^"]+)"[^>]*>([^<]*)</a>'
+# Real-web tolerant (VERDICT r3 top task): case-insensitive, quote-agnostic,
+# and attribute-order-free — href may sit after class/data-* attributes.
+_ANCHOR_RE = (
+    '(?is)<a\\b[^>]*[\\s"\']href\\s*=\\s*["\']([^"\']+)["\'][^>]*>'
+    "([^<]*)</a\\s*>"
+)
 
 
 def anchor_entries_col(html_col: Column) -> Column:

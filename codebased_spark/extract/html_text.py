@@ -82,8 +82,16 @@ def with_text(df: DataFrame, html_col: str = "html", out: str = "text") -> DataF
     return df.withColumn(out, _extract_text_udf()(F.col(html_col)))
 
 
+# Real-web tolerant (VERDICT r3 top task): case-insensitive, quote-agnostic,
+# attribute-order-free — href may follow class/id/data-* attributes, in
+# single or double quotes, in <a> or <A>. The [\\s"'] guard before href
+# keeps data-href= from matching. Reference analog: html.py:96-109 runs its
+# whole regex battery with re.IGNORECASE.
+HREF_RE = '(?i)<a\\b[^>]*[\\s"\']href\\s*=\\s*["\']([^"\']+)["\']'
+
+
 def href_targets(html_col: Column) -> Column:
-    """All <a href="..."> targets — Spark-native regexp, no Python at all.
+    """All <a ... href=...> targets — Spark-native regexp, no Python at all.
 
     Reference analog: HTML template edge emission (html.py:147-166) — pure
     regexp_extract_all on the markup, fully JVM-side. binary→string cast is
@@ -92,7 +100,7 @@ def href_targets(html_col: Column) -> Column:
     decode() throws MALFORMED_CHARACTER_CODING.
     """
     return F.regexp_extract_all(
-        html_col.cast("string"), F.lit('<a\\s+href="([^"]+)"'), F.lit(1)
+        html_col.cast("string"), F.lit(HREF_RE), F.lit(1)
     )
 
 

@@ -19,7 +19,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_BLOCK_RE = '(?s)<script type="application/ld\\+json"[^>]*>(.*?)</script>'
+# Real-web tolerant: case-insensitive, quote-agnostic, and attribute-order
+# free — `type` may follow async/defer/nonce/data-* attributes
+# (<script async type='application/ld+json'>); VERDICT r3 top task.
+_BLOCK_RE = (
+    "(?is)<script\\b[^>]*[\\s\"']type\\s*=\\s*[\"']application/ld\\+json[\"']"
+    "[^>]*>(.*?)</script\\s*>"
+)
 
 # the subset of schema.org fields the KG sink consumes; unknown fields
 # are ignored by from_json (open-content model)

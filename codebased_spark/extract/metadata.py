@@ -18,10 +18,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_TITLE_RE = "(?i)<title>([^<]*)</title>"
-_OG_TAG_RE = '(?i)<meta\\s+property="og:[^"]*"\\s+content="[^"]*"\\s*/?>'
-_OG_KEY_RE = '(?i)property="og:([^"]*)"'
-_OG_VAL_RE = '(?i)content="([^"]*)"'
+# Real-web tolerant: quote-agnostic and attribute-order-free — content may
+# precede property, other attributes may interleave (VERDICT r3 top task)
+_TITLE_RE = "(?i)<title\\b[^>]*>([^<]*)</title\\s*>"
+_OG_TAG_RE = "(?i)<meta\\b[^>]*\\bproperty\\s*=\\s*[\"']og:[^\"']*[\"'][^>]*>"
+_OG_KEY_RE = "(?i)\\bproperty\\s*=\\s*[\"']og:([^\"']*)[\"']"
+_OG_VAL_RE = "(?i)\\bcontent\\s*=\\s*[\"']([^\"']*)[\"']"
 
 
 def title_col(html_str: Column) -> Column:

@@ -23,9 +23,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_SCOPE_SPLIT_RE = "(?=<[a-zA-Z][^>]*\\bitemscope\\b)"
-_ITEMTYPE_RE = 'itemtype="([^"]+)"'
-_PROP_RE = '(?s)<[^>]*\\bitemprop="([^"]+)"[^>]*>(.*?)</'
+# Real-web tolerant: case-insensitive, quote-agnostic (VERDICT r3 top task);
+# the \\s guard before itemscope keeps data-itemscope= from opening a scope
+_SCOPE_SPLIT_RE = "(?i)(?=<[a-zA-Z][^>]*\\sitemscope\\b)"
+_SCOPE_HEAD_RE = "(?i)^<[a-zA-Z][^>]*\\sitemscope\\b"
+_ITEMTYPE_RE = "(?i)\\bitemtype\\s*=\\s*[\"']([^\"']+)[\"']"
+_PROP_RE = "(?is)<[^>]*\\sitemprop\\s*=\\s*[\"']([^\"']+)[\"'][^>]*>(.*?)</"
 
 
 def microdata_items(pages: DataFrame, html_col: str = "html") -> DataFrame:
@@ -34,7 +37,7 @@ def microdata_items(pages: DataFrame, html_col: str = "html") -> DataFrame:
     h = F.col(html_col).cast("string")
     segments = F.filter(
         F.split(h, _SCOPE_SPLIT_RE),
-        lambda s: s.rlike("^<[a-zA-Z][^>]*\\bitemscope\\b"),
+        lambda s: s.rlike(_SCOPE_HEAD_RE),
     )
     items = pages.select(
         "url", F.posexplode(segments).alias("item_idx", "_seg")

@@ -23,9 +23,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_TABLE_RE = "(?s)<table[^>]*>(.*?)</table>"
-_ROW_RE = "(?s)<tr[^>]*>(.*?)</tr>"
-_CELL_RE = "(?s)<t[dh][^>]*>(.*?)</t[dh]>"
+# (?i): real-web markup carries uppercase TABLE/TR/TD (VERDICT r3 top task)
+_TABLE_RE = "(?is)<table\\b[^>]*>(.*?)</table\\s*>"
+_ROW_RE = "(?is)<tr\\b[^>]*>(.*?)</tr\\s*>"
+_CELL_RE = "(?is)<t[dh]\\b[^>]*>(.*?)</t[dh]\\s*>"
 
 
 def _clean(cell: Column) -> Column:

@@ -28,8 +28,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_REL_HREF = '<link[^>]*rel="canonical"[^>]*href="([^"]+)"'
-_HREF_REL = '<link[^>]*href="([^"]+)"[^>]*rel="canonical"'
+# Real-web tolerant: case-insensitive, quote-agnostic (VERDICT r3 top task)
+_REL_HREF = (
+    "(?i)<link\\b[^>]*\\brel\\s*=\\s*[\"']canonical[\"']"
+    "[^>]*\\bhref\\s*=\\s*[\"']([^\"']+)[\"']"
+)
+_HREF_REL = (
+    "(?i)<link\\b[^>]*\\bhref\\s*=\\s*[\"']([^\"']+)[\"']"
+    "[^>]*\\brel\\s*=\\s*[\"']canonical[\"']"
+)
 
 
 def canonical_url_col(html_col: Column) -> Column:
@@ -84,9 +91,10 @@ def collapse_canonical(
     )
 
 
-_HREFLANG_TAG_RE = '<link[^>]*\\bhreflang="[^"]*"[^>]*>'
-_HREFLANG_RE = 'hreflang="([^"]*)"'
-_HREF_RE = 'href="([^"]+)"'
+_HREFLANG_TAG_RE = "(?i)<link\\b[^>]*\\bhreflang\\s*=\\s*[\"'][^\"']*[\"'][^>]*>"
+_HREFLANG_RE = "(?i)\\bhreflang\\s*=\\s*[\"']([^\"']*)[\"']"
+_HREF_RE = "(?i)\\bhref\\s*=\\s*[\"']([^\"']+)[\"']"
+_REL_ALTERNATE_RE = "(?i)\\brel\\s*=\\s*[\"']alternate[\"']"
 
 
 def hreflang_alternates(
@@ -106,7 +114,7 @@ def hreflang_alternates(
     )
     e = pages.select(
         F.col(url_col).alias("url"), F.explode(tags).alias("_t")
-    ).where(F.col("_t").contains('rel="alternate"'))
+    ).where(F.col("_t").rlike(_REL_ALTERNATE_RE))
     return e.select(
         "url",
         F.regexp_extract("_t", _HREFLANG_RE, 1).alias("hreflang"),

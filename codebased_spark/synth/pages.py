@@ -218,9 +218,17 @@ def gen_pages(
                 sentences.append(_FILLER[rng.randint(len(_FILLER))].capitalize() + ".")
 
         text = " ".join(sentences)
-        # html construction — extraction must invert this exactly
+        # html construction — extraction must invert this exactly.
+        # Every third link uses adversarial real-web markup (uppercase tag,
+        # single quotes, href not the first attribute) — the flagship
+        # LINKS_TO path must still find it (VERDICT r3 top task).
         paras = "".join(f"<p>{html_mod.escape(s)}</p>" for s in sentences)
-        atags = "".join(f'<a href="{t}"></a>' for t in links)
+        atags = "".join(
+            f"<A Class='ref' HREF='{t}' data-n=\"{j}\"></A>"
+            if (d + j) % 3 == 1
+            else f'<a href="{t}"></a>'
+            for j, t in enumerate(links)
+        )
         body = paras + atags
         edge = d % 50
         if edge == 47:
@@ -303,12 +311,28 @@ def pages_from_documents_spark(docs, head_extra=None, body_extra=None):
     title = F.concat(
         F.col("source"), F.lit(" doc "), F.col("doc_id").cast("string")
     )
+    # og:locale alternates between canonical markup and an adversarial
+    # real-web form (uppercase META, single quotes, content BEFORE
+    # property) — same value either way, so oracles are unchanged while
+    # the extractor must handle both (VERDICT r3 top task)
+    og_locale = F.when(
+        F.col("doc_id") % 2 == 1,
+        F.concat(
+            F.lit("<META CONTENT='"), F.col("lang"),
+            F.lit("' PROPERTY='og:locale' DATA-N=\"1\"/>"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit('<meta property="og:locale" content="'),
+            F.col("lang"), F.lit('"/>'),
+        )
+    )
     html = F.encode(
         F.concat(
             F.lit("<html><head><title>"), title, F.lit("</title>"),
             F.lit('<meta property="og:title" content="'), title, F.lit('"/>'),
             F.lit('<meta property="og:site_name" content="'), F.col("source"), F.lit('"/>'),
-            F.lit('<meta property="og:locale" content="'), F.col("lang"), F.lit('"/>'),
+            og_locale,
             head_extra if head_extra is not None else F.lit(""),
             F.lit("<script>junk()</script></head><body><p>"),
             esc,
@@ -357,6 +381,13 @@ def pages_with_links_spark(docs):
       (a hot shared target);
     - empty-text: t.example.net/p with whitespace inner text (dropped by
       the anchor-text summary, kept by the domain graph).
+
+    Adversarial real-web markup fixture (VERDICT r3 top task): on
+    doc_id % 4 == 1 the internal anchor is uppercase/single-quoted with
+    href NOT the first attribute; on doc_id % 4 == 3 a data-* attribute
+    precedes href; the external anchor puts rel= before href on odd
+    doc_ids. Values are identical in every form, so the SQL oracles are
+    unchanged while extraction must handle each shape.
     """
     from pyspark.sql import functions as F
 
@@ -372,9 +403,37 @@ def pages_with_links_spark(docs):
         F.lit("https://cdn.example.net/asset/"),
         (F.col("doc_id") % 13).cast("string"),
     )
+    int_anchor = F.when(
+        F.col("doc_id") % 4 == 1,
+        F.concat(
+            F.lit("<A CLASS='nav' HREF='"), int_href, F.lit("' DATA-N=\"1\">"),
+            int_text, F.lit("</A>"),
+        ),
+    ).when(
+        F.col("doc_id") % 4 == 3,
+        F.concat(
+            F.lit('<a data-trk="x" href=\''), int_href, F.lit("'>"),
+            int_text, F.lit("</a>"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit('<a href="'), int_href, F.lit('">'), int_text, F.lit("</a>")
+        )
+    )
+    ext_anchor = F.when(
+        F.col("doc_id") % 2 == 1,
+        F.concat(
+            F.lit('<a rel="nofollow" href="'), ext_href,
+            F.lit('">download</a>'),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit('<a href="'), ext_href, F.lit('" rel="nofollow">download</a>')
+        )
+    )
     anchors = F.concat(
-        F.lit('<a href="'), int_href, F.lit('">'), int_text, F.lit("</a>"),
-        F.lit('<a href="'), ext_href, F.lit('" rel="nofollow">download</a>'),
+        int_anchor,
+        ext_anchor,
         F.lit('<a href="https://t.example.net/p"> </a>'),
     )
     return pages_from_documents_spark(docs, body_extra=anchors)
@@ -384,9 +443,11 @@ def pages_with_canonical_spark(docs):
     """pages_from_documents_spark plus a planted <link rel="canonical">:
     docs with doc_id % 4 != 0 declare canonical
     https://hub.example.org/c/(doc_id % 50) — odd doc_ids in the
-    rel-then-href attribute order, even in href-then-rel, so both
-    extraction regexps are exercised; doc_id % 4 == 0 declares none and
-    groups under its own url."""
+    rel-then-href attribute order (UPPERCASE single-quoted adversarial
+    markup on doc_id % 4 == 1, canonical form on % 4 == 3), even in
+    href-then-rel, so both extraction regexps AND the real-web tolerance
+    are exercised; doc_id % 4 == 0 declares none and groups under its
+    own url."""
     from pyspark.sql import functions as F
 
     hub = F.concat(
@@ -394,6 +455,9 @@ def pages_with_canonical_spark(docs):
     )
     link = F.when(
         F.col("doc_id") % 4 == 0, F.lit("")
+    ).when(
+        F.col("doc_id") % 4 == 1,
+        F.concat(F.lit("<LINK REL='canonical' HREF='"), hub, F.lit("'/>")),
     ).when(
         F.col("doc_id") % 2 == 1,
         F.concat(F.lit('<link rel="canonical" href="'), hub, F.lit('"/>')),
@@ -406,10 +470,13 @@ def pages_with_canonical_spark(docs):
 def pages_with_tables_spark(docs):
     """pages_from_documents_spark plus a planted 3-row <table> (header +
     two data rows derived from the documents columns, one cell carrying
-    nested markup that extraction must strip)."""
+    nested markup that extraction must strip). On doc_id % 3 == 1 the
+    markup is adversarial real-web form — UPPERCASE tags with attributes
+    (<TABLE class='data'>) — with identical cell values, so the oracle is
+    unchanged while extraction must tolerate the shape."""
     from pyspark.sql import functions as F
 
-    table = F.concat(
+    canonical = F.concat(
         F.lit("<table><tr><th>name</th><th>lang</th><th>chars</th></tr>"),
         F.lit("<tr><td>"), F.col("source"),
         F.lit("</td><td>"), F.col("lang"),
@@ -418,6 +485,17 @@ def pages_with_tables_spark(docs):
         F.lit("</b></td><td> mixed </td><td>"), (F.col("doc_id") % 7).cast("string"),
         F.lit("</td></tr></table>"),
     )
+    shouty = F.concat(
+        F.lit("<TABLE class='data'><TR><TH>name</TH><TH>lang</TH>"
+              "<TH>chars</TH></TR>"),
+        F.lit("<TR><TD align='left'>"), F.col("source"),
+        F.lit("</TD><TD>"), F.col("lang"),
+        F.lit("</TD><TD>"), F.col("n_chars").cast("string"),
+        F.lit("</TD></TR><TR><TD><b>doc "), F.col("doc_id").cast("string"),
+        F.lit("</b></TD><TD> mixed </TD><TD>"), (F.col("doc_id") % 7).cast("string"),
+        F.lit("</TD></TR></TABLE>"),
+    )
+    table = F.when(F.col("doc_id") % 3 == 1, shouty).otherwise(canonical)
     return pages_from_documents_spark(docs, body_extra=table)
 
 
@@ -440,10 +518,24 @@ def pages_with_jsonld_spark(docs):
         F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
         F.lit('"}'),
     )
-    block = F.concat(
-        F.lit('<script type="application/ld+json">'),
-        F.when(F.col("doc_id") % 10 == 0, F.lit('{"@type": broken')).otherwise(good),
-        F.lit("</script>"),
+    payload = F.when(
+        F.col("doc_id") % 10 == 0, F.lit('{"@type": broken')
+    ).otherwise(good)
+    # doc_id % 3 == 1: adversarial real-web script tag — uppercase, async
+    # BEFORE type, single quotes, trailing data-* attribute
+    block = F.when(
+        F.col("doc_id") % 3 == 1,
+        F.concat(
+            F.lit("<SCRIPT async type='application/ld+json' data-x=\"1\">"),
+            payload,
+            F.lit("</SCRIPT>"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit('<script type="application/ld+json">'),
+            payload,
+            F.lit("</script>"),
+        )
     )
     return pages_from_documents_spark(docs, head_extra=block)
 
@@ -453,16 +545,26 @@ def pages_with_microdata_spark(docs):
     """pages_from_documents_spark plus a planted itemscope block: a
     schema.org/Article with headline + wordCount itemprops (wordCount's
     value carries nested markup that extraction must strip); every 5th
-    doc declares a second, typeless itemscope with one prop."""
+    doc declares a second, typeless itemscope with one prop. On
+    doc_id % 3 == 1 the Article item uses adversarial real-web markup
+    (UPPERCASE tags/attrs, single quotes) with identical values."""
     from pyspark.sql import functions as F
 
-    item = F.concat(
+    canonical = F.concat(
         F.lit('<div itemscope itemtype="https://schema.org/Article">'),
         F.lit('<span itemprop="headline">'), F.col("source"),
         F.lit(" doc "), F.col("doc_id").cast("string"), F.lit("</span>"),
         F.lit('<span itemprop="wordCount"><b>'),
         F.col("n_chars").cast("string"), F.lit("</b></span></div>"),
     )
+    shouty = F.concat(
+        F.lit("<DIV ITEMSCOPE ITEMTYPE='https://schema.org/Article'>"),
+        F.lit("<SPAN ITEMPROP='headline'>"), F.col("source"),
+        F.lit(" doc "), F.col("doc_id").cast("string"), F.lit("</SPAN>"),
+        F.lit("<SPAN ITEMPROP='wordCount'><B>"),
+        F.col("n_chars").cast("string"), F.lit("</B></SPAN></DIV>"),
+    )
+    item = F.when(F.col("doc_id") % 3 == 1, shouty).otherwise(canonical)
     extra = F.when(
         F.col("doc_id") % 5 == 0,
         F.concat(
@@ -488,7 +590,8 @@ def pages_with_hreflang_spark(docs):
 
     links = F.concat(
         F.lit('<link rel="alternate" hreflang="en" href="'), variant("en"), F.lit('"/>'),
-        F.lit('<link href="'), variant("de"), F.lit('" rel="alternate" hreflang="de"/>'),
+        # adversarial real-web form: UPPERCASE, single quotes, href first
+        F.lit("<LINK HREF='"), variant("de"), F.lit("' REL='alternate' HREFLANG='de'/>"),
         F.lit('<link rel="alternate" hreflang="x-default" href="'), variant("en"), F.lit('"/>'),
     )
     return pages_from_documents_spark(docs, head_extra=links)
