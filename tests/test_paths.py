@@ -38,6 +38,52 @@ def test_cycle_members(spark):
     assert short == {6}
 
 
+def test_cycle_members_driver_and_distributed_paths_identical(spark):
+    """The adaptive driver-side BFS must match the distributed pruned
+    frontier loop set-for-set — on a graph mixing self-loops, a 2-cycle,
+    a long cycle at exactly max_len, one beyond it, and acyclic tails."""
+    edges = (
+        [(i, i + 1) for i in range(1, 4)] + [(4, 1)]     # 4-cycle 1-2-3-4
+        + [(10, 11), (11, 10)]                            # 2-cycle
+        + [(20, 20)]                                      # self-loop
+        + [(30, 31), (31, 32), (32, 33), (33, 34), (34, 30)]  # 5-cycle > k
+        + [(4, 40), (40, 41)]                             # tail off the cycle
+    )
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    a = {r.node for r in cycle_members(e, max_len=4).collect()}
+    b = {
+        r.node
+        for r in cycle_members(e, max_len=4, driver_threshold=0).collect()
+    }
+    assert a == b == {1, 2, 3, 4, 10, 11, 20}
+    # the 5-cycle exceeds max_len on both paths
+    a5 = {r.node for r in cycle_members(e, max_len=5).collect()}
+    b5 = {
+        r.node
+        for r in cycle_members(e, max_len=5, driver_threshold=0).collect()
+    }
+    assert a5 == b5 == {1, 2, 3, 4, 10, 11, 20, 30, 31, 32, 33, 34}
+
+
+def test_k_hop_frontier_budget_guard(spark):
+    """max_frontier_rows fails fast with a clear error instead of letting
+    a reach explosion run away (the reference's query-timeout analog)."""
+    import pytest as _pytest
+
+    from codebased_spark.graph.paths import FrontierBudgetExceeded
+
+    # complete-ish digraph: frontier after hop 1 is ~n^2 rows
+    n = 8
+    e = spark.createDataFrame(
+        [(i, j) for i in range(n) for j in range(n) if i != j],
+        ["src", "dst"],
+    )
+    with _pytest.raises(FrontierBudgetExceeded):
+        k_hop_reach(e, k=3, max_frontier_rows=10).count()
+    # a generous budget passes through untouched
+    assert k_hop_reach(e, k=2, max_frontier_rows=10_000).count() > 0
+
+
 def test_pagerank_matches_numpy_power_iteration(spark):
     """Spark PageRank == dense numpy power iteration on a small graph."""
     import numpy as np
