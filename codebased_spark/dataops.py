@@ -802,7 +802,10 @@ def kg_triple_lifespan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(gaz, F.col("word") == gaz.surface_form)
         .select("url", "ts", F.col("canonical_id").alias("entity_id"))
     )
-    return fact_lifespans(obs, ts_col="ts")
+    # latest must come from ALL captures, not just mention-bearing ones —
+    # a mention-less newest capture retracts every fact (ADVICE r3); the
+    # oracle's latest CTE reads caps for the same reason
+    return fact_lifespans(obs, ts_col="ts", captures=caps)
 
 
 def kg_canonical_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -51,7 +51,10 @@ def _pagerank_driver_side(
         dm = sum(p for v, p in pr.items() if v not in deg)
         inflow = {v: 0.0 for v in vs}
         for a, b in edge_rows:
-            if b in inflow:
+            # edges whose src is outside the node table carry no rank —
+            # the distributed path drops them via the rank join; links
+            # from uncrawled pages are routine input (ADVICE r3)
+            if b in inflow and a in pr:
                 inflow[b] += pr[a] / deg[a]
         dm_over_n = dm / n
         pr = {v: teleport + damping * (inflow[v] + dm_over_n) for v in vs}

@@ -31,6 +31,7 @@ def fact_lifespans(
     url_col: str = "url",
     ts_col: str = "warc_ts",
     fact_cols: Sequence[str] = ("entity_id",),
+    captures: DataFrame | None = None,
 ) -> DataFrame:
     """One row per (url, fact): observation window + currency flag.
 
@@ -38,8 +39,16 @@ def fact_lifespans(
     observations inside one capture are fine (n_obs counts distinct
     capture timestamps). is_current = 1 iff the fact appears in the
     url's latest capture — last_seen equals the latest capture ts.
-    """
-    latest = obs.groupBy(url_col).agg(F.max(ts_col).alias("_latest_ts"))
+
+    `captures` (url, ts) should be the FULL capture table: the per-url
+    latest timestamp must come from every capture, not just captures
+    that produced observations — a url whose newest capture asserts NO
+    facts has retracted them all, and deriving 'latest' from obs misses
+    exactly that retraction-by-silence signal (ADVICE r3). When omitted,
+    latest falls back to obs (correct only if every capture is
+    guaranteed to yield at least one observation row)."""
+    latest_src = captures.select(url_col, ts_col) if captures is not None else obs
+    latest = latest_src.groupBy(url_col).agg(F.max(ts_col).alias("_latest_ts"))
     per_fact = obs.groupBy(url_col, *fact_cols).agg(
         F.min(ts_col).alias("first_seen"),
         F.max(ts_col).alias("last_seen"),

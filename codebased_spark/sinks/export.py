@@ -25,8 +25,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _nt_escape(col: Column) -> Column:
-    """Escape a string for an N-Triples IRI/literal position."""
+def _nt_literal_escape(col: Column) -> Column:
+    """String-literal escaping per the N-Triples grammar — applies ONLY
+    inside quoted literals, never inside IRIs (ADVICE r3)."""
     out = F.replace(col, F.lit("\\"), F.lit("\\\\"))
     out = F.replace(out, F.lit('"'), F.lit('\\"'))
     out = F.replace(out, F.lit("\n"), F.lit("\\n"))
@@ -35,26 +36,53 @@ def _nt_escape(col: Column) -> Column:
     return out
 
 
+# characters an N-Triples IRIREF forbids (plus %, encoded first so encoded
+# output never re-encodes): control/whitespace, <>"{}|^`\ and the quote
+_IRI_ENCODE = [
+    ("%", "%25"),
+    (" ", "%20"), ("\t", "%09"), ("\n", "%0A"), ("\r", "%0D"),
+    ("<", "%3C"), (">", "%3E"), ('"', "%22"), ("\\", "%5C"),
+    ("{", "%7B"), ("}", "%7D"), ("|", "%7C"), ("^", "%5E"), ("`", "%60"),
+]
+
+
 def _iri(col: Column, base: str) -> Column:
-    # IRIs forbid spaces and angle brackets; percent-encode the worst
-    # offenders (full RFC 3987 encoding belongs to a URI library, but the
-    # ids this engine mints are already IRI-safe hashes/urls)
-    safe = F.replace(col, F.lit(" "), F.lit("%20"))
-    safe = F.replace(safe, F.lit("<"), F.lit("%3C"))
-    safe = F.replace(safe, F.lit(">"), F.lit("%3E"))
+    """IRI position: percent-encode every character the IRIREF production
+    forbids (IRIs use %-encoding, NOT literal backslash escapes — a
+    \\" inside <...> is a syntax error to a conforming loader)."""
+    safe = col
+    for ch, enc in _IRI_ENCODE:
+        safe = F.replace(safe, F.lit(ch), F.lit(enc))
     return F.concat(F.lit(f"<{base}"), safe, F.lit(">"))
+
+
+def _literal(col: Column) -> Column:
+    return F.concat(F.lit('"'), _nt_literal_escape(col), F.lit('"'))
+
+
+# an object is an IRI when it carries a scheme (every id this engine mints
+# does: page:, ent:, http(s):, urn:); anything else is a plain literal —
+# IRIs cannot represent arbitrary text values, literals can (ADVICE r3)
+_SCHEME_RE = "^[A-Za-z][A-Za-z0-9+.-]*:"
 
 
 def triples_to_ntriples(
     triples: DataFrame, base: str = "urn:kg:"
 ) -> DataFrame:
-    """One-column frame of N-Triples lines for (subj, pred, obj) rows."""
+    """One-column frame of N-Triples lines for (subj, pred, obj) rows.
+
+    subj/pred are always IRIs (pipeline-minted ids/urls); obj is an IRI
+    when scheme-shaped and a quoted literal otherwise, so every line is
+    loadable by a conforming RDF parser."""
+    obj = F.when(
+        F.col("obj").rlike(_SCHEME_RE), _iri(F.col("obj"), base)
+    ).otherwise(_literal(F.col("obj")))
     return triples.select(
         F.concat_ws(
             " ",
-            _iri(_nt_escape(F.col("subj")), base),
-            _iri(_nt_escape(F.col("pred")), base),
-            _iri(_nt_escape(F.col("obj")), base),
+            _iri(F.col("subj"), base),
+            _iri(F.col("pred"), base),
+            obj,
             F.lit("."),
         ).alias("value")
     )

@@ -160,6 +160,25 @@ def test_clustering_coefficient_known_graph(spark):
     assert got[3].clustering == round(1 / 3, 4)
 
 
+def test_pagerank_edge_from_unknown_src_ignored(spark):
+    """Links FROM uncrawled pages (src outside the node table) are
+    routine web-graph input: the driver path must drop them like the
+    distributed rank join does, not KeyError (ADVICE r3)."""
+    from codebased_spark.graph.pagerank import pagerank
+
+    nodes = spark.createDataFrame([(i,) for i in range(4)], ["node"])
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (99, 1)], ["src", "dst"]  # 99 not a node
+    )
+    a = sorted(tuple(r) for r in pagerank(nodes, edges, n_iter=5).collect())
+    b = sorted(
+        tuple(r)
+        for r in pagerank(nodes, edges, n_iter=5, driver_threshold=0).collect()
+    )
+    assert a == b
+    assert sum(p for _, p in a) > 0
+
+
 def test_pagerank_driver_and_distributed_paths_identical(spark):
     """The adaptive driver-side pagerank must match the distributed loop
     value-for-value (same formula, float64, rounding) — including on a

@@ -30,6 +30,30 @@ def test_fact_lifespans_windows_and_currency(spark):
     }
 
 
+def test_fact_lifespans_mentionless_latest_capture_retracts(spark):
+    """Retraction by silence (ADVICE r3): if the url's NEWEST capture
+    asserts no facts at all, every fact is stale — which the obs-derived
+    fallback cannot see. Passing the full capture table fixes it."""
+    caps = spark.createDataFrame(
+        [("u", 1, "x"), ("u", 2, "x"), ("u", 3, "")], ["url", "ts", "text"]
+    )
+    # only captures 1 and 2 produced observations; capture 3 is silent
+    obs = spark.createDataFrame(
+        [("u", 1, "A"), ("u", 2, "A")], ["url", "ts", "entity_id"]
+    )
+    with_caps = {
+        r.entity_id: r.is_current
+        for r in fact_lifespans(obs, ts_col="ts", captures=caps).collect()
+    }
+    assert with_caps == {"A": 0}  # latest capture (ts 3) no longer asserts A
+    # the documented obs-only fallback misses the retraction
+    fallback = {
+        r.entity_id: r.is_current
+        for r in fact_lifespans(obs, ts_col="ts").collect()
+    }
+    assert fallback == {"A": 1}
+
+
 def test_fact_lifespans_multi_fact_columns(spark):
     obs = spark.createDataFrame(
         [("u", 1, "s", "p", "o"), ("u", 2, "s", "p", "o"), ("u", 2, "s", "p", "o2")],
