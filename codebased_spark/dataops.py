@@ -621,8 +621,12 @@ def kg_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 def kg_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt compliance filter (sources/robots.py): REAL stateful
     parse of planted per-host robots bodies (UA-group selection, comment
-    strip, empty-Disallow skip), prefix-applied to the documents-derived
-    url table; the oracle restates the planted policy declaratively."""
+    strip, empty-Disallow skip) applied with full RFC 9309 matching —
+    Allow override by longest match (/en/doc/12 over /en/doc/1),
+    wildcard + end-anchor (/*/doc/9$ blocks exactly doc 9), and an
+    equal-length Allow/Disallow tie on /en/doc/7 that the least-
+    restrictive rule must win. The oracle restates the planted policy
+    declaratively."""
     from codebased_spark.sources.robots import apply_robots
 
     docs = _docs(spark, sf_dir)
@@ -635,7 +639,10 @@ def kg_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
     body = F.concat(
         F.lit("# policy\nUser-agent: special\nDisallow: /en/\n\n"
               "User-agent: *\nDisallow: /de/\nDisallow: /fr/\n"
-              "Disallow: /en/doc/1\nDisallow:\n")
+              "Disallow: /en/doc/1\nAllow: /en/doc/12\n"
+              "Disallow: /*/doc/9$\n"
+              "Allow: /en/doc/7\nDisallow: /en/doc/7\n"
+              "Disallow:\n")
     )
     robots = docs.select("source").distinct().select(
         F.concat(F.col("source"), F.lit(".example.org")).alias("host"),
@@ -1838,14 +1845,21 @@ ORACLES = {
         FROM documents
         WHERE doc_id % 7 = 0 OR (doc_id % 28 + 1) > 15
     """,
-    # planted robots policy: star group disallows /de/, /fr/, /en/doc/1;
+    # planted robots policy, RFC 9309 evaluation: star group disallows
+    # /de/, /fr/, /en/doc/1 and /*/doc/9$ (wildcard + anchor: exactly
+    # doc 9); Allow /en/doc/12 overrides by longest match; the
+    # equal-length Allow/Disallow pair on /en/doc/7 resolves to Allow;
     # the special-UA group's /en/ rule must NOT apply
     "kg_robots": """
         SELECT 'https://' || source || '.example.org/' || lang || '/doc/'
                  || doc_id AS url,
-               CASE WHEN lang IN ('de', 'fr')
-                         OR (lang = 'en' AND doc_id::VARCHAR LIKE '1%')
-                    THEN 0 ELSE 1 END AS allowed
+               CASE
+                 WHEN lang IN ('de', 'fr') THEN 0
+                 WHEN lang = 'en' AND doc_id::VARCHAR LIKE '12%' THEN 1
+                 WHEN lang = 'en' AND doc_id::VARCHAR LIKE '1%' THEN 0
+                 WHEN doc_id = 9 THEN 0
+                 ELSE 1
+               END AS allowed
         FROM documents
     """,
     # identical corruption arithmetic over the shared edge fixture

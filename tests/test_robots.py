@@ -25,7 +25,73 @@ def test_star_group_rules_only(spark):
     # /private/ belongs to googlebot's group, /everything/ to special's;
     # the stacked UA header (other-bot + *) takes both rules; the empty
     # Disallow contributes nothing
-    assert rules == ["/de/", "/tmp"]
+    assert [(r.allow, r.path) for r in rules] == [
+        (False, "/de/"), (False, "/tmp")
+    ]
+
+
+def test_rfc9309_allow_longest_match_and_wildcards(spark):
+    """RFC 9309 semantics: Allow overrides a shorter Disallow, `*`
+    matches any sequence, `$` anchors at end-of-path, Allow wins
+    length ties, no match => allowed."""
+    body = (
+        "User-agent: *\n"
+        "Disallow: /private/\n"
+        "Allow: /private/ok\n"          # longer than /private/ -> wins
+        "Disallow: /*.pdf$\n"           # wildcard + anchor
+        "Disallow: /tmp*/x\n"           # infix wildcard
+        "Allow: /dup\n"                 # equal length vs next line:
+        "Disallow: /dup\n"              # tie -> least restrictive (Allow)
+    )
+    robots = spark.createDataFrame([("h", body)], ["host", "robots_txt"])
+    cases = {
+        "/private/secret": 0,
+        "/private/ok/page": 1,       # Allow /private/ok (10) > Disallow (9)
+        "/report.pdf": 0,            # /*.pdf$ matches at end
+        "/report.pdf/view": 1,       # $ anchor: .pdf not at end
+        "/tmp123/x": 0,              # infix *
+        "/tmp123/y": 1,
+        "/dup/page": 1,              # tie -> Allow
+        "/open": 1,
+    }
+    urls = spark.createDataFrame([(f"https://h{p}",) for p in cases], ["url"])
+    got = {r.url: r.allowed for r in apply_robots(urls, robots).collect()}
+    assert got == {f"https://h{p}": v for p, v in cases.items()}
+
+
+def test_rfc9309_matches_handrolled_reference(spark):
+    """Executable-spec check: the Catalyst matcher vs an independent
+    ~10-line Python RFC 9309 longest-match reference, over every
+    (rule-set, path) combination of a nasty grid."""
+    import re as _re
+
+    rules = [
+        (False, "/a"), (True, "/a/b"), (False, "/a/b/c"),
+        (False, "/*/x$"), (True, "/q"), (False, "/q"),
+    ]
+    body = "User-agent: *\n" + "\n".join(
+        f"{'Allow' if a else 'Disallow'}: {p}" for a, p in rules
+    )
+    paths = ["/", "/a", "/a/b", "/a/b/c", "/a/b/cd", "/z/x", "/z/xy",
+             "/q/r", "/ab"]
+
+    def ref_allowed(path):
+        best = (-1, True)
+        for allow, rp in rules:
+            anchored = rp.endswith("$")
+            core = _re.escape(rp[:-1] if anchored else rp).replace("\\*", ".*")
+            pat = "^" + core + ("$" if anchored else "")
+            if _re.match(pat, path):
+                ln = len(rp)
+                if ln > best[0] or (ln == best[0] and allow):
+                    best = (ln, allow)
+        return int(best[1])
+
+    robots = spark.createDataFrame([("h", body)], ["host", "robots_txt"])
+    urls = spark.createDataFrame([(f"https://h{p}",) for p in paths], ["url"])
+    got = {r.url: r.allowed for r in apply_robots(urls, robots).collect()}
+    for p in paths:
+        assert got[f"https://h{p}"] == ref_allowed(p), p
 
 
 def test_apply_robots_prefix_blocking_and_missing_hosts(spark):
