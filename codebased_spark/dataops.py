@@ -229,6 +229,18 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel/sample decode of uncompressed containers (BMP/PPM
+    stripe images, WAV-PCM square waves built per doc) -> count/sum/peak
+    aggregates — the stats an image/audio quality filter runs on. The
+    planted patterns make every aggregate pure doc_id arithmetic, so the
+    oracle states them declaratively while Spark builds AND decodes real
+    bytes (media/decode.py::media_sample_stats)."""
+    from codebased_spark.media.decode import media_sample_stats, synthetic_sample_media
+
+    return media_sample_stats(synthetic_sample_media(_docs(spark, sf_dir)))
+
+
 def tx_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash sampling — the 100-TB corpus sampler.
 
@@ -856,6 +868,7 @@ QUERIES = {
     "kg_top_docs_per_type": kg_top_docs_per_type,
     "mm_media_meta": mm_media_meta,
     "mm_real_decode": mm_real_decode,
+    "mm_sample_stats": mm_sample_stats,
     "kg_page_meta": kg_page_meta,
     "kg_url_parts": kg_url_parts,
     "kg_pattern_entities": kg_pattern_entities,
@@ -1622,6 +1635,25 @@ ORACLES = {
             PARTITION BY entity_type ORDER BY n_mentions DESC, doc_id ASC) AS rn
           FROM counts
         ) WHERE rn <= 3
+    """,
+    # planted sample patterns: images are vertical 0/255 stripes (peak 255,
+    # sum = 255 * h * floor(w/2)); audio is an alternating +-A square wave
+    # (abs-sum = A*n, peak = A)
+    "mm_sample_stats": """
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+                    ELSE 'wav' END AS media_type,
+               CASE WHEN doc_id % 3 = 2 THEN 0 ELSE 2 + doc_id % 64 END AS width,
+               CASE WHEN doc_id % 3 = 2 THEN 0 ELSE 1 + doc_id % 48 END AS height,
+               CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 2000
+                    ELSE (2 + doc_id % 64) * (1 + doc_id % 48) END AS n_samples,
+               CASE WHEN doc_id % 3 = 2
+                    THEN (1 + doc_id % 30000) * (1 + doc_id % 2000)
+                    ELSE 255 * (1 + doc_id % 48) * ((2 + doc_id % 64) // 2)
+               END AS sample_sum,
+               CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 30000
+                    ELSE 255 END AS sample_peak
+        FROM documents
     """,
     "mm_real_decode": """
         SELECT doc_id,

@@ -7,10 +7,16 @@ once per batch, never per row; downstream everything is columnar again.
 
 `real=True` runs REAL header-level decoding (media/headers.py: pure-stdlib
 PNG/JPEG/WAV/MP4 parsers — dimensions, duration, format sniffing), which
-covers the metadata a training-data pipeline filters on. Full pixel/sample
-decode (PIL/soundfile/ffmpeg) is still out of scope in this container and
-raises NotImplementedError; the default deterministic fake (metadata from
-md5(payload)) remains for oracle-reproducible plumbing tests.
+covers the metadata a training-data pipeline filters on.
+
+SAMPLE-level decode (media_sample_stats) is real for the uncompressed
+containers — BMP/PPM pixel values, WAV-PCM sample values — computing the
+per-item aggregates (count/sum/peak) an image- or audio-quality filter
+runs on. Pixel/sample decode of COMPRESSED containers (JPEG scan data,
+MP4 tracks, non-PCM audio) needs PIL/soundfile/ffmpeg, out of scope in
+this container, and raises NotImplementedError; the default deterministic
+fake (metadata from md5(payload)) remains for oracle-reproducible
+plumbing tests.
 """
 
 from __future__ import annotations
@@ -82,6 +88,104 @@ def synthetic_real_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(
         build, schema="doc_id long, media_type string, payload binary"
     )
+
+
+SAMPLE_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("sample_sum", LongType()),
+        StructField("sample_peak", LongType()),
+    ]
+)
+
+
+def synthetic_sample_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, media_type, payload) with REAL uncompressed container
+    bytes: BMP (doc_id%3==0) / PPM (==1) with a vertical 0/255 stripe
+    pattern, WAV 16-bit PCM (==2) with an alternating +-A square wave.
+    Dimensions, amplitudes and therefore all pixel/sample aggregates are
+    pure doc_id arithmetic, so an oracle states the expected stats
+    declaratively while the Spark side builds then REALLY decodes the
+    bytes."""
+    from codebased_spark.media.headers import make_bmp, make_ppm, make_wav_pcm
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 3 == 2:
+                    n = 1 + did % 2000
+                    amp = 1 + did % 30000
+                    samples = [amp if i % 2 == 0 else -amp for i in range(n)]
+                    rows.append((did, "wav", make_wav_pcm(samples)))
+                else:
+                    w, h = 2 + did % 64, 1 + did % 48
+                    gray = bytes(
+                        255 if x % 2 == 1 else 0
+                        for _y in range(h) for x in range(w)
+                    )
+                    mk = make_bmp if did % 3 == 0 else make_ppm
+                    rows.append((did, "bmp" if did % 3 == 0 else "ppm",
+                                 mk(gray, w, h)))
+            yield pd.DataFrame(rows, columns=["doc_id", "media_type", "payload"])
+
+    return docs.select("doc_id").mapInPandas(
+        build, schema="doc_id long, media_type string, payload binary"
+    )
+
+
+def media_sample_stats(media: DataFrame) -> DataFrame:
+    """REAL pixel/sample decode of uncompressed containers -> per-item
+    aggregates (SAMPLE_STATS_SCHEMA): pixel gray values for BMP/PPM,
+    PCM sample values for WAV; sample_sum/sample_peak are over absolute
+    values. Same Arrow-batched mapInPandas shape as media_metadata."""
+    from codebased_spark.media.headers import (
+        parse_bmp,
+        parse_ppm,
+        parse_wav_samples,
+        sniff_media_format,
+    )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, mt, pl in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                b = bytes(pl)
+                fmt = sniff_media_format(b)
+                if fmt == "bmp":
+                    w, h, gray = parse_bmp(b)
+                    vals = list(gray)
+                elif fmt == "ppm":
+                    w, h, gray = parse_ppm(b)
+                    vals = list(gray)
+                elif fmt == "wav":
+                    w = h = 0
+                    vals = [abs(s) for s in parse_wav_samples(b)]
+                else:
+                    raise NotImplementedError(
+                        f"sample decode of compressed container {fmt!r} "
+                        "needs PIL/soundfile/ffmpeg"
+                    )
+                rows.append(
+                    (int(did), mt, w, h, len(vals), sum(vals),
+                     max(vals) if vals else 0)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "media_type", "width", "height",
+                    "n_samples", "sample_sum", "sample_peak",
+                ],
+            )
+
+    return media.mapInPandas(stats, schema=SAMPLE_STATS_SCHEMA)
 
 
 def _decode_image(payload: bytes, real: bool) -> tuple[int, int, int]:

@@ -1,7 +1,7 @@
-"""Real media header codecs — pure stdlib, no PIL/ffmpeg needed.
+"""Real media codecs — pure stdlib, no PIL/ffmpeg needed.
 
 Header-level decode covers the metadata a training-data pipeline actually
-filters on (dimensions, duration, format) without pixel/sample decoding:
+filters on (dimensions, duration, format):
 
 - PNG: IHDR width/height (spec: 8-byte signature, IHDR first chunk).
 - JPEG: SOF0/SOF2 frame header scan (marker walk).
@@ -9,13 +9,22 @@ filters on (dimensions, duration, format) without pixel/sample decoding:
 - MP4: box walk to moov/mvhd -> timescale/duration; moov/trak/tkhd ->
   display width/height.
 
+SAMPLE-level decode is real for the uncompressed containers (r4,
+shrinking the NotImplementedError surface to codec-library formats):
+
+- BMP (24-bit BI_RGB): full pixel decode incl. bottom-up rows + 4-byte
+  row padding.
+- PPM (P6 binary): full pixel decode.
+- WAV (16-bit mono PCM): full sample decode.
+
 Each format also has a deterministic BUILDER producing a structurally
 valid minimal file (PNG includes correct CRCs and a real zlib IDAT), so
-round-trip tests and the oracle-checked driver query exercise the real
+round-trip tests and the oracle-checked driver queries exercise the real
 parsers end-to-end on bytes we fully control — no external fixtures.
 
-Full pixel/sample decode (PIL/soundfile/ffmpeg) remains out of scope in
-this container and still raises NotImplementedError in decode.py.
+Pixel/sample decode of COMPRESSED containers (JPEG scan data, MP4 tracks,
+non-PCM audio) needs PIL/soundfile/ffmpeg and still raises
+NotImplementedError in decode.py.
 """
 
 from __future__ import annotations
@@ -26,6 +35,8 @@ import zlib
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 JPEG_MAGIC = b"\xff\xd8"
 RIFF_MAGIC = b"RIFF"
+BMP_MAGIC = b"BM"
+PPM_MAGIC = b"P6"
 
 
 def sniff_media_format(b: bytes) -> str | None:
@@ -38,6 +49,10 @@ def sniff_media_format(b: bytes) -> str | None:
         return "wav"
     if len(b) >= 12 and b[4:8] == b"ftyp":
         return "mp4"
+    if b.startswith(BMP_MAGIC):
+        return "bmp"
+    if b.startswith(PPM_MAGIC):
+        return "ppm"
     return None
 
 
@@ -151,8 +166,13 @@ def make_wav(sample_rate: int, duration_ms: int) -> bytes:
     duration_ms must be a multiple of full milliseconds at sample_rate
     for exact round-trips (true for rate multiples of 1000)."""
     n_frames = (sample_rate * duration_ms) // 1000
+    return make_wav_pcm([0] * n_frames, sample_rate)
+
+
+def make_wav_pcm(samples: list[int], sample_rate: int = 8000) -> bytes:
+    """Valid 16-bit mono PCM WAV carrying the given sample values."""
     block_align = 2
-    data = b"\x00" * (n_frames * block_align)
+    data = struct.pack(f"<{len(samples)}h", *samples)
     fmt = struct.pack("<HHIIHH", 1, 1, sample_rate,
                       sample_rate * block_align, block_align, 16)
     body = (
@@ -161,6 +181,113 @@ def make_wav(sample_rate: int, duration_ms: int) -> bytes:
         + b"data" + struct.pack("<I", len(data)) + data
     )
     return RIFF_MAGIC + struct.pack("<I", len(body)) + body
+
+
+# ---------------------------------------------------------------------------
+# BMP / PPM — uncompressed raster containers with REAL pixel decode
+# ---------------------------------------------------------------------------
+
+
+def make_bmp(gray_rows: bytes, width: int, height: int) -> bytes:
+    """Valid 24-bit BI_RGB BMP: `gray_rows` is a width*height single-
+    channel array (row-major, top-down); each value is replicated to BGR.
+    Rows are stored bottom-up with 4-byte padding per the spec."""
+    if len(gray_rows) != width * height:
+        raise ValueError("gray_rows must be width*height bytes")
+    pad = (4 - (width * 3) % 4) % 4
+    body = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = gray_rows[y * width : (y + 1) * width]
+        for v in row:
+            body += bytes((v, v, v))
+        body += b"\x00" * pad
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    header = struct.pack("<2sIHHI", BMP_MAGIC, 14 + 40 + len(body), 0, 0, 54)
+    return header + info + bytes(body)
+
+
+def parse_bmp(b: bytes) -> tuple[int, int, bytes]:
+    """(width, height, gray_rows top-down) — real pixel decode of a
+    24-bit BI_RGB BMP (gray = blue channel; the builder writes B=G=R)."""
+    if not b.startswith(BMP_MAGIC):
+        raise ValueError("not a BMP")
+    offset = struct.unpack("<I", b[10:14])[0]
+    hdr_size, width, height = struct.unpack("<Iii", b[14:26])
+    bpp = struct.unpack("<H", b[28:30])[0]
+    compression = struct.unpack("<I", b[30:34])[0]
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise ValueError("only 24-bit BI_RGB BMP supported")
+    bottom_up = height > 0
+    height = abs(height)
+    stride = (width * 3 + 3) // 4 * 4
+    rows = []
+    for r in range(height):
+        start = offset + r * stride
+        rows.append(b[start : start + width * 3 : 3])  # blue channel
+    if bottom_up:
+        rows.reverse()
+    return width, height, b"".join(rows)
+
+
+def make_ppm(gray_rows: bytes, width: int, height: int) -> bytes:
+    """Valid binary PPM (P6, maxval 255): gray replicated to RGB."""
+    if len(gray_rows) != width * height:
+        raise ValueError("gray_rows must be width*height bytes")
+    head = f"P6\n{width} {height}\n255\n".encode("ascii")
+    return head + bytes(v for g in gray_rows for v in (g, g, g))
+
+
+def parse_ppm(b: bytes) -> tuple[int, int, bytes]:
+    """(width, height, gray_rows) — real pixel decode of a binary PPM
+    (gray = red channel; comments and flexible whitespace per the spec)."""
+    if not b.startswith(PPM_MAGIC):
+        raise ValueError("not a P6 PPM")
+    # header = magic + 3 whitespace-separated ints, '#' comments allowed
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(b) and b[i : i + 1].isspace():
+            i += 1
+        if b[i : i + 1] == b"#":
+            while i < len(b) and b[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(b) and not b[j : j + 1].isspace():
+            j += 1
+        fields.append(int(b[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    width, height, maxval = fields
+    if maxval != 255:
+        raise ValueError("only maxval 255 PPM supported")
+    return width, height, b[i : i + width * height * 3 : 3]
+
+
+def parse_wav_samples(b: bytes) -> list[int]:
+    """Real sample decode: the 16-bit mono PCM sample values of a WAV.
+    Raises on non-PCM / non-16-bit / multi-channel (codec territory)."""
+    if not (b.startswith(RIFF_MAGIC) and b[8:12] == b"WAVE"):
+        raise ValueError("not a WAV")
+    i = 12
+    fmt_ok = False
+    data = None
+    while i + 8 <= len(b):
+        cid, csize = struct.unpack("<4sI", b[i : i + 8])
+        if cid == b"fmt ":
+            audio_fmt, channels = struct.unpack("<HH", b[i + 8 : i + 12])
+            bits = struct.unpack("<H", b[i + 22 : i + 24])[0]
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise ValueError("only 16-bit mono PCM supported")
+            fmt_ok = True
+        elif cid == b"data":
+            data = b[i + 8 : i + 8 + csize]
+        i += 8 + csize + (csize & 1)
+    if not fmt_ok or data is None:
+        raise ValueError("WAV missing fmt/data")
+    return list(struct.unpack(f"<{len(data) // 2}h", data[: len(data) // 2 * 2]))
 
 
 # ---------------------------------------------------------------------------

@@ -77,3 +77,61 @@ def test_real_decode_end_to_end(spark):
             assert r.media_type == "video"
             assert (r.width, r.height) == (1 + did % 640, 1 + (did // 3) % 480)
             assert r.duration_ms == 1 + did % 600000
+
+
+def test_bmp_roundtrip_row_order_and_padding():
+    """Pixel decode must honor BMP's bottom-up row storage and 4-byte row
+    padding — a y-VARYING pattern catches both (the oracle's stripe
+    pattern is y-invariant and cannot)."""
+    from codebased_spark.media.headers import make_bmp, parse_bmp
+
+    w, h = 3, 4  # 3*3=9-byte rows -> 3 pad bytes each
+    gray = bytes((10 * y + x) for y in range(h) for x in range(w))
+    ww, hh, back = parse_bmp(make_bmp(gray, w, h))
+    assert (ww, hh) == (w, h)
+    assert back == gray
+
+
+def test_ppm_roundtrip_and_comment_header():
+    from codebased_spark.media.headers import make_ppm, parse_ppm
+
+    w, h = 5, 2
+    gray = bytes((7 * y + x) for y in range(h) for x in range(w))
+    ww, hh, back = parse_ppm(make_ppm(gray, w, h))
+    assert (ww, hh, back) == (w, h, gray)
+    # spec allows '#' comments inside the header
+    commented = b"P6\n# a comment\n5 2\n255\n" + bytes(
+        v for g in gray for v in (g, g, g)
+    )
+    assert parse_ppm(commented) == (w, h, gray)
+
+
+def test_wav_pcm_sample_roundtrip():
+    from codebased_spark.media.headers import make_wav_pcm, parse_wav_samples
+
+    samples = [0, 100, -100, 32767, -32768, 5]
+    assert parse_wav_samples(make_wav_pcm(samples)) == samples
+
+
+def test_sample_stats_end_to_end(spark):
+    """mapInPandas builds real BMP/PPM/WAV bytes and the REAL pixel/sample
+    decoders recover the planted aggregates exactly."""
+    from codebased_spark.media.decode import media_sample_stats, synthetic_sample_media
+
+    docs = spark.range(30).withColumnRenamed("id", "doc_id")
+    out = media_sample_stats(synthetic_sample_media(docs)).toPandas()
+    assert len(out) == 30
+    for r in out.itertuples():
+        did = r.doc_id
+        if did % 3 == 2:
+            n, amp = 1 + did % 2000, 1 + did % 30000
+            assert r.media_type == "wav"
+            assert (r.width, r.height) == (0, 0)
+            assert (r.n_samples, r.sample_sum, r.sample_peak) == (n, amp * n, amp)
+        else:
+            w, h = 2 + did % 64, 1 + did % 48
+            assert r.media_type == ("bmp" if did % 3 == 0 else "ppm")
+            assert (r.width, r.height) == (w, h)
+            assert (r.n_samples, r.sample_sum, r.sample_peak) == (
+                w * h, 255 * h * (w // 2), 255
+            )
