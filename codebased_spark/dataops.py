@@ -530,6 +530,33 @@ def g_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ring_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The e1 (ring-only) slice of _doc_edges: 6-rings with deterministic
+    breaks — small per-origin closures, so the UNBOUNDED operator has a
+    fixture whose full closure is cheap at any sf."""
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    ring_dst = (F.floor(F.col("doc_id") / 6) * 6 + (F.col("doc_id") % 6 + 1) % 6)
+    return (
+        docs.where(F.col("n_chars") % 3 != 0)
+        .select(F.col("doc_id").alias("src"), ring_dst.alias("dst"))
+        .where(F.col("dst") < n)
+    )
+
+
+def g_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNBOUNDED transitive closure via path doubling (graph/paths.py) —
+    reachable-set size per origin over the ring subgraph, value-checked
+    against a recursive-CTE oracle (closure depth is data-dependent, not
+    a fixed k: this is the open-ended Q4 the bounded loop doesn't do)."""
+    from codebased_spark.graph.paths import transitive_closure
+
+    reach = transitive_closure(_ring_edges(spark, sf_dir))
+    return reach.groupBy(F.col("origin").alias("doc_id")).agg(
+        F.countDistinct("node").alias("n_reach")
+    )
+
+
 def g_cycle_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Docs on a directed cycle of length <= 6 (circular-dependency Q4)."""
     return cycle_members(_doc_edges(spark, sf_dir), max_len=6).select(
@@ -876,6 +903,7 @@ QUERIES = {
     "q_hourly_events": q_hourly_events,
     "q_user_sessions": q_user_sessions,
     "g_khop_reach": g_khop_reach,
+    "g_closure": g_closure,
     "g_cycle_members": g_cycle_members,
     "g_components": g_components,
     "g_pagerank": g_pagerank,
@@ -1737,6 +1765,24 @@ ORACLES = {
           UNION ALL
           SELECT r.origin, e.dst, r.depth + 1
           FROM r JOIN edges e ON r.node = e.src WHERE r.depth < 3
+        )
+        SELECT origin AS doc_id, count(DISTINCT node) AS n_reach
+        FROM r GROUP BY origin
+    """,
+    # unbounded closure over the ring-only edge slice (e1 of _EDGES_SQL);
+    # the recursive CTE terminates because DuckDB's UNION dedups rows
+    "g_closure": """
+        WITH RECURSIVE cnt AS (SELECT count(*) AS n FROM documents),
+        e1 AS (
+          SELECT doc_id AS src,
+                 (doc_id // 6) * 6 + (doc_id % 6 + 1) % 6 AS dst
+          FROM documents, cnt
+          WHERE n_chars % 3 <> 0 AND (doc_id // 6) * 6 + (doc_id % 6 + 1) % 6 < n
+        ),
+        r AS (
+          SELECT src AS origin, dst AS node FROM e1
+          UNION
+          SELECT r.origin, e.dst FROM r JOIN e1 e ON r.node = e.src
         )
         SELECT origin AS doc_id, count(DISTINCT node) AS n_reach
         FROM r GROUP BY origin

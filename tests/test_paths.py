@@ -160,6 +160,48 @@ def test_clustering_coefficient_known_graph(spark):
     assert got[3].clustering == round(1 / 3, 4)
 
 
+def test_transitive_closure_unbounded(spark):
+    """Path doubling computes the FULL closure (no depth bound): the
+    3-cycle closes on itself, the tail extends it, depth 4 paths (1->5)
+    are present — exactly the reflexive-free reachability relation."""
+    from codebased_spark.graph.paths import transitive_closure
+
+    got = {
+        (r.origin, r.node)
+        for r in transitive_closure(_edges(spark)).collect()
+    }
+    expect = {
+        # from the 3-cycle every member reaches all of {1,2,3,4,5}
+        *[(o, n) for o in (1, 2, 3) for n in (1, 2, 3, 4, 5)],
+        (4, 5),
+        (6, 6),
+    }
+    assert got == expect
+
+
+def test_transitive_closure_long_chain_converges_in_log_rounds(spark):
+    """A 40-node chain closes with doubling (max_rounds=6 covers 2^6=64
+    hops) — a per-hop frontier loop would need 39 rounds."""
+    from codebased_spark.graph.paths import transitive_closure
+
+    e = spark.createDataFrame([(i, i + 1) for i in range(40)], ["src", "dst"])
+    reach = transitive_closure(e, max_rounds=6)
+    assert reach.count() == 41 * 40 // 2  # all i<j pairs
+
+
+def test_transitive_closure_budget_guard(spark):
+    import pytest as _pytest
+
+    from codebased_spark.graph.paths import (
+        FrontierBudgetExceeded,
+        transitive_closure,
+    )
+
+    e = spark.createDataFrame([(i, (i + 1) % 30) for i in range(30)], ["src", "dst"])
+    with _pytest.raises(FrontierBudgetExceeded):
+        transitive_closure(e, max_rows=50).count()  # ring closure is 900 rows
+
+
 def test_pagerank_edge_from_unknown_src_ignored(spark):
     """Links FROM uncrawled pages (src outside the node table) are
     routine web-graph input: the driver path must drop them like the
