@@ -103,6 +103,8 @@ def kg_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stale (r2), then the r3-receipted bulk. Values are identical either way —
 # this only controls which rows land in CORRECTNESS_r{N}.json.
 _RECEIPT_PRIORITY = [
+    # new in r4
+    "g_closure", "mm_sample_stats",
     # never driver-receipted before r4
     "kg_cocitation", "kg_entity_pmi", "kg_feed_items", "kg_hreflang",
     "kg_microdata",
