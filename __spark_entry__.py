@@ -104,7 +104,8 @@ def kg_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # this only controls which rows land in CORRECTNESS_r{N}.json.
 _RECEIPT_PRIORITY = [
     # new in r4
-    "g_closure", "mm_sample_stats",
+    "g_closure", "mm_sample_stats", "tx_boilerplate", "kg_entity_salience",
+    "tx_learned_stopwords", "g_walks", "g_lpa",
     # never driver-receipted before r4
     "kg_cocitation", "kg_entity_pmi", "kg_feed_items", "kg_hreflang",
     "kg_microdata",
@@ -130,6 +131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_top_entities": q.kg_top_entities,
         "kg_cooccurrence": q.kg_cooccurrence,
         "kg_entity_pmi": q.kg_entity_pmi,
+        "kg_entity_salience": q.kg_entity_salience,
         "kg_unlinked_entities": q.kg_unlinked_entities,
         "kg_doc_fingerprint": q.kg_doc_fingerprint,
         "q_agg_pricing": q.q_agg_pricing,
@@ -249,6 +251,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT src, dst, n_docs,
                    floor(ratio * 10000 + 0.5) / 10000 AS lift
             FROM r
+        """,
+        "kg_entity_salience": f"""
+            WITH {gaz_cte},
+            ptoks AS (
+              SELECT doc_id, i AS pos, w[i] AS word
+              FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i
+                    FROM (SELECT doc_id, string_split(text, ' ') AS w
+                          FROM documents))
+              WHERE w[i] <> ''
+            ),
+            nw AS (SELECT doc_id, count(*) AS n_words FROM ptoks GROUP BY doc_id),
+            m AS (
+              SELECT t.doc_id, g.canonical_id,
+                     count(*) AS n_mentions, min(pos) AS first_pos
+              FROM ptoks t JOIN gaz g ON t.word = g.surface_form
+              GROUP BY t.doc_id, g.canonical_id
+            )
+            SELECT m.doc_id, m.canonical_id AS entity, n_mentions, first_pos,
+                   CASE WHEN first_pos * 10 <= n_words THEN 1 ELSE 0 END
+                     AS is_lead,
+                   row_number() OVER (
+                     PARTITION BY m.doc_id
+                     ORDER BY n_mentions DESC, first_pos ASC,
+                              m.canonical_id ASC) AS salience_rank
+            FROM m JOIN nw ON m.doc_id = nw.doc_id
         """,
         "kg_unlinked_entities": f"""
             WITH {gaz_cte}, {toks_cte},

@@ -280,6 +280,49 @@ def tx_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filter_decisions(_docs(spark, sf_dir), near_dup=True, neardup_threshold=NEARDUP_T)
 
 
+BANNER_A = "cookie consent required accept all choices"  # every doc
+BANNER_B = "subscribe to our newsletter footer"          # doc_id % 3 == 0
+
+
+def _boiler_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with deterministic host-level template banners appended —
+    the planted boilerplate that makes the df test non-vacuous (the house
+    planted-per-doc_id-subset pattern). Banner A lands in every doc of a
+    host (df = host size); banner B in the doc_id%3==0 subset; grams
+    spanning a doc's own tail into the banner stay df~1 (content)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.lit(" " + BANNER_A),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" " + BANNER_B)).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+
+
+def tx_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host boilerplate n-gram detection (textops/boilerplate.py):
+    overlapping 4-grams whose per-host document frequency >= 5 are
+    template; per-doc template-occurrence fraction + drop flag — the
+    CCNet/RefinedWeb-style template-stripping decision table."""
+    from codebased_spark.textops.boilerplate import boilerplate_metrics
+
+    return boilerplate_metrics(_boiler_docs(spark, sf_dir), n=4, min_df=5)
+
+
+def tx_learned_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-derived top-20-token fraction per doc (textops/
+    corpus_stats.py): the learned-head-set membership statistic a
+    CCNet-style filter thresholds on both tails. One vocabulary-sized
+    corpus agg, k-row broadcast back, one doc-keyed reduce."""
+    from codebased_spark.textops.corpus_stats import learned_stopword_fraction
+
+    return learned_stopword_fraction(_docs(spark, sf_dir), k=20)
+
+
 def tx_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-window token chunking with overlap (textops/chunk.py) —
     map-side only, no shuffle; the pre-tokenization splitter."""
@@ -554,6 +597,28 @@ def g_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     reach = transitive_closure(_ring_edges(spark, sf_dir))
     return reach.groupBy(F.col("origin").alias("doc_id")).agg(
         F.countDistinct("node").alias("n_reach")
+    )
+
+
+def g_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random-walk corpus (graph/walks.py): one 4-step walk
+    per node over the doc graph — the DeepWalk/node2vec training-corpus
+    generator, value-checked because the step choice is a deterministic
+    hash over (origin, step, cur) both engines compute identically."""
+    from codebased_spark.graph.walks import deterministic_walks
+
+    return deterministic_walks(_doc_edges(spark, sf_dir), length=4)
+
+
+def g_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities (graph/lpa.py), 2 fixed
+    rounds with min-label tie-break over the symmetrized doc graph —
+    deterministic, so value-checked against the identically-unrolled
+    vote/argmax CTEs."""
+    from codebased_spark.graph.lpa import label_propagation
+
+    return label_propagation(_doc_edges(spark, sf_dir), rounds=2).select(
+        F.col("node").alias("doc_id"), "community"
     )
 
 
@@ -885,6 +950,8 @@ QUERIES = {
     "tx_sample_hash": tx_sample_hash,
     "tx_token_counts": tx_token_counts,
     "tx_repetition": tx_repetition,
+    "tx_boilerplate": tx_boilerplate,
+    "tx_learned_stopwords": tx_learned_stopwords,
     "kg_latest_capture": kg_latest_capture,
     "tx_filter_pipeline": tx_filter_pipeline,
     "tx_chunk": tx_chunk,
@@ -904,6 +971,8 @@ QUERIES = {
     "q_user_sessions": q_user_sessions,
     "g_khop_reach": g_khop_reach,
     "g_closure": g_closure,
+    "g_walks": g_walks,
+    "g_lpa": g_lpa,
     "g_cycle_members": g_cycle_members,
     "g_components": g_components,
     "g_pagerank": g_pagerank,
@@ -1568,6 +1637,67 @@ ORACLES = {
                count(*) AS n_captures
         FROM caps GROUP BY url
     """,
+    "tx_learned_stopwords": """
+        WITH toks AS (
+          SELECT doc_id, word FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents
+          ) WHERE word <> ''
+        ),
+        top AS (
+          SELECT word FROM (
+            SELECT word, count(*) AS c FROM toks GROUP BY word
+          ) ORDER BY c DESC, word ASC LIMIT 20
+        ),
+        nw AS (SELECT doc_id, count(*) AS n_words FROM toks GROUP BY doc_id),
+        ns AS (
+          SELECT doc_id, count(*) AS n_stop
+          FROM toks JOIN top USING (word) GROUP BY doc_id
+        )
+        SELECT nw.doc_id, n_words, coalesce(n_stop, 0) AS n_stop,
+               floor(coalesce(n_stop, 0) / CAST(n_words AS DOUBLE) * 10000
+                     + 0.5) / 10000 AS stop_frac
+        FROM nw LEFT JOIN ns ON nw.doc_id = ns.doc_id
+    """,
+    "tx_boilerplate": f"""
+        WITH boiled AS (
+          SELECT doc_id, source,
+                 text || ' {BANNER_A}'
+                      || CASE WHEN doc_id % 3 = 0 THEN ' {BANNER_B}'
+                              ELSE '' END AS text
+          FROM documents
+        ),
+        w AS (
+          SELECT doc_id, source AS host,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS words
+          FROM boiled
+        ),
+        occ AS (
+          SELECT doc_id, host,
+                 array_to_string(list_slice(words, i, i + 3), ' ') AS gram
+          FROM (SELECT doc_id, host, words,
+                       unnest(range(1, len(words) - 2)) AS i
+                FROM w WHERE len(words) >= 4)
+        ),
+        boiler AS (
+          SELECT host, gram FROM (
+            SELECT host, gram, count(DISTINCT doc_id) AS df
+            FROM occ GROUP BY host, gram
+          ) WHERE df >= 5
+        ),
+        per_doc AS (SELECT doc_id, count(*) AS n_grams FROM occ GROUP BY doc_id),
+        bo AS (
+          SELECT o.doc_id, count(*) AS n_boiler
+          FROM occ o JOIN boiler b ON o.host = b.host AND o.gram = b.gram
+          GROUP BY o.doc_id
+        )
+        SELECT p.doc_id, p.n_grams, coalesce(n_boiler, 0) AS n_boiler,
+               floor(coalesce(n_boiler, 0) / CAST(p.n_grams AS DOUBLE) * 10000
+                     + 0.5) / 10000 AS boiler_frac,
+               CASE WHEN coalesce(n_boiler, 0) / CAST(p.n_grams AS DOUBLE)
+                         >= 0.2 THEN 1 ELSE 0 END AS is_templated
+        FROM per_doc p LEFT JOIN bo ON p.doc_id = bo.doc_id
+    """,
     "tx_repetition": """
         WITH w AS (
           SELECT doc_id,
@@ -1786,6 +1916,71 @@ ORACLES = {
         )
         SELECT origin AS doc_id, count(DISTINCT node) AS n_reach
         FROM r GROUP BY origin
+    """,
+    # the SAME 2 synchronous vote/argmax rounds as graph/lpa.py, unrolled
+    "g_lpa": f"""
+        WITH {_EDGES_SQL},
+        sym AS (
+          SELECT src, dst FROM edges WHERE src <> dst
+          UNION
+          SELECT dst, src FROM edges WHERE src <> dst
+        ),
+        l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
+        v1 AS (
+          SELECT s.src AS node, l.label, count(*) AS c
+          FROM sym s JOIN l0 l ON l.node = s.dst GROUP BY 1, 2
+        ),
+        l1 AS (
+          SELECT node, label FROM (
+            SELECT node, label, row_number() OVER (
+              PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+            FROM v1
+          ) WHERE rn = 1
+        ),
+        v2 AS (
+          SELECT s.src AS node, l.label, count(*) AS c
+          FROM sym s JOIN l1 l ON l.node = s.dst GROUP BY 1, 2
+        ),
+        l2 AS (
+          SELECT node, label FROM (
+            SELECT node, label, row_number() OVER (
+              PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+            FROM v2
+          ) WHERE rn = 1
+        )
+        SELECT node AS doc_id, label AS community FROM l2
+    """,
+    # the SAME hash-chosen step as graph/walks.py, unrolled per step
+    "g_walks": f"""
+        WITH {_EDGES_SQL},
+        adj AS (
+          SELECT src, dst,
+                 row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS r,
+                 count(*) OVER (PARTITION BY src) AS deg
+          FROM edges
+        ),
+        s0 AS (SELECT DISTINCT src AS origin, src AS cur FROM edges),
+        s1 AS (
+          SELECT s.origin, a.dst AS cur FROM s0 s JOIN adj a ON a.src = s.cur
+          AND a.r = (s.origin * 40503 + 1 * 7919 + s.cur * 104729) % a.deg
+        ),
+        s2 AS (
+          SELECT s.origin, a.dst AS cur FROM s1 s JOIN adj a ON a.src = s.cur
+          AND a.r = (s.origin * 40503 + 2 * 7919 + s.cur * 104729) % a.deg
+        ),
+        s3 AS (
+          SELECT s.origin, a.dst AS cur FROM s2 s JOIN adj a ON a.src = s.cur
+          AND a.r = (s.origin * 40503 + 3 * 7919 + s.cur * 104729) % a.deg
+        ),
+        s4 AS (
+          SELECT s.origin, a.dst AS cur FROM s3 s JOIN adj a ON a.src = s.cur
+          AND a.r = (s.origin * 40503 + 4 * 7919 + s.cur * 104729) % a.deg
+        )
+        SELECT origin, 0 AS step, cur AS node FROM s0
+        UNION ALL SELECT origin, 1, cur FROM s1
+        UNION ALL SELECT origin, 2, cur FROM s2
+        UNION ALL SELECT origin, 3, cur FROM s3
+        UNION ALL SELECT origin, 4, cur FROM s4
     """,
     "g_cycle_members": f"""
         WITH RECURSIVE {_EDGES_SQL},

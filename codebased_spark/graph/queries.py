@@ -170,6 +170,54 @@ def kg_entity_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_entity_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(doc, entity) salience scoring — the feature table an entity
+    linker ranks by before picking a page's topical entities.
+
+    Classic salience features (position + frequency, the backbone of
+    every salience system since Dunietz & Gillick 2014): n_mentions,
+    first_pos (1-based token position of the first mention), is_lead
+    (first mention inside the lead 10% of the doc — the web analog of
+    headline/first-paragraph weighting), and salience_rank (the per-doc
+    ordering by mentions desc, earliest-first, entity asc — fully
+    deterministic, so the window is cross-engine exact).
+
+    All features are integers or integer comparisons — no floats near
+    the hash gate. Scale shape: one posexplode (map-side), the broadcast
+    gazetteer join (fact table never shuffles for the join), one
+    (doc, entity) agg with map-side combine, one doc-keyed agg for
+    n_words, a doc-keyed join, and one window partitioned by doc_id —
+    every key is per-document, so skew is bounded by the longest doc.
+    """
+    gaz = F.broadcast(_gaz_df(spark))
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "word"),
+    ).where(F.col("word") != "")
+    toks = toks.select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+    n_words = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_words"))
+    m = (
+        toks.join(gaz, F.col("word") == gaz.surface_form)
+        .groupBy("doc_id", "canonical_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_mentions"),
+            F.min("pos").alias("first_pos"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("n_mentions"), F.asc("first_pos"), F.asc("canonical_id")
+    )
+    return m.join(n_words, "doc_id").select(
+        "doc_id",
+        F.col("canonical_id").alias("entity"),
+        "n_mentions",
+        "first_pos",
+        (F.col("first_pos") * 10 <= F.col("n_words")).cast("int").alias("is_lead"),
+        F.row_number().over(w).alias("salience_rank"),
+    )
+
+
 def with_pmi(scored: DataFrame, lift_col: str = "lift") -> DataFrame:
     """Attach pmi = ln(lift). Kept OUT of the exact cross-engine hash gate
     (see kg_entity_pmi docstring); covered by a tolerance test instead."""
