@@ -105,7 +105,7 @@ def kg_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RECEIPT_PRIORITY = [
     # new in r4
     "g_closure", "mm_sample_stats", "tx_boilerplate", "kg_entity_salience",
-    "tx_learned_stopwords", "g_walks", "g_lpa",
+    "tx_learned_stopwords", "g_walks", "g_lpa", "dd_mirrors", "tx_postings",
     # never driver-receipted before r4
     "kg_cocitation", "kg_entity_pmi", "kg_feed_items", "kg_hreflang",
     "kg_microdata",

@@ -89,6 +89,28 @@ def dd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dd_mirrors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-host mirror detection (dedup/exact.py::mirror_groups): texts
+    served verbatim by >= 2 hosts. The fixture plants mirrors — every
+    doc_id % 50 == 0 doc is re-served from '<source>-m' (and % 100 == 0
+    additionally from 'cdn0') — since the synthetic corpus has no natural
+    exact cross-host dupes; the detector sees only (host, text) rows."""
+    from codebased_spark.dedup.exact import mirror_groups
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    m1 = docs.where(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.col("source"), F.lit("-m")).alias("source"),
+        "text",
+    )
+    m2 = docs.where(F.col("doc_id") % 100 == 0).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"),
+        F.lit("cdn0").alias("source"),
+        "text",
+    )
+    return mirror_groups(docs.unionByName(m1).unionByName(m2))
+
+
 EMB_SAMPLE_CAP = 1000  # absolute bound: the sample is <= 250 vectors at ANY sf
 
 
@@ -321,6 +343,16 @@ def tx_learned_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from codebased_spark.textops.corpus_stats import learned_stopword_fraction
 
     return learned_stopword_fraction(_docs(spark, sf_dir), k=20)
+
+
+def tx_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (textops/corpus_stats.py::build_postings):
+    per-term df, total tf, and a 5-doc champion-list prefix — the IR
+    index structure over the corpus, with the posting prefix bounded so
+    no term's row is Zipf-head-sized."""
+    from codebased_spark.textops.corpus_stats import build_postings
+
+    return build_postings(_docs(spark, sf_dir), champions=5)
 
 
 def tx_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -937,6 +969,7 @@ QUERIES = {
     "dd_minhash_lsh": dd_minhash_lsh,
     "dd_simhash": dd_simhash,
     "dd_clusters": dd_clusters,
+    "dd_mirrors": dd_mirrors,
     "dd_embedding_exact": dd_embedding_exact,
     "dd_embedding_lsh": dd_embedding_lsh,
     "ann_topk": ann_topk,
@@ -952,6 +985,7 @@ QUERIES = {
     "tx_repetition": tx_repetition,
     "tx_boilerplate": tx_boilerplate,
     "tx_learned_stopwords": tx_learned_stopwords,
+    "tx_postings": tx_postings,
     "kg_latest_capture": kg_latest_capture,
     "tx_filter_pipeline": tx_filter_pipeline,
     "tx_chunk": tx_chunk,
@@ -1636,6 +1670,46 @@ ORACLES = {
                sha256(max_by(text, ts_epoch)) AS text_sha256,
                count(*) AS n_captures
         FROM caps GROUP BY url
+    """,
+    "tx_postings": """
+        WITH toks AS (
+          SELECT doc_id, term FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+          ) WHERE term <> ''
+        ),
+        per_doc AS (
+          SELECT term, doc_id, count(*) AS tf
+          FROM toks GROUP BY term, doc_id
+        ),
+        ranked AS (
+          SELECT term, doc_id, tf, row_number() OVER (
+            PARTITION BY term ORDER BY doc_id ASC) AS rn
+          FROM per_doc
+        )
+        SELECT term, count(*) AS df, sum(tf) AS tf_total,
+               string_agg(CASE WHEN rn <= 5 THEN CAST(doc_id AS VARCHAR)
+                          END, ',' ORDER BY doc_id) AS champions
+        FROM ranked GROUP BY term
+    """,
+    "dd_mirrors": """
+        WITH caps AS (
+          SELECT doc_id, source, text FROM documents
+          UNION ALL
+          SELECT doc_id + 10000000, source || '-m', text
+          FROM documents WHERE doc_id % 50 = 0
+          UNION ALL
+          SELECT doc_id + 20000000, 'cdn0', text
+          FROM documents WHERE doc_id % 100 = 0
+        )
+        SELECT sha256(text) AS text_sha256,
+               count(DISTINCT source) AS n_hosts,
+               count(*) AS n_docs,
+               min(doc_id) AS first_doc,
+               min(source) AS first_host,
+               max(source) AS last_host
+        FROM caps GROUP BY sha256(text)
+        HAVING count(DISTINCT source) >= 2
     """,
     "tx_learned_stopwords": """
         WITH toks AS (

@@ -33,6 +33,43 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def mirror_groups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    host_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-host mirror detection: content hashes served by >= 2 distinct
+    hosts — the crawl signal for mirrors, scrapers, and CDN clones, which a
+    curation pipeline collapses BEFORE host-level statistics (a mirrored
+    site would otherwise double-count in domain PageRank, per-host
+    boilerplate df, and crawl-budget allocation).
+
+    One (hash)-keyed aggregation; every aggregate is constant-size
+    (counts, min, max) — deliberately NO collect_set(host): a viral
+    boilerplate page can live on millions of hosts and an unbounded
+    host-list buffer is exactly the skew hazard the rest of the repo
+    avoids. first/last host (min/max) are the bounded witnesses; callers
+    wanting the full host list join back on text_sha256.
+    """
+    hashed = docs.select(
+        F.sha2(F.col(text_col), 256).alias("text_sha256"),
+        F.col(host_col).alias("host"),
+        F.col(id_col),
+    )
+    return (
+        hashed.groupBy("text_sha256")
+        .agg(
+            F.countDistinct("host").alias("n_hosts"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("first_doc"),
+            F.min("host").alias("first_host"),
+            F.max("host").alias("last_host"),
+        )
+        .where(F.col("n_hosts") >= 2)
+    )
+
+
 def exact_duplicate_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, dup_of) rows for every non-survivor duplicate."""
     hashed = docs.select(

@@ -25,6 +25,51 @@ from pyspark.sql import functions as F
 from codebased_spark.util import round_stable
 
 
+def build_postings(
+    docs: DataFrame,
+    champions: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Inverted-index construction: per term, document frequency, total
+    term frequency, and a bounded champion list (the first `champions`
+    doc ids in ascending order, comma-joined) — the term-dictionary +
+    champion-list structure an IR engine materializes over the corpus
+    (Manning et al., IIR §7.1.3; web-scale engines cap posting prefixes
+    exactly like this so no single term's row is unbounded).
+
+    Scale shape: one (term, doc) distinct + aggregation for df/tf (term
+    keys — map-side combine absorbs the Zipf head), one window partitioned
+    by term for the champion cut, then a term-keyed reduce whose
+    collect_list is BOUNDED at `champions` rows by the preceding filter —
+    the only collect in the repo's agg paths, and it is provably capped.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).where(F.col("term") != "")
+    per_doc = toks.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    win = Window.partitionBy("term").orderBy(F.asc("doc_id"))
+    ranked = per_doc.withColumn("rn", F.row_number().over(win))
+    return ranked.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("tf_total"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("rn") <= champions, F.col("doc_id"))
+                    )
+                ),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("champions"),
+    )
+
+
 def learned_stopword_fraction(
     docs: DataFrame,
     k: int = 20,

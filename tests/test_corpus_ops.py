@@ -5,10 +5,14 @@ synchronous label propagation (graph/lpa.py)."""
 
 from __future__ import annotations
 
+from codebased_spark.dedup.exact import mirror_groups
 from codebased_spark.graph.lpa import label_propagation
 from codebased_spark.graph.walks import deterministic_walks
 from codebased_spark.textops.boilerplate import boilerplate_metrics
-from codebased_spark.textops.corpus_stats import learned_stopword_fraction
+from codebased_spark.textops.corpus_stats import (
+    build_postings,
+    learned_stopword_fraction,
+)
 
 
 def _docs(spark, rows):
@@ -95,6 +99,36 @@ def test_walks_are_deterministic(spark):
     a = sorted(map(tuple, deterministic_walks(edges, length=4).collect()))
     b = sorted(map(tuple, deterministic_walks(edges, length=4).collect()))
     assert a == b and len(a) == 7 * 5
+
+
+def test_mirror_groups_cross_host_only(spark):
+    docs = _docs(
+        spark,
+        [
+            (0, "a.com", "shared page body"),
+            (1, "b.com", "shared page body"),   # mirror of 0 on another host
+            (2, "a.com", "shared page body"),   # same-host dup: no new host
+            (3, "a.com", "unique body"),
+            (4, "c.com", "other shared"),
+            (5, "c.com", "other shared"),       # same-host only -> excluded
+        ],
+    )
+    rows = mirror_groups(docs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_hosts == 2 and r.n_docs == 3 and r.first_doc == 0
+    assert r.first_host == "a.com" and r.last_host == "b.com"
+
+
+def test_postings_champion_list_is_bounded(spark):
+    docs = spark.createDataFrame(
+        [(i, "apple banana" if i % 2 == 0 else "apple") for i in range(10)],
+        ["doc_id", "text"],
+    )
+    out = {r.term: r for r in build_postings(docs, champions=3).collect()}
+    assert out["apple"].df == 10 and out["apple"].tf_total == 10
+    assert out["apple"].champions == "0,1,2"  # capped at 3 of 10
+    assert out["banana"].df == 5 and out["banana"].champions == "0,2,4"
 
 
 def test_lpa_two_cliques_converge_to_min_label(spark):
