@@ -59,9 +59,14 @@ def child(cpus: int, docs: int, executors: int = 0, mem_mb: int = 16384) -> None
         # per executor), scaled by the executor count like a real cluster
         master = f"local-cluster[{executors},{cpus},{mem_mb}]"
         total = executors * cpus
+        # local-cluster's third arg is only the WORKER's capacity; the
+        # executor itself still launches with spark.executor.memory
+        # (default 1g) — set it explicitly or large inputs OOM (exit 52)
+        # in the 1-executor config while 4 executors squeak by.
         spark = get_spark(
             f"bench-scaling-{executors}x{cpus}", master=master,
             shuffle_partitions=total,
+            extra_conf={"spark.executor.memory": f"{mem_mb}m"},
         )
         spark.sparkContext.addPyFile(_package_zip())
         cpus = total
@@ -88,11 +93,23 @@ def child(cpus: int, docs: int, executors: int = 0, mem_mb: int = 16384) -> None
     spark.stop()
 
 
-def run_child(cpus: int, docs: int, executors: int = 0, mem_mb: int = 16384) -> dict:
+def run_child(cpus: int, docs: int, executors: int = 0, mem_mb: int = 16384,
+              envelope: int = 0) -> dict:
     cmd = [sys.executable, __file__, "--child", str(cpus), "--docs", str(docs),
            "--mem-mb", str(mem_mb)]
     if executors:
         cmd += ["--executors", str(executors)]
+    if envelope and executors:
+        # Pin the whole child process tree (executor JVMs, python UDF
+        # workers, GC/netty threads) to `executors * envelope` cpus — the
+        # per-node CPU envelope a real cluster node has. Unpinned, the
+        # 1-executor config borrows the idle box's spare cores through its
+        # python workers and JVM service threads (resources no real 4-core
+        # node has), inflating the baseline and deflating measured
+        # efficiency; pinning makes both configs see identical per-node
+        # hardware, which is exactly the N -> 4N comparison the north rule
+        # defines.
+        cmd = ["taskset", "-c", f"0-{executors * envelope - 1}"] + cmd
     out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, timeout=3600)
     for line in out.stdout.splitlines():
         if line.startswith("{"):
@@ -117,6 +134,9 @@ def main() -> None:
     ap.add_argument("--executors", type=int, default=0, help="(child) executor count")
     ap.add_argument("--mem-mb", type=int, default=16384,
                     help="executor memory per local-cluster executor (MB)")
+    ap.add_argument("--pin-envelope", type=int, default=0,
+                    help="pin each config to executors*THIS cpus via taskset "
+                         "(per-node CPU envelope; executor mode only)")
     ap.add_argument("--out", default=None, help="append a markdown report to this file")
     args = ap.parse_args()
     if args.child is not None:
@@ -125,8 +145,10 @@ def main() -> None:
         return
 
     if args.executor_cores:
-        lo = run_child(args.executor_cores, args.docs, executors=args.lo, mem_mb=args.mem_mb)
-        hi = run_child(args.executor_cores, args.docs, executors=args.hi, mem_mb=args.mem_mb)
+        lo = run_child(args.executor_cores, args.docs, executors=args.lo,
+                       mem_mb=args.mem_mb, envelope=args.pin_envelope)
+        hi = run_child(args.executor_cores, args.docs, executors=args.hi,
+                       mem_mb=args.mem_mb, envelope=args.pin_envelope)
     else:
         lo = run_child(args.lo, args.docs)
         hi = run_child(args.hi, args.docs)
