@@ -104,6 +104,8 @@ def kg_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # this only controls which rows land in CORRECTNESS_r{N}.json.
 _RECEIPT_PRIORITY = [
     # new in r4
+    "q_asof_attribution", "q_range_campaigns", "dd_span_dups",
+    "tx_training_mix",
     "g_closure", "mm_sample_stats", "tx_boilerplate", "kg_entity_salience",
     "tx_learned_stopwords", "g_walks", "g_lpa", "dd_mirrors", "tx_postings",
     # never driver-receipted before r4

@@ -111,6 +111,30 @@ def dd_mirrors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mirror_groups(docs.unionByName(m1).unionByName(m2))
 
 
+MIX_TARGETS = {"en": 0.25, "zh": 0.30, "de": 0.15, "fr": 0.15, "es": 0.15}
+
+
+def tx_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-mix materialization (textops/mix.py):
+    per-language target proportions -> per-doc repeat counts. en is
+    naturally ~40% of the corpus so its weight lands < 1 (downsample)
+    while zh lands ~2 (upsample) — both integer and fractional paths
+    are exercised at every sf."""
+    from codebased_spark.textops.mix import training_mix_copies
+
+    return training_mix_copies(_docs(spark, sf_dir), MIX_TARGETS)
+
+
+def dd_span_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated 8-token spans (dedup/spans.py) — the
+    exact-substring dedup signal (Lee et al. 2022) the near-dup family
+    can't see: shared passages inside otherwise-distinct docs. The
+    synthetic corpus's planted near-dup docs give it real positives."""
+    from codebased_spark.dedup.spans import dup_span_stats
+
+    return dup_span_stats(_docs(spark, sf_dir), n=8)
+
+
 EMB_SAMPLE_CAP = 1000  # absolute bound: the sample is <= 250 vectors at ANY sf
 
 
@@ -571,6 +595,82 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_batch(ev, gap_seconds=1800)
 
 
+def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution via the distributed as-of join
+    (joins.py::asof_join): each click matched to the SAME user's most
+    recent purchase at-or-before the click, plus the gap in whole
+    seconds. Union-tag + one key window — one shuffle, no range
+    predicate in any join. DuckDB twin: native ASOF LEFT JOIN.
+    Purchases are pre-deduped to one row per (user, ts) (max event_id)
+    so both engines resolve ties identically."""
+    from codebased_spark.joins import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purch_event_id"))
+        .withColumn("purch_ts", F.col("ts"))
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        right_payload=["purch_event_id", "purch_ts"],
+        tiebreak="purch_event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("r_purch_event_id").alias("purch_event_id"),
+        # exact microsecond diff (NTZ-safe), then integer div: identical
+        # to the oracle's (epoch_us(c.ts) - epoch_us(p.ts)) // 1000000
+        F.expr("timestampdiff(MICROSECOND, r_purch_ts, ts) div 1000000")
+        .cast("long")
+        .alias("gap_s"),
+    )
+
+
+def q_range_campaigns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join via day-bucket equi-join
+    (joins.py::bucketed_range_join): events falling inside planted,
+    partly-overlapping campaign windows, rolled up per campaign.
+    sum is over value CENTS (floor(value*100+0.5) as int64) so the
+    aggregate is order-independent and bit-exact on both engines."""
+    from codebased_spark.joins import bucketed_range_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    campaigns = spark.createDataFrame(
+        CAMPAIGN_WINDOWS, ["campaign_id", "start_s", "end_s"]
+    ).select(
+        "campaign_id",
+        F.to_timestamp("start_s").alias("start_ts"),
+        F.to_timestamp("end_s").alias("end_ts"),
+    )
+    joined = bucketed_range_join(ev, campaigns, event_ts="ts")
+    return joined.groupBy("campaign_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+            "sum_cents"
+        ),
+    )
+
+
+# planted campaign windows (deterministic; overlap on Jan 4-5, a sub-day
+# window inside c2, and one single-day window)
+CAMPAIGN_WINDOWS = [
+    (1, "2024-01-02 00:00:00", "2024-01-05 23:59:59"),
+    (2, "2024-01-04 00:00:00", "2024-01-10 23:59:59"),
+    (3, "2024-01-08 12:00:00", "2024-01-09 11:59:59"),
+    (4, "2024-01-15 00:00:00", "2024-01-15 23:59:59"),
+    (5, "2024-01-20 06:00:00", "2024-01-25 18:00:00"),
+]
+
+
 def _doc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic directed graph over documents (2 out-edges per doc).
 
@@ -970,6 +1070,8 @@ QUERIES = {
     "dd_simhash": dd_simhash,
     "dd_clusters": dd_clusters,
     "dd_mirrors": dd_mirrors,
+    "dd_span_dups": dd_span_dups,
+    "tx_training_mix": tx_training_mix,
     "dd_embedding_exact": dd_embedding_exact,
     "dd_embedding_lsh": dd_embedding_lsh,
     "ann_topk": ann_topk,
@@ -1003,6 +1105,8 @@ QUERIES = {
     "q_suppliers_per_region": q_suppliers_per_region,
     "q_hourly_events": q_hourly_events,
     "q_user_sessions": q_user_sessions,
+    "q_asof_attribution": q_asof_attribution,
+    "q_range_campaigns": q_range_campaigns,
     "g_khop_reach": g_khop_reach,
     "g_closure": g_closure,
     "g_walks": g_walks,
@@ -1711,6 +1815,71 @@ ORACLES = {
         FROM caps GROUP BY sha256(text)
         HAVING count(DISTINCT source) >= 2
     """,
+    # mixture weights: every arithmetic step is the same double op on the
+    # same operands on both engines (literals cast to DOUBLE; DuckDB's
+    # bare 0.25 would be DECIMAL)
+    "tx_training_mix": """
+        WITH tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        nat AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
+        w AS (
+          SELECT lang,
+                 (CASE lang WHEN 'en' THEN CAST(0.25 AS DOUBLE)
+                            WHEN 'zh' THEN CAST(0.30 AS DOUBLE)
+                            WHEN 'de' THEN CAST(0.15 AS DOUBLE)
+                            WHEN 'fr' THEN CAST(0.15 AS DOUBLE)
+                            WHEN 'es' THEN CAST(0.15 AS DOUBLE)
+                            ELSE CAST(0.0 AS DOUBLE) END)
+                 / (n_lang / (SELECT n FROM tot)) AS w
+          FROM nat
+        )
+        SELECT d.doc_id, d.lang,
+               CAST(floor(w.w)
+                    + CASE WHEN d.doc_id % 1000
+                                < floor((w.w - floor(w.w)) * 1000)
+                           THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+        FROM documents d JOIN w USING (lang)
+    """,
+    # duplicated 8-token spans: grams hashed EXACTLY like the Spark side
+    # (md5 prefix) and grouped by the hash, so the check is bit-identical
+    # even under (astronomically unlikely) collisions
+    "dd_span_dups": """
+        WITH t AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '')
+                 AS toks
+          FROM documents
+        ),
+        g AS (
+          SELECT DISTINCT doc_id, substr(md5(gram), 1, 16) AS h FROM (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(toks) >= 8
+                               THEN [array_to_string(toks[i:i+7], ' ')
+                                     for i in generate_series(1, len(toks)-7)]
+                               ELSE [] END) AS gram
+            FROM t
+          )
+        ),
+        d AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+        c AS (
+          SELECT doc_id, count(*) AS n_cross_dup
+          FROM g JOIN d USING (h) GROUP BY doc_id
+        ),
+        tot AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) >= 8
+                      THEN len(list_distinct([array_to_string(toks[i:i+7], ' ')
+                                              for i in generate_series(1, len(toks)-7)]))
+                      ELSE 0 END AS n_spans
+          FROM t
+        )
+        SELECT tot.doc_id,
+               CAST(n_spans AS BIGINT) AS n_spans,
+               CAST(coalesce(c.n_cross_dup, 0) AS BIGINT) AS n_cross_dup,
+               CASE WHEN n_spans > 0
+                    THEN floor(coalesce(c.n_cross_dup, 0)::DOUBLE / n_spans
+                               * 10000 + 0.5) / 10000
+                    ELSE 0.0 END AS dup_frac
+        FROM tot LEFT JOIN c USING (doc_id)
+    """,
     "tx_learned_stopwords": """
         WITH toks AS (
           SELECT doc_id, word FROM (
@@ -1961,6 +2130,39 @@ ORACLES = {
         SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
                count(*) AS n_events
         FROM s GROUP BY user_id, sid
+    """,
+    # native ASOF JOIN is the oracle for the union-tag window plan
+    "q_asof_attribution": """
+        WITH clicks AS (
+          SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        ),
+        purch AS (
+          SELECT user_id, ts, max(event_id) AS purch_event_id
+          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        )
+        SELECT c.event_id, c.user_id, p.purch_event_id,
+               CAST((epoch_us(c.ts) - epoch_us(p.ts)) // 1000000 AS BIGINT)
+                 AS gap_s
+        FROM clicks c ASOF LEFT JOIN purch p
+          ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    # plain BETWEEN theta join is the oracle for the bucketed range join
+    "q_range_campaigns": """
+        WITH campaigns(campaign_id, start_ts, end_ts) AS (VALUES
+          (1, TIMESTAMP '2024-01-02 00:00:00', TIMESTAMP '2024-01-05 23:59:59'),
+          (2, TIMESTAMP '2024-01-04 00:00:00', TIMESTAMP '2024-01-10 23:59:59'),
+          (3, TIMESTAMP '2024-01-08 12:00:00', TIMESTAMP '2024-01-09 11:59:59'),
+          (4, TIMESTAMP '2024-01-15 00:00:00', TIMESTAMP '2024-01-15 23:59:59'),
+          (5, TIMESTAMP '2024-01-20 06:00:00', TIMESTAMP '2024-01-25 18:00:00')
+        )
+        SELECT CAST(campaign_id AS BIGINT) AS campaign_id,
+               count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+        FROM events e JOIN campaigns c
+          ON e.ts BETWEEN c.start_ts AND c.end_ts
+        GROUP BY 1
     """,
     "g_khop_reach": f"""
         WITH RECURSIVE {_EDGES_SQL},
