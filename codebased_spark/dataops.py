@@ -1051,6 +1051,144 @@ def kg_triple_lifespan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fact_lifespans(obs, ts_col="ts", captures=caps)
 
 
+def kg_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental crawl delta (sources/delta.py): diff last week's
+    committed snapshot against this week's and classify every url as
+    added/changed/unchanged/vanished — the re-extraction worklist driver
+    (reference incremental.py:37-38 hash-compare skip).
+
+    Fixture over the shared recrawl construction (url = doc_id%100, so
+    doc_id ≡ url (mod 10) for EVERY capture of a url while residues
+    mod 3 rotate across a url's captures, 100 % 3 == 1):
+    - prev = latest capture per url among captures with doc_id % 3 != 0
+      (a per-capture slice: prev picks a genuinely different capture
+      where the newest one is ≡ 0 mod 3 → those urls read 'changed'),
+      further dropping urls ≡ 3 mod 10 entirely (url-level: the pages
+      that did not exist last week → 'added');
+    - curr = latest capture per url among doc_id % 10 != 7 (url-level:
+      urls ≡ 7 mod 10 vanish entirely — the now-404 slice).
+    That plants all four statuses in one 500-doc table. 'changed'
+    compares CONTENT hashes, not capture ids, so a later capture with
+    identical bytes is 'unchanged' exactly like the reference's skip
+    path."""
+    from codebased_spark.sources.delta import snapshot_delta
+    from codebased_spark.sources.recrawl import latest_captures
+
+    caps = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("https://recrawl.example.org/page/"),
+            (F.col("doc_id") % 100).cast("string"),
+        ).alias("url"),
+        F.timestamp_seconds(F.lit(1735689600) + F.col("doc_id")).alias("warc_ts"),
+        F.col("doc_id"),
+        F.sha2("text", 256).alias("content_sha"),
+    )
+    prev = latest_captures(
+        caps.where((F.col("doc_id") % 3 != 0) & (F.col("doc_id") % 10 != 3)),
+        content_col="content_sha",
+    )
+    curr = latest_captures(
+        caps.where(F.col("doc_id") % 10 != 7), content_col="content_sha"
+    )
+    delta = snapshot_delta(
+        prev.select("url", "doc_id", "content_sha"),
+        curr.select("url", "doc_id", "content_sha"),
+    )
+    return delta.select(
+        "url", "status", "prev_doc_id", "curr_doc_id", "curr_content_sha"
+    )
+
+
+def _cooccur_obs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared observation table for the support/takedown family:
+    one row per (doc, entity-pair) co-occurrence with the doc's url and
+    host — the (subj, pred, obj, url, host) shape a web-scale triple
+    store accumulates.
+
+    The rows are deterministically thinned per (subj, obj, host) with the
+    portable md5 keep-rule (dedup/simhash.py::md5_hash60 % 5 == 0):
+    every gazetteer pair co-occurs on ALL 20 synthetic hosts, so without
+    thinning n_hosts — and therefore confidence and every takedown fate —
+    would be one constant value for all 45 pairs and the oracle gate
+    vacuous. Thinned, n_hosts spans 1-8 and the takedown cascade plants
+    all three fates (dropped/weakened/retained) at sf0.01."""
+    from codebased_spark.dedup.simhash import md5_hash60
+    from codebased_spark.graph.queries import _gaz_df
+
+    gaz = F.broadcast(_gaz_df(spark))
+    docs = _docs(spark, sf_dir)
+    ments = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .join(gaz, F.col("word") == gaz.surface_form)
+        .select("doc_id", "canonical_id")
+        .distinct()
+    )
+    a, b = ments.alias("a"), ments.alias("b")
+    pairs = a.join(b, "doc_id").where(F.col("a.canonical_id") < F.col("b.canonical_id"))
+    meta = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.org/"),
+            F.col("lang"), F.lit("/doc/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.concat(F.col("source"), F.lit(".example.org")).alias("host"),
+    )
+    keep = (
+        md5_hash60(
+            F.concat_ws(
+                "|", F.col("a.canonical_id"), F.col("b.canonical_id"), F.col("host")
+            )
+        )
+        % 5
+        == 0
+    )
+    return (
+        pairs.join(meta, "doc_id")
+        .where(keep)
+        .select(
+            F.col("a.canonical_id").alias("subj"),
+            F.lit("COOCCURS_WITH").alias("pred"),
+            F.col("b.canonical_id").alias("obj"),
+            "url",
+            "host",
+        )
+    )
+
+
+def kg_triple_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-triple support counters + host-diversity confidence
+    (graph/confidence.py::triple_support) over the co-occurrence
+    observation table: one hash aggregation, map-side combined."""
+    from codebased_spark.graph.confidence import triple_support
+
+    return triple_support(_cooccur_obs(spark, sf_dir))
+
+
+TAKEDOWN_HOSTS = ["src3.example.org", "src7.example.org", "src11.example.org"]
+
+
+def kg_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compliance takedown cascade (graph/confidence.py::takedown_cascade):
+    remove three hosts' observations and report every triple's
+    before/after support and fate (dropped/weakened/retained) in ONE
+    conditional aggregation — no second scan."""
+    from codebased_spark.graph.confidence import takedown_cascade
+
+    td = spark.createDataFrame([(h,) for h in TAKEDOWN_HOSTS], ["host"])
+    return takedown_cascade(_cooccur_obs(spark, sf_dir), td)
+
+
+def kg_mention_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence mention context windows for linker training
+    (extract/contexts.py): map-only codegen string slicing against the
+    broadcast gazetteer, oracle-gated byte-for-byte via strpos/substr."""
+    from codebased_spark.extract.contexts import mention_windows
+    from codebased_spark.graph.queries import _gaz_df
+
+    return mention_windows(_docs(spark, sf_dir), _gaz_df(spark), width=40)
+
+
 def kg_canonical_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """<link rel="canonical"> page-identity collapse: variants group onto
     their declared canonical url, one max_by aggregation (same scale
@@ -1130,6 +1268,10 @@ QUERIES = {
     "kg_microdata": kg_microdata,
     "kg_hreflang": kg_hreflang,
     "kg_feed_items": kg_feed_items,
+    "kg_snapshot_delta": kg_snapshot_delta,
+    "kg_triple_confidence": kg_triple_confidence,
+    "kg_takedown": kg_takedown,
+    "kg_mention_contexts": kg_mention_contexts,
 }
 
 # ---------------------------------------------------------------------------
@@ -2566,4 +2708,116 @@ ORACLES["tx_filter_pipeline"] = f"""
                      + r_neardup = 0
                 THEN 1 ELSE 0 END AS keep
     FROM sel
+"""
+
+# Incremental snapshot delta (sources/delta.py): same recrawl fixture as
+# kg_latest_capture (url = doc_id%100, ts = epoch+doc_id so latest =
+# arg_max by doc_id); prev drops captures ≡0 mod 3 and urls ≡3 mod 10,
+# curr drops urls ≡7 mod 10 — plants added/changed/unchanged/vanished.
+ORACLES["kg_snapshot_delta"] = """
+    WITH caps AS (
+      SELECT 'https://recrawl.example.org/page/' || (doc_id % 100) AS url,
+             doc_id, sha256(text) AS content_sha
+      FROM documents
+    ),
+    prev AS (
+      SELECT url, max(doc_id) AS prev_doc_id,
+             arg_max(content_sha, doc_id) AS prev_sha
+      FROM caps WHERE doc_id % 3 <> 0 AND doc_id % 10 <> 3 GROUP BY url
+    ),
+    curr AS (
+      SELECT url, max(doc_id) AS curr_doc_id,
+             arg_max(content_sha, doc_id) AS curr_content_sha
+      FROM caps WHERE doc_id % 10 <> 7 GROUP BY url
+    )
+    SELECT coalesce(p.url, c.url) AS url,
+           CASE WHEN p.url IS NULL THEN 'added'
+                WHEN c.url IS NULL THEN 'vanished'
+                WHEN p.prev_sha <> c.curr_content_sha THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           p.prev_doc_id, c.curr_doc_id, c.curr_content_sha
+    FROM prev p FULL OUTER JOIN curr c ON p.url = c.url
+"""
+
+# Shared observation CTE for the support/takedown family — one row per
+# (doc, entity-pair) co-occurrence with the doc's url and host, mirroring
+# dataops._cooccur_obs exactly (distinct mentions per doc, a < b pairs,
+# portable md5_hash60 % 5 host-thinning — see _cooccur_obs docstring).
+_COOCCUR_OBS_SQL = f"""
+    gaz(surface_form, canonical_id, entity_type) AS (VALUES {GAZ_SQL_VALUES}),
+    tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    m AS (
+      SELECT DISTINCT doc_id, canonical_id
+      FROM tok JOIN gaz ON word = surface_form
+    ),
+    pairs AS (
+      SELECT a.doc_id, a.canonical_id AS subj, b.canonical_id AS obj
+      FROM m a JOIN m b
+        ON a.doc_id = b.doc_id AND a.canonical_id < b.canonical_id
+    ),
+    meta AS (
+      SELECT doc_id,
+             'https://' || source || '.example.org/' || lang || '/doc/'
+               || doc_id AS url,
+             source || '.example.org' AS host
+      FROM documents
+    ),
+    obs AS (
+      SELECT subj, 'COOCCURS_WITH' AS pred, obj, url, host
+      FROM pairs JOIN meta USING (doc_id)
+      WHERE ('0x' || substr(md5(subj || '|' || obj || '|' || host), 1, 15))
+              ::BIGINT % 5 = 0
+    )
+"""
+
+# confidence = n_hosts/(n_hosts+1) is an exact IEEE division of small
+# integers on both engines (the PMI lesson, ADVICE r3) — hash-gateable.
+ORACLES["kg_triple_confidence"] = f"""
+    WITH {_COOCCUR_OBS_SQL}
+    SELECT subj, pred, obj, count(*) AS n_obs,
+           count(DISTINCT url) AS n_urls,
+           count(DISTINCT host) AS n_hosts,
+           count(DISTINCT host)::DOUBLE / (count(DISTINCT host) + 1)
+             AS confidence
+    FROM obs GROUP BY subj, pred, obj
+"""
+
+ORACLES["kg_takedown"] = f"""
+    WITH {_COOCCUR_OBS_SQL}
+    SELECT subj, pred, obj,
+           count(DISTINCT url) AS n_urls_before,
+           count(DISTINCT CASE WHEN host NOT IN
+                 ('src3.example.org', 'src7.example.org', 'src11.example.org')
+                 THEN url END) AS n_urls_after,
+           CASE WHEN count(DISTINCT CASE WHEN host NOT IN
+                     ('src3.example.org', 'src7.example.org',
+                      'src11.example.org') THEN url END) = 0
+                THEN 'dropped'
+                WHEN count(DISTINCT CASE WHEN host NOT IN
+                     ('src3.example.org', 'src7.example.org',
+                      'src11.example.org') THEN url END)
+                     < count(DISTINCT url)
+                THEN 'weakened'
+                ELSE 'retained' END AS status
+    FROM obs GROUP BY subj, pred, obj
+"""
+
+# First-occurrence windows: strpos/substr are 1-based character semantics
+# on both engines; width = 40 mirrors dataops.kg_mention_contexts.
+ORACLES["kg_mention_contexts"] = f"""
+    WITH gaz(surface_form, canonical_id, entity_type)
+           AS (VALUES {GAZ_SQL_VALUES}),
+    j AS (
+      SELECT d.doc_id, g.surface_form, g.canonical_id, g.entity_type,
+             strpos(d.text, g.surface_form) AS pos, d.text
+      FROM documents d, gaz g
+      WHERE strpos(d.text, g.surface_form) > 0
+    )
+    SELECT doc_id, surface_form, canonical_id, entity_type, pos,
+           substr(text, greatest(1, pos - 40),
+                  pos - greatest(1, pos - 40)) AS left_ctx,
+           substr(text, pos + length(surface_form), 40) AS right_ctx
+    FROM j
 """
