@@ -1189,6 +1189,32 @@ def kg_mention_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mention_windows(_docs(spark, sf_dir), _gaz_df(spark), width=40)
 
 
+# Planted ambiguity for the disambiguation fixture: two surfaces gain a
+# SECOND candidate entity, so the corpus-wide context profiles (built
+# from the remaining unambiguous surfaces) must arbitrate every mention.
+AMBIG_EXTRA = [
+    ("stream", "ent:concept:spark", "Tech"),
+    ("scan", "ent:table:customer", "Table"),
+]
+
+
+def kg_context_disambig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-feature entity disambiguation (link/context.py): ambiguous
+    surfaces resolve to the candidate whose unambiguous-mention context
+    profile best overlaps this mention's window; integer scores,
+    deterministic smallest-id tie-break."""
+    from codebased_spark.extract.contexts import mention_windows
+    from codebased_spark.graph.queries import DOC_GAZETTEER
+    from codebased_spark.link.context import disambiguate_by_context
+
+    gaz = spark.createDataFrame(
+        DOC_GAZETTEER + AMBIG_EXTRA,
+        ["surface_form", "canonical_id", "entity_type"],
+    )
+    ctxs = mention_windows(_docs(spark, sf_dir), gaz, width=40)
+    return disambiguate_by_context(ctxs, gaz)
+
+
 def kg_canonical_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """<link rel="canonical"> page-identity collapse: variants group onto
     their declared canonical url, one max_by aggregation (same scale
@@ -1272,6 +1298,7 @@ QUERIES = {
     "kg_triple_confidence": kg_triple_confidence,
     "kg_takedown": kg_takedown,
     "kg_mention_contexts": kg_mention_contexts,
+    "kg_context_disambig": kg_context_disambig,
 }
 
 # ---------------------------------------------------------------------------
@@ -2820,4 +2847,66 @@ ORACLES["kg_mention_contexts"] = f"""
                   pos - greatest(1, pos - 40)) AS left_ctx,
            substr(text, pos + length(surface_form), 40) AS right_ctx
     FROM j
+"""
+
+# Context disambiguation: same window arithmetic as kg_mention_contexts;
+# concat of the two windows with one space mirrors Spark concat_ws(" ").
+# AMBIG_EXTRA values are inlined below — keep in sync with the constant.
+ORACLES["kg_context_disambig"] = f"""
+    WITH gaz(surface_form, canonical_id, entity_type) AS (
+      VALUES {GAZ_SQL_VALUES},
+             ('stream', 'ent:concept:spark', 'Tech'),
+             ('scan', 'ent:table:customer', 'Table')
+    ),
+    ctx AS (
+      SELECT d.doc_id, g.surface_form, g.canonical_id,
+             strpos(d.text, g.surface_form) AS pos, d.text
+      FROM documents d, gaz g
+      WHERE strpos(d.text, g.surface_form) > 0
+    ),
+    w AS (
+      SELECT doc_id, surface_form, canonical_id,
+             substr(text, greatest(1, pos - 40),
+                    pos - greatest(1, pos - 40))
+               || ' ' ||
+             substr(text, pos + length(surface_form), 40) AS ctxt
+      FROM ctx
+    ),
+    tok AS (
+      SELECT doc_id, surface_form, canonical_id,
+             unnest(string_split(ctxt, ' ')) AS token
+      FROM w
+    ),
+    tok_nz AS (SELECT * FROM tok WHERE token <> ''),
+    arity AS (
+      SELECT surface_form, count(DISTINCT canonical_id) AS n_candidates
+      FROM gaz GROUP BY 1
+    ),
+    prof AS (
+      SELECT t.canonical_id, t.token, count(*) AS weight
+      FROM tok_nz t JOIN arity a USING (surface_form)
+      WHERE a.n_candidates = 1
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT t.doc_id, t.surface_form, t.canonical_id,
+             sum(coalesce(p.weight, 0)) AS score
+      FROM tok_nz t
+      JOIN arity a USING (surface_form)
+      LEFT JOIN prof p
+        ON p.canonical_id = t.canonical_id AND p.token = t.token
+      WHERE a.n_candidates > 1
+      GROUP BY 1, 2, 3
+    ),
+    best AS (
+      SELECT doc_id, surface_form, max(score) AS best_score
+      FROM scored GROUP BY 1, 2
+    )
+    SELECT s.doc_id, s.surface_form, min(s.canonical_id) AS best_id,
+           b.best_score, any_value(a.n_candidates) AS n_candidates
+    FROM scored s
+    JOIN best b ON s.doc_id = b.doc_id AND s.surface_form = b.surface_form
+               AND s.score = b.best_score
+    JOIN arity a ON a.surface_form = s.surface_form
+    GROUP BY s.doc_id, s.surface_form, b.best_score
 """
