@@ -21,6 +21,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def offset_windows(
+    rows: DataFrame,
+    text_col: str = "text",
+    start_col: str = "mstart",
+    end_col: str = "mend",
+    width: int = 40,
+) -> DataFrame:
+    """Context windows from KNOWN mention offsets (the pipeline's flat
+    mention rows carry 0-based [mstart, mend) spans), as opposed to
+    mention_windows' first-occurrence instr scan. Pure codegen substr
+    arithmetic — map-only, adds `left_ctx` / `right_ctx` columns."""
+    start1 = F.col(start_col) + 1  # 1-based first char of the mention
+    left_start = F.greatest(F.lit(1), start1 - F.lit(width))
+    return rows.withColumn(
+        "left_ctx", F.col(text_col).substr(left_start, start1 - left_start)
+    ).withColumn(
+        "right_ctx", F.col(text_col).substr(F.col(end_col) + 1, F.lit(width))
+    )
+
+
 def mention_windows(
     docs: DataFrame,
     gaz: DataFrame,

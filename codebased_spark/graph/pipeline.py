@@ -73,6 +73,7 @@ def extract_triples(
     dedupe_captures: bool = False,
     canonical_collapse: bool = False,
     persist_triples: bool = False,
+    context_features: bool = False,
 ) -> GraphResult:
     """Run extraction + linking + canonicalization.
 
@@ -92,6 +93,12 @@ def extract_triples(
     pre-steps: latest capture wins per url (sources/recrawl.py), then
     declared-variant pages collapse onto their <link rel="canonical">
     target (sources/canonical.py) — both one combined aggregation each.
+
+    `context_features=True` adds the corpus-context rank feature to fuzzy
+    candidate scoring (link/context.py::context_link_bonus): surface- and
+    entity-level context profiles re-rank near-tied candidates while the
+    acceptance threshold stays on the name score. Off by default — it
+    costs one url-keyed text re-join plus two vocabulary-sized aggs.
 
     `max_broadcast_surfaces` guards the one driver-memory-bound step: the
     automaton path collects the alias vocabulary for the executor-side
@@ -244,8 +251,17 @@ def extract_triples(
         )
         unlinked = spark.createDataFrame([], "surface string")
     else:
+        # opt-in context feature (link/context.py): corpus-wide context
+        # profiles re-rank near-tied candidates; the threshold decision
+        # stays name-score-gated, so default-off P/R is unaffected
+        ctx_bonus = None
+        if context_features:
+            from codebased_spark.link.context import context_link_bonus
+
+            ctx_bonus = context_link_bonus(mention_pages, mentions, exact_map)
         fuzzy_map = link_fuzzy_mentions(
-            spark, fuzzy_surfaces, alias_table, threshold=fuzzy_threshold
+            spark, fuzzy_surfaces, alias_table, threshold=fuzzy_threshold,
+            context_bonus=ctx_bonus,
         )
         # unlinked candidates → external stubs (J7: no dangling refs),
         # except known-external surfaces on the broadcast blocklist,

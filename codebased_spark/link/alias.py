@@ -225,12 +225,44 @@ def _char_ngram_array(col, n: int = 3):
     )
 
 
+def _rank_top1(
+    pairs: DataFrame,
+    threshold: float,
+    context_bonus: DataFrame | None = None,
+    context_weight: float = 0.1,
+) -> DataFrame:
+    """Shared linker tail: best candidate per surface, threshold on the
+    NAME score. With a context_bonus table the ranking adds
+    context_weight * ctx_sim (0 where absent) — re-ordering only; the
+    acceptance decision stays name-similarity-gated."""
+    rank_score = F.col("link_score")
+    if context_bonus is not None:
+        pairs = pairs.join(
+            context_bonus.select("surface", "entity_id", "ctx_sim"),
+            ["surface", "entity_id"],
+            "left",
+        )
+        rank_score = rank_score + F.lit(context_weight) * F.coalesce(
+            F.col("ctx_sim"), F.lit(0.0)
+        )
+    w = Window.partitionBy("surface").orderBy(
+        F.desc(rank_score), F.desc("link_score"), F.asc("entity_id")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("link_score") >= threshold))
+        .select("surface", "entity_id", "entity_type", "link_score")
+    )
+
+
 def _link_fuzzy_distributed(
     spark: SparkSession,
     fuzzy: DataFrame,
     alias_table: DataFrame,
     threshold: float,
     surface_col: str = "surface",
+    context_bonus: DataFrame | None = None,
+    context_weight: float = 0.1,
 ) -> DataFrame:
     """Fully relational TF-IDF char-3-gram cosine scoring — the
     big-gazetteer fallback (VERDICT r2 "What's wrong #2").
@@ -295,12 +327,7 @@ def _link_fuzzy_distributed(
         .groupBy("surface", "alias_key", "entity_id", "entity_type")
         .agg(F.sum(F.col("ws") * F.col("wa")).alias("link_score"))
     )
-    w = Window.partitionBy("surface").orderBy(F.desc("link_score"), F.asc("entity_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where((F.col("rn") == 1) & (F.col("link_score") >= threshold))
-        .select("surface", "entity_id", "entity_type", "link_score")
-    )
+    return _rank_top1(scored, threshold, context_bonus, context_weight)
 
 
 def link_fuzzy_mentions(
@@ -310,6 +337,8 @@ def link_fuzzy_mentions(
     threshold: float = 0.55,
     surface_col: str = "surface",
     max_broadcast_aliases: int = 2_000_000,
+    context_bonus: DataFrame | None = None,
+    context_weight: float = 0.1,
 ) -> DataFrame:
     """Link non-gazetteer mention surfaces to entities.
 
@@ -320,11 +349,19 @@ def link_fuzzy_mentions(
     built from one fused limit+collect probe and ships in the scoring
     UDF's closure (fast, zero extra shuffles); above it, the fully
     relational scorer keeps the gazetteer off the driver entirely.
+
+    `context_bonus` — optional (surface, entity_id, ctx_sim) feature table
+    (link/context.py::context_link_bonus): candidates are RANKED by
+    link_score + context_weight * ctx_sim, while the acceptance threshold
+    still applies to the name-similarity link_score alone — context can
+    re-order near-tied candidates (the reference's where-the-mention-sits
+    evidence) but can never admit a link the name score would reject.
     """
     probe = alias_table.select("alias_key").limit(max_broadcast_aliases + 1).collect()
     if len(probe) > max_broadcast_aliases:
         return _link_fuzzy_distributed(
-            spark, fuzzy, alias_table, threshold, surface_col=surface_col
+            spark, fuzzy, alias_table, threshold, surface_col=surface_col,
+            context_bonus=context_bonus, context_weight=context_weight,
         )
     gaz_keys = [r.alias_key for r in probe]
     idf = build_idf(gaz_keys)
@@ -344,9 +381,4 @@ def link_fuzzy_mentions(
         .dropDuplicates(["surface", "alias_key"])
         .withColumn("link_score", _score(F.col("surface"), F.col("alias_key")))
     )
-    w = Window.partitionBy("surface").orderBy(F.desc("link_score"), F.asc("entity_id"))
-    return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .where((F.col("rn") == 1) & (F.col("link_score") >= threshold))
-        .select("surface", "entity_id", "entity_type", "link_score")
-    )
+    return _rank_top1(pairs, threshold, context_bonus, context_weight)

@@ -22,8 +22,75 @@ across engines, hash-gateable (the PMI lesson, ADVICE r3).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from codebased_spark.extract.contexts import offset_windows
+
+
+def context_link_bonus(
+    pages: DataFrame,
+    mentions: DataFrame,
+    exact_map: DataFrame,
+    width: int = 40,
+    top_k: int = 32,
+) -> DataFrame:
+    """Surface-level context feature for the fuzzy linker (opt-in via
+    extract_triples(context_features=True)).
+
+    The flagship linker scores DISTINCT surfaces, not occurrences — the
+    scale choice that keeps linking vocabulary-sized. The context feature
+    preserves that shape: each fuzzy surface gets ONE corpus-wide profile
+    (token counts over all its mention windows), each entity gets one
+    profile from its EXACT mentions' windows, and the feature is their
+    cosine — so the output is (surface, entity_id, ctx_sim) pairs, again
+    vocabulary-sized, never per-occurrence.
+
+    Scale shape: one url-keyed join re-attaches page text to mention
+    offsets (co-partitioned with the page scan), then substr windows +
+    token explode stay map-side; both profile aggs are (key, token)
+    combine-aggs truncated to the top_k heaviest tokens (deterministic
+    token-asc tie-break), so the token-keyed dot-product join is bounded
+    by top_k² per (surface, entity) pair that shares any profile token.
+    """
+    ctx = offset_windows(
+        mentions.join(pages.select("url", "text"), "url"), width=width
+    )
+    toks = ctx.select(
+        "surface",
+        "exact",
+        F.explode(
+            F.split(F.concat_ws(" ", F.col("left_ctx"), F.col("right_ctx")), " ")
+        ).alias("token"),
+    ).where(F.col("token") != "")
+
+    def _profile(df: DataFrame, key: str) -> DataFrame:
+        counts = df.groupBy(key, "token").agg(F.count(F.lit(1)).alias("w"))
+        win = Window.partitionBy(key).orderBy(F.desc("w"), F.asc("token"))
+        kept = counts.withColumn("_rn", F.row_number().over(win)).where(
+            F.col("_rn") <= top_k
+        )
+        norm = kept.groupBy(key).agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+        return kept.join(norm, key).select(key, "token", "w", "nrm")
+
+    e_prof = _profile(
+        toks.where(F.col("exact")).join(
+            F.broadcast(exact_map.select("surface", "entity_id")), "surface"
+        ),
+        "entity_id",
+    )
+    s_prof = _profile(toks.where(~F.col("exact")), "surface")
+    return (
+        s_prof.alias("s")
+        .join(e_prof.alias("e"), "token")
+        .groupBy("surface", "entity_id")
+        .agg(
+            (
+                F.sum(F.col("s.w") * F.col("e.w"))
+                / (F.first(F.col("s.nrm")) * F.first(F.col("e.nrm")))
+            ).alias("ctx_sim")
+        )
+    )
 
 
 def _surface_arity(gaz: DataFrame) -> DataFrame:
