@@ -105,7 +105,7 @@ def kg_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RECEIPT_PRIORITY = [
     # new in r4
     "kg_snapshot_delta", "kg_triple_confidence", "kg_takedown",
-    "kg_mention_contexts", "kg_context_disambig",
+    "kg_mention_contexts", "kg_context_disambig", "ann_pq", "tx_pack",
     "q_asof_attribution", "q_range_campaigns", "dd_span_dups",
     "tx_training_mix",
     "g_closure", "mm_sample_stats", "tx_boilerplate", "kg_entity_salience",

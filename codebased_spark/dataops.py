@@ -221,6 +221,36 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PQ_M, PQ_K, PQ_ITERS = 4, 8, 3  # subspaces, codewords, Lloyd's rounds
+
+
+def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (similarity/pq.py): per-subspace
+    portable k-means codebooks, one map-only encode to 4 codes per
+    vector, query scoring by codebook table lookup — the 10^12-vector
+    compression path beside IVF. Value-checked: the oracle unrolls all
+    four subspace fits as chained CTEs."""
+    from codebased_spark.similarity.pq import ann_pq_topk
+
+    return ann_pq_topk(
+        _emb(spark, sf_dir), query_id=0, topk=10,
+        m=PQ_M, k=PQ_K, n_iter=PQ_ITERS, seed=11,
+    )
+
+
+def tx_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style fixed-length sequence packing (textops/pack.py): the
+    (shard, pack, doc, span) assignment manifest over whitespace token
+    counts, seq_len=128, 4 shards — all integer arithmetic."""
+    from codebased_spark.textops.pack import pack_sequences
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda x: x != "")).alias("n_tokens"),
+    )
+    return pack_sequences(docs, seq_len=128, n_shards=4)
+
+
 def tx_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(_docs(spark, sf_dir))
 
@@ -1241,6 +1271,8 @@ QUERIES = {
     "ann_topk": ann_topk,
     "ann_ivf": ann_ivf,
     "ann_ivf_kmeans": ann_ivf_kmeans,
+    "ann_pq": ann_pq,
+    "tx_pack": tx_pack,
     "tx_lang_id": tx_lang_id,
     "tx_quality": tx_quality,
     "tx_winnow": tx_winnow,
@@ -2909,4 +2941,120 @@ ORACLES["kg_context_disambig"] = f"""
                AND s.score = b.best_score
     JOIN arity a ON a.surface_form = s.surface_form
     GROUP BY s.doc_id, s.surface_form, b.best_score
+"""
+
+
+def _pq_sql(
+    m: int = PQ_M,
+    k: int = PQ_K,
+    n_iter: int = PQ_ITERS,
+    seed: int = 11,
+    dim: int = 64,
+    query_id: int = 0,
+    topk: int = 10,
+) -> str:
+    """ann_pq's full trajectory in SQL: m independent portable k-means
+    fits (same unroll discipline as _ivf_kmeans_sql) over the vector
+    SLICES, per-vector codes by squared-L2 argmin (low-index ties), and
+    the ADC distance as the sum of per-subspace codeword lookups —
+    term order ascending by subspace, matching the Spark fold."""
+    sub = dim // m
+    parts = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""init AS (
+          SELECT vec_id, v,
+                 row_number() OVER (ORDER BY md5(vec_id::VARCHAR || ':{seed}'),
+                                    vec_id) - 1 AS idx
+          FROM e)""",
+    ]
+    for s in range(m):
+        off = s * sub
+        sl = f"[v[i] for i in generate_series({off + 1}, {off + sub})]"
+        sqd = (
+            "list_sum([(e.v[i] - c.v[i]) * (e.v[i] - c.v[i])"
+            f" for i in generate_series(1, {sub})])"
+        )
+        parts.append(f"e{s} AS (SELECT vec_id, {sl} AS v FROM e)")
+        parts.append(f"c{s}_0 AS (SELECT idx, {sl} AS v FROM init WHERE idx < {k})")
+        for t in range(1, n_iter + 1):
+            parts.append(f"""d{s}_{t} AS (
+              SELECT e.vec_id, c.idx,
+                     row_number() OVER (PARTITION BY e.vec_id
+                                        ORDER BY {sqd}, c.idx) AS rn
+              FROM e{s} e, c{s}_{t - 1} c)""")
+            parts.append(
+                f"a{s}_{t} AS (SELECT vec_id, idx AS cl FROM d{s}_{t} WHERE rn = 1)"
+            )
+            parts.append(f"""m{s}_{t} AS (
+              SELECT a.cl AS idx, g.i,
+                     floor(avg(e.v[g.i]) * 1000000 + 0.5) / 1000000 AS mv
+              FROM a{s}_{t} a JOIN e{s} e ON a.vec_id = e.vec_id,
+                   generate_series(1, {sub}) AS g(i)
+              GROUP BY a.cl, g.i)""")
+            parts.append(
+                f"mv{s}_{t} AS (SELECT idx, list(mv ORDER BY i) AS v"
+                f" FROM m{s}_{t} GROUP BY idx)"
+            )
+            parts.append(
+                f"c{s}_{t} AS (SELECT c.idx, coalesce(mv.v, c.v) AS v"
+                f" FROM c{s}_{t - 1} c LEFT JOIN mv{s}_{t} mv ON c.idx = mv.idx)"
+            )
+        parts.append(f"""dz{s} AS (
+          SELECT e.vec_id, c.idx,
+                 row_number() OVER (PARTITION BY e.vec_id
+                                    ORDER BY {sqd}, c.idx) AS rn
+          FROM e{s} e, c{s}_{n_iter} c)""")
+        parts.append(
+            f"code{s} AS (SELECT vec_id, idx AS code FROM dz{s} WHERE rn = 1)"
+        )
+        parts.append(f"q{s} AS (SELECT {sl} AS qv FROM e WHERE vec_id = {query_id})")
+        parts.append(f"""adc{s} AS (
+          SELECT c.idx,
+                 list_sum([(q.qv[i] - c.v[i]) * (q.qv[i] - c.v[i])
+                           for i in generate_series(1, {sub})]) AS dd
+          FROM c{s}_{n_iter} c, q{s} q)""")
+    code_joins = " ".join(f"JOIN code{s} cd{s} USING (vec_id)" for s in range(m))
+    adc_joins = " ".join(f"JOIN adc{s} a{s} ON a{s}.idx = cd{s}.code" for s in range(m))
+    pq_code = " || '-' || ".join(f"cd{s}.code::VARCHAR" for s in range(m))
+    total = " + ".join(f"a{s}.dd" for s in range(m))
+    return f"""
+        WITH {",".join(parts)}
+        SELECT e.vec_id, {pq_code} AS pq_code,
+               floor(({total}) * 10000 + 0.5) / 10000 AS adc_dist
+        FROM e {code_joins} {adc_joins}
+        WHERE e.vec_id <> {query_id}
+        ORDER BY adc_dist ASC, e.vec_id ASC
+        LIMIT {topk}
+    """
+
+
+ORACLES["ann_pq"] = _pq_sql()
+
+# Sequence packing: same whitespace token count as tx_token_counts; the
+# per-shard cumsum + generate_series explode mirror pack_sequences.
+ORACLES["tx_pack"] = """
+    WITH t AS (
+      SELECT doc_id, doc_id % 4 AS shard,
+             len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, shard, n_tokens,
+             coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               ::BIGINT AS tok_start
+      FROM t
+    ),
+    spans AS (
+      SELECT shard, doc_id, tok_start, n_tokens,
+             unnest(generate_series(tok_start // 128,
+                                    (tok_start + n_tokens - 1) // 128))
+               AS pack_id
+      FROM c WHERE n_tokens > 0
+    )
+    SELECT shard, pack_id, doc_id,
+           greatest(tok_start, pack_id * 128) - tok_start AS tok_from,
+           least(tok_start + n_tokens, (pack_id + 1) * 128)
+             - greatest(tok_start, pack_id * 128) AS n_tok
+    FROM spans
 """

@@ -1,0 +1,138 @@
+"""Product quantization (PQ) — the compression path for ANN at 100 TB.
+
+IVF (similarity/ann.py, kmeans.py) prunes WHICH vectors to score; PQ
+shrinks WHAT is stored and scored: the vector column is replaced by m
+one-byte codes (here m=4 subspaces of a 64-dim embedding), a 16-64x
+footprint cut, and query scoring becomes an asymmetric-distance (ADC)
+TABLE LOOKUP — no original vectors touched. This is the standard
+billion-vector recipe (IVF-PQ): at 10^12 embeddings the raw float corpus
+is ~256 TB while the 4-byte PQ codes are ~4 TB, the difference between
+"cannot even scan" and one columnar pass.
+
+Scale shape: codebooks are m x k x (dim/m) — a few KB, fit driver-side
+exactly like the IVF centroids (kmeans_fit returns plain lists), and the
+encode is ONE map-only pass of JVM argmin expressions (array_min over
+(dist, idx) structs — identical tie discipline to assign_clusters). ADC
+scoring is a literal-array lookup + m-term add, also map-only; the only
+wide operation anywhere is kmeans_fit's per-round (cluster, dim) combine
+shuffle, paid once at index-build time.
+
+Determinism: codebooks use kmeans_fit(portable=True) — md5-seeded init,
+fixed rounds, portable-rounded centroids — so the ENTIRE fit-encode-score
+trajectory is restatable in ANSI SQL and the driver row is value-checked
+(the same discipline that upgraded ann_ivf_kmeans in r3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from codebased_spark.dedup.embedding import _as_double
+from codebased_spark.similarity.kmeans import _sq_dist, kmeans_fit
+from codebased_spark.util import round_stable
+
+
+def pq_fit(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    dim: int = 64,
+    n_iter: int = 3,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    portable: bool = True,
+) -> list[list[list[float]]]:
+    """Per-subspace codebooks: m independent k-means fits over the
+    sliced vectors. Same seed for every subspace — the md5 init order is
+    id-based, so each subspace inits from the same example vectors."""
+    sub = dim // m
+    return [
+        kmeans_fit(
+            emb.select(
+                id_col, F.slice(_as_double(vec_col), s * sub + 1, sub).alias("embedding")
+            ),
+            k=k,
+            max_iter=n_iter,
+            seed=seed,
+            portable=portable,
+        )
+        for s in range(m)
+    ]
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, code_0..code_{m-1}): per-subspace argmin over the codebook —
+    one map-only select, low-index tie-break (array_min over structs)."""
+    m = len(codebooks)
+    sub = dim // m
+    v = _as_double(vec_col)
+    cols = []
+    for s, book in enumerate(codebooks):
+        vs = F.slice(v, s * sub + 1, sub)
+        scored = F.array(
+            *[
+                F.struct(_sq_dist(vs, c).alias("d"), F.lit(i).alias("i"))
+                for i, c in enumerate(book)
+            ]
+        )
+        cols.append(F.array_min(scored)["i"].alias(f"code_{s}"))
+    return emb.select(F.col(id_col), *cols)
+
+
+def ann_pq_topk(
+    emb: DataFrame,
+    query_id: int = 0,
+    topk: int = 10,
+    m: int = 4,
+    k: int = 8,
+    dim: int = 64,
+    n_iter: int = 3,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k: each candidate's distance is the sum of m table lookups
+    keyed by its codes — the original vectors never enter the query scan.
+
+    Output (vec_id, pq_code, adc_dist): adc_dist ascending (then id),
+    portable-rounded so the cross-engine hash gate can be exact.
+    """
+    from codebased_spark.similarity.ann import _query_vec
+
+    books = pq_fit(
+        emb, m=m, k=k, dim=dim, n_iter=n_iter, seed=seed,
+        id_col=id_col, vec_col=vec_col,
+    )
+    codes = pq_encode(emb, books, dim=dim, id_col=id_col, vec_col=vec_col)
+    qv = _query_vec(emb, query_id, id_col, vec_col)
+    sub = dim // m
+    # ADC table: m x k squared distances from the query's subvectors to
+    # every codeword — computed once, shipped as literal arrays
+    dist = F.lit(0.0)
+    for s, book in enumerate(books):
+        qs = qv[s * sub : (s + 1) * sub]
+        table = [
+            sum((a - b) * (a - b) for a, b in zip(qs, c)) for c in book
+        ]
+        lut = F.array(*[F.lit(float(x)) for x in table])
+        dist = dist + F.element_at(lut, F.col(f"code_{s}") + 1)
+    return (
+        codes.where(F.col(id_col) != query_id)
+        .select(
+            F.col(id_col),
+            F.concat_ws(
+                "-", *[F.col(f"code_{s}").cast("string") for s in range(m)]
+            ).alias("pq_code"),
+            round_stable(dist).alias("adc_dist"),
+        )
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(topk)
+    )
