@@ -221,7 +221,10 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-PQ_M, PQ_K, PQ_ITERS = 4, 8, 3  # subspaces, codewords, Lloyd's rounds
+PQ_M, PQ_K, PQ_ITERS = 4, 16, 3  # subspaces, codewords, Lloyd's rounds
+# k=16 over k=8: measured 2x recall@10 on the isotropic sf0.01 fixture at
+# identical fit cost (codebook fit count scales with m, not k) — see
+# BENCH.md "PQ recall" table.
 
 
 def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:

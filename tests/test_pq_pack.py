@@ -38,6 +38,21 @@ def test_ann_pq_ranks_own_cluster_first(spark):
     assert all(r.vec_id >= 10 for r in out[9:])
 
 
+def test_ann_pq_retrieves_planted_twin(spark):
+    # 64 deterministic pseudo-random 64-dim vectors plus one planted
+    # near-copy of the query: ADC must rank the twin #1. This is the
+    # practically relevant property at 100 TB (near-dup retrieval);
+    # top-k ORDER on isotropic noise is measured in BENCH.md instead.
+    def vec(i):
+        return [(((i * 37 + j * 11 + (i * j) % 7) % 13) - 6) / 6.0 for j in range(64)]
+
+    rows = [(i, vec(i)) for i in range(64)]
+    rows.append((999, [x + 0.001 for x in vec(0)]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = ann_pq_topk(emb, query_id=0, topk=5, m=4, k=16, dim=64, n_iter=3).collect()
+    assert out[0].vec_id == 999
+
+
 def test_pack_sequences_span_arithmetic(spark):
     docs = spark.createDataFrame(
         [(1, 5), (2, 3), (3, 10), (4, 0)], ["doc_id", "n_tokens"]
