@@ -855,6 +855,26 @@ def kg_domain_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_graph(pages_with_links_spark(_docs(spark, sf_dir)))
 
 
+def kg_resolved_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 3986 relative-href resolution over the page graph
+    (extract/urlops.py resolve_url_col): real crawl HTML is mostly
+    relative hrefs, so the link graph must resolve them against the page
+    url before any domain-graph / PageRank composition. Five planted
+    relative forms (path, parent, root, protocol-relative, dot-segment)
+    per page; the oracle states each resolved target declaratively.
+    Map-only: extract + resolve inside codegen, one (target) agg shuffle."""
+    from codebased_spark.extract.urlops import resolved_link_edges
+    from codebased_spark.synth.pages import pages_with_relative_links_spark
+
+    edges = resolved_link_edges(
+        pages_with_relative_links_spark(_docs(spark, sf_dir))
+    )
+    return edges.groupBy("target").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.countDistinct("src_url").alias("n_src_pages"),
+    )
+
+
 def kg_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebTables-style structured extraction: planted <table> markup
     parsed to relational (url, table_idx, row_idx, col_idx, cell) rows
@@ -1316,6 +1336,7 @@ QUERIES = {
     "g_pagerank_dangling": g_pagerank_dangling,
     "kg_anchor_text": kg_anchor_text,
     "kg_domain_graph": kg_domain_graph,
+    "kg_resolved_links": kg_resolved_links,
     "kg_canonical_collapse": kg_canonical_collapse,
     "kg_triple_lifespan": kg_triple_lifespan,
     "g_hits": g_hits,
@@ -2726,6 +2747,30 @@ ORACLES = {
         SELECT src_host, dst_host, count(*) AS n_links,
                count(DISTINCT doc_id) AS n_src_pages
         FROM l GROUP BY 1, 2
+    """,
+    # planted relative hrefs, resolved per RFC 3986 against the page url
+    # https://{source}.example.org/{lang}/doc/{doc_id} — each resolved
+    # target restated declaratively (dirname = /{lang}/doc/)
+    "kg_resolved_links": """
+        WITH t AS (
+          SELECT doc_id, 'https://' || source || '.example.org/' || lang
+                 || '/doc/item/' || (doc_id % 97) AS target FROM documents
+          UNION ALL
+          SELECT doc_id, 'https://' || source || '.example.org/' || lang
+                 || '/shared/' || (doc_id % 7) FROM documents
+          UNION ALL
+          SELECT doc_id, 'https://' || source || '.example.org/r/'
+                 || (doc_id % 11) FROM documents
+          UNION ALL
+          SELECT doc_id, 'https://cdn.example.net/pr/' || (doc_id % 5)
+          FROM documents
+          UNION ALL
+          SELECT doc_id, 'https://' || source || '.example.org/' || lang
+                 || '/doc/y/' || (doc_id % 3) FROM documents
+        )
+        SELECT target, count(*) AS n_links,
+               count(DISTINCT doc_id) AS n_src_pages
+        FROM t GROUP BY target
     """,
 }
 

@@ -61,3 +61,107 @@ def with_url_parts(df: DataFrame, url_col: str = "url") -> DataFrame:
             "url_norm": normalize_url_col(u),
         }
     )
+
+
+def _remove_dot_segments(path: Column) -> Column:
+    """RFC 3986 §5.2.4 over an absolute path ('/'-prefixed): fold the
+    segment list through a stack — '.' skips, '..' pops, everything else
+    (including empty segments from '//') pushes. A trailing '.'/'..'
+    leaves a trailing slash (the spec's output-buffer behavior), modeled
+    by appending one empty segment before the fold. Pure JVM: split +
+    aggregate over an array column, no Python, no UDF.
+    """
+    segs = F.split(F.regexp_replace(path, "^/", ""), "/")
+    segs = F.when(
+        F.element_at(segs, -1).isin(".", ".."),
+        F.concat(segs, F.array(F.lit(""))),
+    ).otherwise(segs)
+    stack = F.aggregate(
+        segs,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(s == ".", acc)
+        .when(
+            s == "..",
+            F.slice(acc, 1, F.greatest(F.size(acc) - 1, F.lit(0))),
+        )
+        .otherwise(F.concat(acc, F.array(s))),
+    )
+    return F.concat(F.lit("/"), F.array_join(stack, "/"))
+
+
+def resolve_url_col(base: Column, href: Column) -> Column:
+    """RFC 3986 §5 reference resolution — real crawl HTML is dominated by
+    relative hrefs, and a link graph that drops them is missing most of
+    its edges. Handles absolute refs, protocol-relative (//host/...),
+    root-relative (/p), query-only (?q), empty/fragment-only (→ base),
+    and path-relative refs with '.'/'..' dot-segment removal.
+
+    Fragments are dropped (link-graph identity ignores them); the ref's
+    query is preserved. Executable spec: tests/test_urlresolve.py runs
+    the RFC §5.4 example battery against urllib.parse.urljoin.
+
+    Reference analog (§2.7 path helpers): the reference resolves relative
+    module paths against the scanned root (base.py path joins); the web
+    equivalent is href-against-page-url resolution. All JVM expressions —
+    regexp splits + one aggregate fold — so it runs inside codegen and
+    scales as a map-only pass.
+    """
+    nofrag = F.regexp_replace(F.trim(href), "#.*$", "")
+    q = F.regexp_extract(nofrag, "(\\?.*)$", 1)
+    p = F.regexp_replace(nofrag, "\\?.*$", "")
+    scheme = F.regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*):", 1)
+    origin = F.regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    bpath_raw = F.regexp_extract(
+        base, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+    bpath = F.when(bpath_raw == "", F.lit("/")).otherwise(bpath_raw)
+    bdir = F.regexp_replace(bpath, "[^/]*$", "")
+    return (
+        F.when(p.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), nofrag)
+        .when(p.rlike("^//"), F.concat(scheme, F.lit(":"), nofrag))
+        .when(p.rlike("^/"), F.concat(origin, _remove_dot_segments(p), q))
+        .when(
+            p == "",
+            F.when(q != "", F.concat(origin, bpath, q)).otherwise(
+                F.regexp_replace(base, "#.*$", "")
+            ),
+        )
+        .otherwise(
+            F.concat(origin, _remove_dot_segments(F.concat(bdir, p)), q)
+        )
+    )
+
+
+_BASE_HREF_RE = "(?i)<base\\b[^>]*\\bhref\\s*=\\s*[\"']([^\"']+)[\"']"
+
+
+def base_href_col(html_col: Column) -> Column:
+    """First <base href=...> value, '' if absent — HTML defines the FIRST
+    base element as authoritative. Case/quote/attr-order tolerant per the
+    house markup rule."""
+    return F.regexp_extract(html_col.cast("string"), _BASE_HREF_RE, 1)
+
+
+def resolved_link_edges(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """(src_url, target) page-graph edges with every href resolved to an
+    absolute url — the input the domain graph / PageRank compositions
+    need on real crawl data, where most hrefs are relative.
+
+    Honors <base href>: hrefs resolve against the page's base element
+    when present (itself resolved against the page url first, since base
+    may be relative), else against the page url."""
+    from codebased_spark.extract.html_text import href_targets
+
+    h = F.col(html_col)
+    base_tag = base_href_col(h)
+    base = F.when(
+        base_tag == "", F.col("url")
+    ).otherwise(resolve_url_col(F.col("url"), base_tag))
+    return pages.select(
+        F.col("url").alias("src_url"),
+        base.alias("_base"),
+        F.explode(href_targets(h)).alias("href"),
+    ).select(
+        "src_url",
+        resolve_url_col(F.col("_base"), F.col("href")).alias("target"),
+    )

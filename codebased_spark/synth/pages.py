@@ -439,6 +439,52 @@ def pages_with_links_spark(docs):
     return pages_from_documents_spark(docs, body_extra=anchors)
 
 
+def pages_with_relative_links_spark(docs):
+    """pages_from_documents_spark plus five planted RELATIVE anchors —
+    the real-web link-graph case (most crawl hrefs are relative). Each
+    href's RFC 3986 resolution against the page url
+    https://{source}.example.org/{lang}/doc/{doc_id} is a deterministic
+    string function of the documents columns, so the SQL oracle states
+    the resolved targets declaratively while the Spark side does real
+    extraction + resolution:
+
+    - path-relative  item/(doc_id%97)      -> .../{lang}/doc/item/N
+    - parent-relative ../shared/(doc_id%7) -> .../{lang}/shared/N
+    - root-relative  /r/(doc_id%11)        -> https://{source}...org/r/N
+    - protocol-relative //cdn.example.net/pr/(doc_id%5) -> https://cdn...
+    - dot-segment    ./x/../y/(doc_id%3)   -> .../{lang}/doc/y/N
+
+    Adversarial markup (house rule): on doc_id % 4 == 1 the first anchor
+    is UPPERCASE single-quoted with href not the first attribute.
+    """
+    from pyspark.sql import functions as F
+
+    def a(href_col, text):
+        return F.concat(F.lit('<a href="'), href_col, F.lit(f'">{text}</a>'))
+
+    rel_item = F.concat(F.lit("item/"), (F.col("doc_id") % 97).cast("string"))
+    first = F.when(
+        F.col("doc_id") % 4 == 1,
+        F.concat(
+            F.lit("<A CLASS='m' HREF='"), rel_item, F.lit("'>i</A>")
+        ),
+    ).otherwise(a(rel_item, "i"))
+    anchors = F.concat(
+        first,
+        a(F.concat(F.lit("../shared/"), (F.col("doc_id") % 7).cast("string")), "s"),
+        a(F.concat(F.lit("/r/"), (F.col("doc_id") % 11).cast("string")), "r"),
+        a(
+            F.concat(
+                F.lit("//cdn.example.net/pr/"),
+                (F.col("doc_id") % 5).cast("string"),
+            ),
+            "p",
+        ),
+        a(F.concat(F.lit("./x/../y/"), (F.col("doc_id") % 3).cast("string")), "y"),
+    )
+    return pages_from_documents_spark(docs, body_extra=anchors)
+
+
 def pages_with_canonical_spark(docs):
     """pages_from_documents_spark plus a planted <link rel="canonical">:
     docs with doc_id % 4 != 0 declare canonical

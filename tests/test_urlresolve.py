@@ -1,0 +1,133 @@
+"""RFC 3986 reference resolution (extract/urlops.py) — executable spec.
+
+Same discipline as test_tables_spec.py (vs html.parser) and
+test_robots_spec.py (vs urllib.robotparser): the Spark-native resolver is
+run over the RFC §5.4.1 normal + §5.4.2 abnormal example battery and every
+output must equal urllib.parse.urljoin's, with fragments stripped (the
+link-graph identity ignores fragments by design, documented on
+resolve_url_col).
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urldefrag, urljoin
+
+from pyspark.sql import functions as F
+
+from codebased_spark.extract.urlops import (
+    base_href_col,
+    resolve_url_col,
+    resolved_link_edges,
+)
+
+BASE = "http://a/b/c/d;p?q"
+
+# RFC 3986 §5.4.1 normal examples (minus 'g:h' — foreign-scheme refs are
+# returned verbatim, which urljoin also does, but scheme-relative 'http:g'
+# behavior is historically contested and excluded like the RFC suggests)
+NORMAL = [
+    "g", "./g", "g/", "/g", "//g", "?y", "g?y", "#s", "g#s", "g?y#s",
+    ";x", "g;x", "g;x?y#s", "", ".", "./", "..", "../", "../g",
+    "../..", "../../", "../../g",
+]
+
+# §5.4.2 abnormal examples
+ABNORMAL = [
+    "../../../g", "../../../../g", "/./g", "/../g", "g.", ".g", "g..",
+    "..g", "./../g", "./g/.", "g/./h", "g/../h", "g;x=1/./y",
+    "g;x=1/../y", "g?y/./x", "g?y/../x", "g#s/./x", "g#s/../x",
+]
+
+
+def test_rfc3986_battery_matches_urljoin(spark):
+    refs = NORMAL + ABNORMAL
+    df = spark.createDataFrame([(BASE, r) for r in refs], ["base", "href"])
+    got = {
+        r.href: r.resolved
+        for r in df.select(
+            "href", resolve_url_col(F.col("base"), F.col("href")).alias("resolved")
+        ).collect()
+    }
+    for ref in refs:
+        expect = urldefrag(urljoin(BASE, ref)).url
+        assert got[ref] == expect, f"{ref!r}: {got[ref]!r} != {expect!r}"
+
+
+def test_resolve_relative_against_real_page_urls(spark):
+    cases = [
+        # (base, href, expected)
+        ("https://s.example.org/en/doc/42", "item/7",
+         "https://s.example.org/en/doc/item/7"),
+        ("https://s.example.org/en/doc/42", "../shared/3",
+         "https://s.example.org/en/shared/3"),
+        ("https://s.example.org/en/doc/42", "/r/11",
+         "https://s.example.org/r/11"),
+        ("https://s.example.org/en/doc/42", "//cdn.example.net/pr/2",
+         "https://cdn.example.net/pr/2"),
+        ("https://s.example.org/en/doc/42", "./x/../y/5",
+         "https://s.example.org/en/doc/y/5"),
+        ("https://s.example.org/en/doc/42", "https://ext.example.com/p",
+         "https://ext.example.com/p"),
+        # authority-only base: path merge starts from '/'
+        ("https://s.example.org", "a/b", "https://s.example.org/a/b"),
+    ]
+    df = spark.createDataFrame(cases, ["base", "href", "expect"])
+    bad = df.where(
+        resolve_url_col(F.col("base"), F.col("href")) != F.col("expect")
+    ).count()
+    assert bad == 0
+    for base, href, expect in cases:
+        assert urldefrag(urljoin(base, href)).url == expect  # spec agrees
+
+
+def test_resolved_link_edges_end_to_end(spark):
+    pages = spark.createDataFrame(
+        [
+            (
+                "https://s.example.org/en/doc/1",
+                '<html><body><a href="item/9">x</a>'
+                "<A HREF='../up/2'>y</A>"
+                '<a class="z" href="//cdn.example.net/c">z</a></body></html>'.encode(),
+            )
+        ],
+        ["url", "html"],
+    )
+    got = {
+        r.target for r in resolved_link_edges(pages).collect()
+    }
+    assert got == {
+        "https://s.example.org/en/doc/item/9",
+        "https://s.example.org/en/up/2",
+        "https://cdn.example.net/c",
+    }
+
+
+def test_base_href_overrides_resolution_base(spark):
+    # <base href> is itself relative -> resolved against the page url
+    # first; hrefs then resolve against it. The first base element wins.
+    pages = spark.createDataFrame(
+        [
+            (
+                "https://s.example.org/en/doc/1",
+                "<html><head><BASE HREF='/assets/'></head><body>"
+                '<a href="img/3">x</a><a href="../css/4">y</a>'
+                '<base href="/ignored/">'
+                "</body></html>".encode(),
+            ),
+            (
+                "https://s.example.org/en/doc/2",
+                b'<html><body><a href="plain/5">z</a></body></html>',
+            ),
+        ],
+        ["url", "html"],
+    )
+    rows = {(r.src_url, r.target) for r in resolved_link_edges(pages).collect()}
+    assert rows == {
+        ("https://s.example.org/en/doc/1", "https://s.example.org/assets/img/3"),
+        ("https://s.example.org/en/doc/1", "https://s.example.org/css/4"),
+        ("https://s.example.org/en/doc/2", "https://s.example.org/en/doc/plain/5"),
+    }
+    got = spark.createDataFrame(
+        [("<base target='_x' href=\"https://b.example.net/p/\">",)], ["h"]
+    ).select(base_href_col(F.col("h")).alias("b")).first()["b"]
+    assert got == "https://b.example.net/p/"
