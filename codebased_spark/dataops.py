@@ -515,6 +515,45 @@ def kg_pattern_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_pattern_mentions(_pattern_text_docs(spark, sf_dir))
 
 
+def _hearst_text_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted Hearst sentences derived purely from documents columns
+    (same declarative-oracle trick as _pattern_text_docs): three pattern
+    families per doc —
+
+    - "formats such as f{a}, f{b} and|or f{c}."  (list + both conjs)
+    - "p{d} and other protocols."
+    - "standards including s{e} and|or s{g}."
+
+    Adversarial connector case on doc_id % 3 == 0 ("SUCH AS") — captured
+    tokens are unchanged, so the oracle is case-blind while the extractor
+    must match case-insensitively.
+    """
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    s = lambda e: e.cast("string")  # noqa: E731
+    sa = F.when(d % 3 == 0, F.lit(" SUCH AS f")).otherwise(F.lit(" such as f"))
+    conj = F.when(d % 2 == 0, F.lit(" and ")).otherwise(F.lit(" or "))
+    txt = F.concat(
+        F.lit("formats"), sa, s(d % 5), F.lit(", f"), s((d + 1) % 5),
+        conj, F.lit("f"), s((d + 2) % 5),
+        F.lit(". p"), s(d % 7), F.lit(" and other protocols."),
+        F.lit(" standards including s"), s(d % 11),
+        conj, F.lit("s"), s((d + 3) % 11), F.lit("."),
+    )
+    return docs.select("doc_id", txt.alias("text"))
+
+
+def kg_hypernyms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hearst-pattern taxonomy induction (extract/hearst.py): IS_A edges
+    from "such as"/"including"/"and other" lexico-syntactic patterns —
+    the subsumption-relation counterpart of the open-triple gap patterns
+    (E9). Map-only regex pass in codegen; one vocabulary-sized
+    (hyponym, hypernym) aggregate shuffle."""
+    from codebased_spark.extract.hearst import extract_hypernyms, hypernym_summary
+
+    return hypernym_summary(extract_hypernyms(_hearst_text_docs(spark, sf_dir)))
+
+
 def kg_doc_entity_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc sorted set of mentioned entity types (Q7 collect_set)."""
     from codebased_spark.graph.queries import DOC_GAZETTEER
@@ -1321,6 +1360,7 @@ QUERIES = {
     "kg_page_meta": kg_page_meta,
     "kg_url_parts": kg_url_parts,
     "kg_pattern_entities": kg_pattern_entities,
+    "kg_hypernyms": kg_hypernyms,
     "q_suppliers_per_region": q_suppliers_per_region,
     "q_hourly_events": q_hourly_events,
     "q_user_sessions": q_user_sessions,
@@ -2314,6 +2354,27 @@ ORACLES = {
         SELECT doc_id, '$' || (doc_id % 900 + 100) || '.' || lpad((doc_id % 100)::VARCHAR, 2, '0'),
                'Money'
         FROM documents
+    """,
+    # planted Hearst sentences (_hearst_text_docs) restated declaratively:
+    # such_as emits 3 list hyponyms, and_other 1, including 2 per doc
+    "kg_hypernyms": """
+        WITH t AS (
+          SELECT doc_id, 'f' || (doc_id % 5) AS hyponym,
+                 'formats' AS hypernym FROM documents
+          UNION ALL SELECT doc_id, 'f' || ((doc_id + 1) % 5), 'formats'
+          FROM documents
+          UNION ALL SELECT doc_id, 'f' || ((doc_id + 2) % 5), 'formats'
+          FROM documents
+          UNION ALL SELECT doc_id, 'p' || (doc_id % 7), 'protocols'
+          FROM documents
+          UNION ALL SELECT doc_id, 's' || (doc_id % 11), 'standards'
+          FROM documents
+          UNION ALL SELECT doc_id, 's' || ((doc_id + 3) % 11), 'standards'
+          FROM documents
+        )
+        SELECT hyponym, hypernym, count(DISTINCT doc_id) AS n_docs,
+               count(*) AS n_mentions
+        FROM t GROUP BY 1, 2
     """,
     "kg_url_parts": """
         SELECT 'https://' || source || '.example.org/' || lang || '/doc/' || doc_id AS url,
