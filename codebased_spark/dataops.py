@@ -262,6 +262,20 @@ def tx_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_quality(_docs(spark, sf_dir))
 
 
+def tx_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language head/middle/tail quality bucketing
+    (textops/buckets.py): threshold-histogram design — the corpus is
+    never globally sorted, cuts come from a vocabulary-sized cumulative
+    window and broadcast back for a map-side CASE. Ties at a cut share
+    the higher bucket, so the result is engine-exact."""
+    from codebased_spark.textops.buckets import assign_quality_buckets
+
+    scored = doc_quality(_docs(spark, sf_dir), keep_cols=("lang",))
+    return assign_quality_buckets(scored).select(
+        "doc_id", "lang", "quality_score", "bucket"
+    )
+
+
 def tx_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(_docs(spark, sf_dir), k=3, w=4)
 
@@ -1337,6 +1351,7 @@ QUERIES = {
     "tx_pack": tx_pack,
     "tx_lang_id": tx_lang_id,
     "tx_quality": tx_quality,
+    "tx_quality_buckets": tx_quality_buckets,
     "tx_winnow": tx_winnow,
     "tx_decontaminate": tx_decontaminate,
     "tx_redact": tx_redact,
@@ -1919,6 +1934,59 @@ ORACLES = {
                      + (CASE WHEN mean_tok_len >= 3 AND mean_tok_len <= 10
                              THEN 0.25 ELSE 0 END)) * 10000 + 0.5) / 10000 AS quality_score
         FROM r
+    """,
+    # same score pipeline as tx_quality (lang carried through), then the
+    # histogram-cut bucketing restated: cum over (lang, score) DESC,
+    # head cut = max score with cum >= ceil(N/3), mid = ceil(2N/3)
+    "tx_quality_buckets": f"""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 list_filter(string_split(text, ' '), w -> w <> '') AS toks
+          FROM documents
+        ),
+        m AS (
+          SELECT doc_id, lang, len(toks) AS n_tokens,
+                 len(list_distinct(toks)) AS n_distinct,
+                 len(list_filter(toks, w -> list_contains({_STOP_SQL}, w))) AS n_stop,
+                 list_sum([length(w) for w in toks]) AS tok_chars
+          FROM t WHERE len(toks) > 0
+        ),
+        r AS (
+          SELECT doc_id, lang, n_tokens, n_distinct,
+                 floor((n_distinct::DOUBLE / n_tokens) * 10000 + 0.5) / 10000 AS distinct_ratio,
+                 floor((n_stop::DOUBLE / n_tokens) * 10000 + 0.5) / 10000 AS stopword_ratio,
+                 floor((tok_chars::DOUBLE / n_tokens) * 10000 + 0.5) / 10000 AS mean_tok_len
+          FROM m
+        ),
+        q AS (
+          SELECT doc_id, lang,
+                 floor((least(1.0::DOUBLE, n_tokens::DOUBLE / 100.0) * 0.25
+                       + least(1.0::DOUBLE, stopword_ratio * 5) * 0.25
+                       + distinct_ratio * 0.25
+                       + (CASE WHEN mean_tok_len >= 3 AND mean_tok_len <= 10
+                               THEN 0.25 ELSE 0 END)) * 10000 + 0.5) / 10000 AS quality_score
+          FROM r
+        ),
+        hist AS (
+          SELECT lang, quality_score, count(*) AS c FROM q GROUP BY 1, 2
+        ),
+        cum AS (
+          SELECT lang, quality_score,
+                 sum(c) OVER (PARTITION BY lang ORDER BY quality_score DESC) AS cum,
+                 sum(c) OVER (PARTITION BY lang) AS n
+          FROM hist
+        ),
+        cuts AS (
+          SELECT lang,
+                 max(CASE WHEN cum >= floor((n + 2) / 3.0) THEN quality_score END) AS t_head,
+                 max(CASE WHEN cum >= floor((n * 2 + 2) / 3.0) THEN quality_score END) AS t_mid
+          FROM cum GROUP BY lang
+        )
+        SELECT q.doc_id, q.lang, q.quality_score,
+               CASE WHEN quality_score >= t_head THEN 'head'
+                    WHEN quality_score >= t_mid THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM q JOIN cuts USING (lang)
     """,
     "tx_winnow": f"""
         WITH {_TOKS}, {_WINNOW_CTES}

@@ -23,9 +23,18 @@ def _toks(text_col: str) -> Column:
     return F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
 
 
-def doc_quality(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def doc_quality(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """(doc_id, n_tokens, n_distinct, distinct_ratio, stopword_ratio,
-    mean_tok_len, quality_score) — all rounded to 4 decimals."""
+    mean_tok_len, quality_score) — all rounded to 4 decimals.
+
+    `keep_cols` passes extra input columns through (e.g. lang for the
+    per-language bucketing downstream) so callers never need a
+    corpus-sized self-join to recover a column this select dropped."""
     toks = _toks(text_col)
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_tokens = F.size(toks)
@@ -47,6 +56,7 @@ def doc_quality(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
     return docs.where(F.size(toks) > 0).select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         n_tokens.alias("n_tokens"),
         n_distinct.alias("n_distinct"),
         distinct_ratio.alias("distinct_ratio"),
