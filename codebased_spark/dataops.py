@@ -818,6 +818,18 @@ def g_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def g_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components (graph/scc.py): mutual-reachability
+    clusters over the directed ring subgraph — broken rings yield a mix
+    of full-ring SCCs and chain singletons, so the min-id labels are
+    non-trivial. Oracle: recursive-CTE closure joined with its transpose."""
+    from codebased_spark.graph.scc import strongly_connected_components
+
+    return strongly_connected_components(
+        _ring_edges(spark, sf_dir)
+    ).withColumnRenamed("node", "doc_id")
+
+
 def g_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic random-walk corpus (graph/walks.py): one 4-step walk
     per node over the doc graph — the DeepWalk/node2vec training-corpus
@@ -1383,6 +1395,7 @@ QUERIES = {
     "q_range_campaigns": q_range_campaigns,
     "g_khop_reach": g_khop_reach,
     "g_closure": g_closure,
+    "g_scc": g_scc,
     "g_walks": g_walks,
     "g_lpa": g_lpa,
     "g_cycle_members": g_cycle_members,
@@ -2546,6 +2559,31 @@ ORACLES = {
         )
         SELECT origin AS doc_id, count(DISTINCT node) AS n_reach
         FROM r GROUP BY origin
+    """,
+    # same ring-slice closure as g_closure, intersected with its own
+    # transpose for mutual reachability; singletons via the node union
+    "g_scc": """
+        WITH RECURSIVE cnt AS (SELECT count(*) AS n FROM documents),
+        e1 AS (
+          SELECT doc_id AS src,
+                 (doc_id // 6) * 6 + (doc_id % 6 + 1) % 6 AS dst
+          FROM documents, cnt
+          WHERE n_chars % 3 <> 0 AND (doc_id // 6) * 6 + (doc_id % 6 + 1) % 6 < n
+        ),
+        r AS (
+          SELECT src AS origin, dst AS node FROM e1
+          UNION
+          SELECT r.origin, e.dst FROM r JOIN e1 e ON r.node = e.src
+        ),
+        m AS (
+          SELECT a.origin AS u, a.node AS v
+          FROM r a JOIN r b ON a.origin = b.node AND a.node = b.origin
+        ),
+        nodes AS (SELECT src AS u FROM e1 UNION SELECT dst FROM e1),
+        p AS (
+          SELECT u, v FROM m UNION ALL SELECT u, u FROM nodes
+        )
+        SELECT u AS doc_id, min(v) AS scc_id FROM p GROUP BY u
     """,
     # the SAME 2 synchronous vote/argmax rounds as graph/lpa.py, unrolled
     "g_lpa": f"""

@@ -1,0 +1,84 @@
+"""Strongly connected components over the directed link graph.
+
+KG use: mutually-reachable URL/entity clusters (redirect rings, mirror
+loops, citation cycles) — the directed counterpart of the undirected
+alias-edge connected components (link/cc.py) the canonicalizer uses.
+Reference analog: circular-dependency detection (SURVEY Q4 /
+endpoints.py:433-438) generalized from "is this node on a cycle" to the
+full cycle-cluster partition.
+
+Algorithm: u and v share an SCC iff u reaches v AND v reaches u, so the
+SCC id of u is min over (mutual-reach set of u) ∪ {u}. The mutual-reach
+relation is the closure intersected with its own transpose — one
+shuffle-distinct intersect over the (origin, node) closure produced by
+`transitive_closure` (path doubling, ceil(log2 D) rounds, frontier
+budget).
+
+Scale honesty: the closure is O(sum of reachable-set sizes) — correct
+but quadratic on one giant SCC. That is acceptable here because the
+production caller runs it on CANDIDATE subgraphs (nodes with in- and
+out-degree >= 1, the same origin prune cycle_members uses — on web
+graphs this drops the tree-shaped majority), and the budget fail-fasts
+instead of letting a runaway closure eat the cluster. A pivot-based
+FW-BW decomposition is the documented upgrade path if whole-crawl SCC
+is ever needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from codebased_spark.graph.paths import transitive_closure
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 30,
+    max_rows: int = 0,
+    prune_degree: bool = True,
+) -> DataFrame:
+    """(node, scc_id): scc_id = min node id of the member's SCC.
+
+    Every node appearing in `edges` gets a row; nodes on no cycle are
+    singleton SCCs (scc_id = node). With `prune_degree` (default) the
+    closure only runs over nodes with both in- and out-degree >= 1 —
+    nodes failing that test cannot be on any cycle, so they are emitted
+    as singletons without paying for their reach sets.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    if prune_degree:
+        candidates = e.select(F.col("src").alias("node")).distinct().join(
+            e.select(F.col("dst").alias("node")).distinct(), "node"
+        )
+        core = (
+            e.join(candidates.withColumnRenamed("node", "src"), "src")
+            .join(candidates.withColumnRenamed("node", "dst"), "dst")
+            .select("src", "dst")
+        )
+    else:
+        core = e
+    reach = transitive_closure(
+        core, max_rounds=max_rounds, max_rows=max_rows, checkpoint=True
+    )
+    transpose = reach.select(
+        F.col("node").alias("origin"), F.col("origin").alias("node")
+    )
+    mutual = reach.intersect(transpose)
+    pairs = mutual.unionByName(
+        nodes.select(F.col("node").alias("origin"), F.col("node").alias("node"))
+    )
+    return (
+        pairs.groupBy("origin")
+        .agg(F.min("node").alias("scc_id"))
+        .withColumnRenamed("origin", "node")
+    )
