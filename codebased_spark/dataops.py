@@ -218,10 +218,16 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_kmeans_topk(
         _emb(spark, sf_dir), query_id=0, k=10, n_cells=8, n_probe=2,
         portable=True, max_iter=ANN_KMEANS_ITERS,
+        driver_threshold=KMEANS_DRIVER_THRESHOLD,
     )
 
 
 PQ_M, PQ_K, PQ_ITERS = 4, 16, 3  # subspaces, codewords, Lloyd's rounds
+# codebook/centroid fits collect-and-fit driver-side up to this many
+# vectors (20k x 64 doubles ~ 10 MB) — production codebooks are trained
+# on a bounded sample anyway; the distributed twin is pinned equal in
+# tests/test_kmeans_driver.py and takes over above the threshold
+KMEANS_DRIVER_THRESHOLD = 20_000
 # k=16 over k=8: measured 2x recall@10 on the isotropic sf0.01 fixture at
 # identical fit cost (codebook fit count scales with m, not k) — see
 # BENCH.md "PQ recall" table.
@@ -238,6 +244,7 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_pq_topk(
         _emb(spark, sf_dir), query_id=0, topk=10,
         m=PQ_M, k=PQ_K, n_iter=PQ_ITERS, seed=11,
+        driver_threshold=KMEANS_DRIVER_THRESHOLD,
     )
 
 

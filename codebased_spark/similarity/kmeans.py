@@ -49,6 +49,55 @@ def assign_clusters(
     return emb.withColumn("cluster", F.array_min(scored)["i"])
 
 
+def _kmeans_fit_driver(
+    rows: list[tuple], k: int, max_iter: int, seed: int, round_decimals: int
+) -> list[list[float]]:
+    """Driver-side twin of the portable distributed fit — identical
+    trajectory by construction: same (md5(id || ':' || seed), id) init
+    order, same left-fold squared distance in dimension order, same
+    low-index tie-break, same per-round floor(x*10^d + 0.5) centroid
+    rounding (which absorbs the summation-order ulp noise exactly as it
+    does between Spark and DuckDB). Pinned equal to the distributed path
+    in tests/test_kmeans_driver.py."""
+    import hashlib
+    import math
+
+    order = sorted(
+        rows,
+        key=lambda r: (
+            hashlib.md5(f"{r[0]}:{seed}".encode()).hexdigest(),
+            r[0],
+        ),
+    )
+    centroids = [[float(x) for x in r[1]] for r in order[:k]]
+    if not centroids:
+        return []
+    dim = len(centroids[0])
+    scale = 10**round_decimals
+    for _ in range(max_iter):
+        sums = [[0.0] * dim for _ in range(len(centroids))]
+        counts = [0] * len(centroids)
+        for _id, v in rows:
+            best, bd = 0, None
+            for ci, c in enumerate(centroids):
+                d = 0.0
+                for a, b in zip(v, c):
+                    d += (a - b) * (a - b)
+                if bd is None or d < bd:
+                    bd, best = d, ci
+            counts[best] += 1
+            s = sums[best]
+            for i, a in enumerate(v):
+                s[i] += a
+        for ci in range(len(centroids)):
+            if counts[ci]:
+                centroids[ci] = [
+                    math.floor(s / counts[ci] * scale + 0.5) / scale
+                    for s in sums[ci]
+                ]
+    return centroids
+
+
 def kmeans_fit(
     emb: DataFrame,
     k: int = 8,
@@ -59,6 +108,7 @@ def kmeans_fit(
     seed: int = 11,
     portable: bool = False,
     round_decimals: int = 6,
+    driver_threshold: int = 0,
 ) -> list[list[float]]:
     """Fit k centroids; returns them as plain lists (the tiny model).
 
@@ -78,10 +128,32 @@ def kmeans_fit(
     already uses to stay SQL-expressible). Assignment argmin operates on
     identical (rounded-centroid, raw-vector) inputs on both engines, so
     ties and flips cannot diverge outside measure-zero distance ties.
+
+    ``driver_threshold`` (portable mode only): when the input has at most
+    that many rows, collect it ONCE and run the identical fixed-iteration
+    Lloyd's driver-side — a codebook fit over a bounded sample is a
+    driver-sized problem, and the distributed twin's per-round job
+    overhead (m x max_iter shuffle jobs for PQ) dwarfs the arithmetic at
+    that size. Same adaptive pattern as pagerank/HITS; the distributed
+    path stays the default (threshold 0) and is what a whole-corpus fit
+    uses.
     """
     from pyspark import StorageLevel
 
     from codebased_spark.util import round_stable
+
+    if portable and driver_threshold:
+        rows = (
+            emb.select(id_col, _as_double(vec_col).alias("v"))
+            .limit(driver_threshold + 1)
+            .collect()
+        )
+        if len(rows) <= driver_threshold:
+            return _kmeans_fit_driver(
+                [(r[0], list(r[1])) for r in rows],
+                k=k, max_iter=max_iter, seed=seed,
+                round_decimals=round_decimals,
+            )
 
     emb = emb.persist(StorageLevel.MEMORY_AND_DISK)
     if portable:
@@ -139,6 +211,7 @@ def ann_ivf_kmeans_topk(
     seed: int = 11,
     portable: bool = False,
     max_iter: int = 10,
+    driver_threshold: int = 0,
 ) -> DataFrame:
     """IVF ANN with a learned k-means coarse quantizer.
 
@@ -155,6 +228,7 @@ def ann_ivf_kmeans_topk(
     centroids = kmeans_fit(
         emb, k=n_cells, id_col=id_col, vec_col=vec_col, seed=seed,
         portable=portable, max_iter=max_iter,
+        driver_threshold=driver_threshold,
     )
     qv = _query_vec(emb, query_id, id_col, vec_col)
     dists = [

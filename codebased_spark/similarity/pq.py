@@ -43,11 +43,34 @@ def pq_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     portable: bool = True,
+    driver_threshold: int = 0,
 ) -> list[list[list[float]]]:
     """Per-subspace codebooks: m independent k-means fits over the
     sliced vectors. Same seed for every subspace — the md5 init order is
-    id-based, so each subspace inits from the same example vectors."""
+    id-based, so each subspace inits from the same example vectors.
+
+    Under `driver_threshold` (portable mode) the sample is collected ONCE
+    and sliced driver-side — slicing commutes with the fit, so this is
+    byte-identical to m separate collects at a quarter of the job count
+    (pinned in tests/test_kmeans_driver.py::test_pq_topk_identical...)."""
     sub = dim // m
+    if portable and driver_threshold:
+        from codebased_spark.similarity.kmeans import _kmeans_fit_driver
+
+        rows = (
+            emb.select(id_col, _as_double(vec_col).alias("v"))
+            .limit(driver_threshold + 1)
+            .collect()
+        )
+        if len(rows) <= driver_threshold:
+            sample = [(r[0], list(r[1])) for r in rows]
+            return [
+                _kmeans_fit_driver(
+                    [(i, v[s * sub : (s + 1) * sub]) for i, v in sample],
+                    k=k, max_iter=n_iter, seed=seed, round_decimals=6,
+                )
+                for s in range(m)
+            ]
     return [
         kmeans_fit(
             emb.select(
@@ -57,6 +80,7 @@ def pq_fit(
             max_iter=n_iter,
             seed=seed,
             portable=portable,
+            driver_threshold=driver_threshold,
         )
         for s in range(m)
     ]
@@ -98,6 +122,7 @@ def ann_pq_topk(
     seed: int = 11,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    driver_threshold: int = 0,
 ) -> DataFrame:
     """ADC top-k: each candidate's distance is the sum of m table lookups
     keyed by its codes — the original vectors never enter the query scan.
@@ -109,7 +134,7 @@ def ann_pq_topk(
 
     books = pq_fit(
         emb, m=m, k=k, dim=dim, n_iter=n_iter, seed=seed,
-        id_col=id_col, vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col, driver_threshold=driver_threshold,
     )
     codes = pq_encode(emb, books, dim=dim, id_col=id_col, vec_col=vec_col)
     qv = _query_vec(emb, query_id, id_col, vec_col)
