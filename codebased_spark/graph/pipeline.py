@@ -74,6 +74,7 @@ def extract_triples(
     canonical_collapse: bool = False,
     persist_triples: bool = False,
     context_features: bool = False,
+    resolve_links: bool = True,
 ) -> GraphResult:
     """Run extraction + linking + canonicalization.
 
@@ -150,8 +151,29 @@ def extract_triples(
     # (url, href) pair; subj ("page:"+url) and the constant pred are
     # projected AFTER the shuffle — at 10^12 rows the dedup shuffle is the
     # dominant byte-mover and must not carry derivable columns.
+    #
+    # resolve_links (default on): hrefs resolve to absolute urls per RFC
+    # 3986 against the page's <base href> (or the page url) BEFORE the
+    # dedup, so relative aliases of the same target ("a/b" vs "./a/b")
+    # collapse to one edge — on real crawl HTML most hrefs are relative
+    # and an unresolved link graph silently drops most of its edges.
+    # Absolute hrefs pass through verbatim (fixture oracles unchanged).
+    if resolve_links and "html" in pages.columns:
+        from codebased_spark.extract.urlops import base_href_col, resolve_url_col
+
+        base_tag = base_href_col(F.col("html"))
+        link_base = F.when(base_tag == "", F.col("url")).otherwise(
+            resolve_url_col(F.col("url"), base_tag)
+        )
+        exploded = pages.select(
+            F.col("url"), link_base.alias("_b"), F.explode("links").alias("_h")
+        ).select(
+            "url", resolve_url_col(F.col("_b"), F.col("_h")).alias("href")
+        )
+    else:
+        exploded = pages.select(F.col("url"), F.explode("links").alias("href"))
     link_triples = (
-        pages.select(F.col("url"), F.explode("links").alias("href"))
+        exploded
         .distinct()
         .select(
             F.col("url"),

@@ -131,3 +131,42 @@ def test_base_href_overrides_resolution_base(spark):
         [("<base target='_x' href=\"https://b.example.net/p/\">",)], ["h"]
     ).select(base_href_col(F.col("h")).alias("b")).first()["b"]
     assert got == "https://b.example.net/p/"
+
+
+def test_flagship_links_to_resolves_relative_hrefs(spark):
+    # the pipeline's LINKS_TO edges must be absolute on real-web (relative
+    # href) pages, and relative aliases of one target must dedup to one edge
+    from codebased_spark.graph.pipeline import extract_triples
+    from codebased_spark.synth.pages import gen_pages
+
+    html = (
+        "<html><body><p>plain text here</p>"
+        '<a href="item/9">x</a>'
+        "<a href='./item/9'>same target, different spelling</a>"
+        '<a href="../up/2#frag">y</a>'
+        '<a href="https://abs.example.net/p">z</a></body></html>'
+    ).encode()
+    pages = spark.createDataFrame(
+        [("https://s.example.org/en/doc/1", html, "en")],
+        ["url", "html", "lang"],
+    )
+    # house gazetteer whose surfaces don't occur in this page's text
+    gaz = spark.createDataFrame(
+        gen_pages(n_docs=5, n_entities=5, seed=1).gazetteer
+    )
+    res = extract_triples(spark, pages, gaz, persist=False)
+    links = {
+        r.obj
+        for r in res.triples.where("pred = 'LINKS_TO'").collect()
+    }
+    assert links == {
+        "page:https://s.example.org/en/doc/item/9",
+        "page:https://s.example.org/en/up/2",
+        "page:https://abs.example.net/p",
+    }
+    # opt-out keeps the raw spellings (and the duplicate)
+    raw = extract_triples(spark, pages, gaz, persist=False, resolve_links=False)
+    raw_links = {
+        r.obj for r in raw.triples.where("pred = 'LINKS_TO'").collect()
+    }
+    assert "page:item/9" in raw_links and "page:./item/9" in raw_links
