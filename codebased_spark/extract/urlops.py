@@ -157,11 +157,18 @@ def resolved_link_edges(pages: DataFrame, html_col: str = "html") -> DataFrame:
     base = F.when(
         base_tag == "", F.col("url")
     ).otherwise(resolve_url_col(F.col("url"), base_tag))
-    return pages.select(
-        F.col("url").alias("src_url"),
-        base.alias("_base"),
-        F.explode(href_targets(h)).alias("href"),
-    ).select(
-        "src_url",
-        resolve_url_col(F.col("_base"), F.col("href")).alias("target"),
+    return (
+        pages.select(
+            F.col("url").alias("src_url"),
+            base.alias("_base"),
+            F.explode(href_targets(h)).alias("href"),
+        )
+        .select(
+            "src_url",
+            resolve_url_col(F.col("_base"), F.col("href")).alias("target"),
+        )
+        # link-graph edges are http(s) only: mailto:/javascript:/tel:/data:
+        # hrefs resolve verbatim (they are absolute refs) and would
+        # otherwise pollute the domain graph / PageRank inputs
+        .where(F.col("target").rlike("(?i)^https?://"))
     )

@@ -169,7 +169,7 @@ def extract_triples(
             F.col("url"), link_base.alias("_b"), F.explode("links").alias("_h")
         ).select(
             "url", resolve_url_col(F.col("_b"), F.col("_h")).alias("href")
-        )
+        ).where(F.col("href").rlike("(?i)^https?://"))  # no mailto:/js: edges
     else:
         exploded = pages.select(F.col("url"), F.explode("links").alias("href"))
     link_triples = (

@@ -144,6 +144,8 @@ def test_flagship_links_to_resolves_relative_hrefs(spark):
         '<a href="item/9">x</a>'
         "<a href='./item/9'>same target, different spelling</a>"
         '<a href="../up/2#frag">y</a>'
+        '<a href="mailto:me@example.org">mail</a>'
+        "<a href='javascript:void(0)'>js</a>"
         '<a href="https://abs.example.net/p">z</a></body></html>'
     ).encode()
     pages = spark.createDataFrame(
