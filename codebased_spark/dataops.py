@@ -947,6 +947,33 @@ def kg_resolved_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_resolved_domain_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain graph over RESOLVED relative links — the composition the
+    resolver exists for: on real crawl HTML the host-level graph only
+    sees cross-host structure after hrefs resolve (4 same-host relative
+    forms + 1 protocol-relative CDN link per page here). Same shuffle
+    shape as kg_domain_graph: (host, host) pairs with map-side combine,
+    never HTML."""
+    from codebased_spark.extract.urlops import host_col, resolved_link_edges
+    from codebased_spark.synth.pages import pages_with_relative_links_spark
+
+    edges = resolved_link_edges(
+        pages_with_relative_links_spark(_docs(spark, sf_dir))
+    )
+    return (
+        edges.select(
+            "src_url",
+            host_col(F.col("src_url")).alias("src_host"),
+            host_col(F.col("target")).alias("dst_host"),
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.countDistinct("src_url").alias("n_src_pages"),
+        )
+    )
+
+
 def kg_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebTables-style structured extraction: planted <table> markup
     parsed to relational (url, table_idx, row_idx, col_idx, cell) rows
@@ -1412,6 +1439,7 @@ QUERIES = {
     "kg_anchor_text": kg_anchor_text,
     "kg_domain_graph": kg_domain_graph,
     "kg_resolved_links": kg_resolved_links,
+    "kg_resolved_domain_graph": kg_resolved_domain_graph,
     "kg_canonical_collapse": kg_canonical_collapse,
     "kg_triple_lifespan": kg_triple_lifespan,
     "g_hits": g_hits,
@@ -2442,6 +2470,25 @@ ORACLES = {
         SELECT doc_id, '$' || (doc_id % 900 + 100) || '.' || lpad((doc_id % 100)::VARCHAR, 2, '0'),
                'Money'
         FROM documents
+    """,
+    # host-level rollup of the kg_resolved_links plants: 4 same-host
+    # relative forms + 1 protocol-relative cdn link per page
+    "kg_resolved_domain_graph": """
+        WITH l AS (
+          SELECT source || '.example.org' AS src_host,
+                 source || '.example.org' AS dst_host, doc_id FROM documents
+          UNION ALL SELECT source || '.example.org',
+                 source || '.example.org', doc_id FROM documents
+          UNION ALL SELECT source || '.example.org',
+                 source || '.example.org', doc_id FROM documents
+          UNION ALL SELECT source || '.example.org',
+                 source || '.example.org', doc_id FROM documents
+          UNION ALL SELECT source || '.example.org',
+                 'cdn.example.net', doc_id FROM documents
+        )
+        SELECT src_host, dst_host, count(*) AS n_links,
+               count(DISTINCT doc_id) AS n_src_pages
+        FROM l GROUP BY 1, 2
     """,
     # planted Hearst sentences (_hearst_text_docs) restated declaratively:
     # such_as emits 3 list hyponyms, and_other 1, including 2 per doc
