@@ -62,7 +62,22 @@ def make_dictionary_extractor(surfaces: list[str], entity_types: dict[str, str])
     return fn
 
 
+def _hearst_extractor(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    # Hearst patterns ARE typed extraction: "formats such as f1" types
+    # the hyponym surface by its hypernym (extract/hearst.py), so the
+    # family fits the (id, surface, entity_type) mention contract as-is
+    from codebased_spark.extract.hearst import extract_hypernyms
+
+    pairs = extract_hypernyms(df, id_col=id_col, text_col=text_col)
+    return pairs.select(
+        id_col,
+        F.col("hyponym").alias("surface"),
+        F.col("hypernym").alias("entity_type"),
+    )
+
+
 register("patterns", _patterns_extractor)
+register("hearst", _hearst_extractor)
 
 
 def dispatch(

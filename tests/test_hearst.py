@@ -94,3 +94,26 @@ def test_plan_is_map_only_before_the_aggregate(spark):
     plan = extract_hypernyms(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # extraction itself never shuffles
     assert "BatchEvalPython" not in plan  # no row-wise Python anywhere
+
+
+def test_hearst_family_registered_in_dispatch(spark):
+    from pyspark.sql import functions as F
+
+    from codebased_spark.extract.registry import dispatch, registered_kinds
+
+    assert "hearst" in registered_kinds()
+    df = spark.createDataFrame(
+        [
+            (1, "hearst", "fruits such as apples."),
+            (2, "patterns", "mail me@x.org today."),
+            (3, "unknown-kind", "fruits such as pears."),  # skipped (E18)
+        ],
+        ["doc_id", "kind", "text"],
+    )
+    rows = {
+        (r.doc_id, r.surface, r.entity_type)
+        for r in dispatch(df, F.col("kind")).collect()
+    }
+    assert (1, "apples", "fruits") in rows
+    assert (2, "me@x.org", "Email") in rows
+    assert not any(d == 3 for d, *_ in rows)
