@@ -283,6 +283,17 @@ def tx_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tx_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCAligned-style URL-matching bitext mining (textops/bitext.py):
+    en/de page variants paired by lang-stripped URL key, non-parallel
+    outliers (planted 2-char de stubs on doc_id % 13 == 0) dropped by the
+    raw length-ratio filter. Narrow-key shuffle join, text never moves."""
+    from codebased_spark.synth.pages import translated_pages_spark
+    from codebased_spark.textops.bitext import bitext_candidates
+
+    return bitext_candidates(translated_pages_spark(_docs(spark, sf_dir)))
+
+
 def tx_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(_docs(spark, sf_dir), k=3, w=4)
 
@@ -1398,6 +1409,7 @@ QUERIES = {
     "tx_lang_id": tx_lang_id,
     "tx_quality": tx_quality,
     "tx_quality_buckets": tx_quality_buckets,
+    "tx_bitext": tx_bitext,
     "tx_winnow": tx_winnow,
     "tx_decontaminate": tx_decontaminate,
     "tx_redact": tx_redact,
@@ -1982,6 +1994,25 @@ ORACLES = {
                      + (CASE WHEN mean_tok_len >= 3 AND mean_tok_len <= 10
                              THEN 0.25 ELSE 0 END)) * 10000 + 0.5) / 10000 AS quality_score
         FROM r
+    """,
+    # translated_pages_spark plants restated: de = en + 22 chars except
+    # the doc_id % 13 == 0 stubs (len 2), which the ratio filter drops
+    "tx_bitext": """
+        WITH b AS (
+          SELECT 'https://' || source || '.example.org' AS host, doc_id,
+                 length(text) AS src_len,
+                 CASE WHEN doc_id % 13 = 0 THEN 2
+                      ELSE length(text) + 22 END AS dst_len
+          FROM documents
+        )
+        SELECT host || '/doc/' || doc_id AS pair_key,
+               host || '/en/doc/' || doc_id AS src_url,
+               host || '/de/doc/' || doc_id AS dst_url,
+               src_len, dst_len,
+               floor((dst_len::DOUBLE / src_len) * 10000 + 0.5) / 10000 AS len_ratio
+        FROM b
+        WHERE dst_len::DOUBLE / src_len >= 0.5
+          AND dst_len::DOUBLE / src_len <= 2.0
     """,
     # same score pipeline as tx_quality (lang carried through), then the
     # histogram-cut bucketing restated: cum over (lang, score) DESC,

@@ -641,3 +641,30 @@ def pages_with_hreflang_spark(docs):
         F.lit('<link rel="alternate" hreflang="x-default" href="'), variant("en"), F.lit('"/>'),
     )
     return pages_from_documents_spark(docs, head_extra=links)
+
+
+def translated_pages_spark(docs):
+    """Two language variants per doc on the CCAligned URL convention
+    (.../{lang}/doc/{id}) — the bitext-mining fixture. The de text is the
+    en text plus a fixed 22-char suffix (comparable lengths), except on
+    doc_id % 13 == 0 where it is a 2-char stub (a planted non-parallel
+    outlier the length-ratio filter must drop). Columns (url, lang, text)
+    only — the miner pairs by URL structure, not markup."""
+    from pyspark.sql import functions as F
+
+    host = F.concat(F.lit("https://"), F.col("source"), F.lit(".example.org"))
+    did = F.col("doc_id").cast("string")
+    en = docs.select(
+        F.concat(host, F.lit("/en/doc/"), did).alias("url"),
+        F.lit("en").alias("lang"),
+        F.col("text"),
+    )
+    de_text = F.when(F.col("doc_id") % 13 == 0, F.lit("kz")).otherwise(
+        F.concat(F.col("text"), F.lit(" uebersetzung-variante"))
+    )
+    de = docs.select(
+        F.concat(host, F.lit("/de/doc/"), did).alias("url"),
+        F.lit("de").alias("lang"),
+        de_text.alias("text"),
+    )
+    return en.unionByName(de)
