@@ -985,6 +985,19 @@ def kg_resolved_domain_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_link_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-exchange spam signal (extract/anchors.py::link_reciprocity):
+    per-host fraction of out-links that are reciprocated, over a planted
+    mix of mutual (even→odd reciprocated) and one-way (odd→even) host
+    pairs. Host-vocabulary-sized relational work after the domain rollup."""
+    from codebased_spark.extract.anchors import domain_graph, link_reciprocity
+    from codebased_spark.synth.pages import pages_with_crosshost_links_spark
+
+    return link_reciprocity(
+        domain_graph(pages_with_crosshost_links_spark(_docs(spark, sf_dir)))
+    )
+
+
 def kg_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebTables-style structured extraction: planted <table> markup
     parsed to relational (url, table_idx, row_idx, col_idx, cell) rows
@@ -1452,6 +1465,7 @@ QUERIES = {
     "kg_domain_graph": kg_domain_graph,
     "kg_resolved_links": kg_resolved_links,
     "kg_resolved_domain_graph": kg_resolved_domain_graph,
+    "kg_link_reciprocity": kg_link_reciprocity,
     "kg_canonical_collapse": kg_canonical_collapse,
     "kg_triple_lifespan": kg_triple_lifespan,
     "g_hits": g_hits,
@@ -2501,6 +2515,31 @@ ORACLES = {
         SELECT doc_id, '$' || (doc_id % 900 + 100) || '.' || lpad((doc_id % 100)::VARCHAR, 2, '0'),
                'Money'
         FROM documents
+    """,
+    # cross-host plants restated (forward i->i+1 for all i, back i->i-1
+    # for odd i), then the SAME reverse-edge intersect relationally
+    "kg_link_reciprocity": """
+        WITH s AS (SELECT DISTINCT substr(source, 4)::INT AS i FROM documents),
+        e AS (
+          SELECT 'src' || i AS a, 'src' || ((i + 1) % 20) AS b FROM s
+          UNION
+          SELECT 'src' || i, 'src' || ((i + 19) % 20) FROM s WHERE i % 2 = 1
+        ),
+        e2 AS (
+          SELECT a || '.example.org' AS src_host, b || '.example.org' AS dst_host
+          FROM e WHERE a <> b
+        ),
+        r AS (
+          SELECT x.src_host FROM e2 x
+          JOIN e2 y ON x.src_host = y.dst_host AND x.dst_host = y.src_host
+        ),
+        o AS (SELECT src_host, count(*) AS n_out FROM e2 GROUP BY 1),
+        rc AS (SELECT src_host, count(*) AS n_reciprocal FROM r GROUP BY 1)
+        SELECT o.src_host AS host, n_out,
+               coalesce(n_reciprocal, 0) AS n_reciprocal,
+               floor((coalesce(n_reciprocal, 0)::DOUBLE / n_out) * 10000 + 0.5)
+                 / 10000 AS reciprocity
+        FROM o LEFT JOIN rc ON o.src_host = rc.src_host
     """,
     # host-level rollup of the kg_resolved_links plants: 4 same-host
     # relative forms + 1 protocol-relative cdn link per page

@@ -169,3 +169,40 @@ def cocitation(
         .groupBy(F.col("a.t").alias("target_a"), F.col("b.t").alias("target_b"))
         .agg(F.countDistinct("src").alias("n_cociting"))
     )
+
+
+def link_reciprocity(edges: DataFrame) -> DataFrame:
+    """(host, n_out, n_reciprocal, reciprocity) — the link-farm /
+    link-exchange spam signal: hosts whose out-links are mostly
+    reciprocated are trading links rather than citing (the classic
+    TrustRank-adjacent heuristic). Input: host-level edges (src_host,
+    dst_host); self-loops are excluded, edges deduped.
+
+    Scale shape: the edge list is host-vocabulary-sized (not corpus-
+    sized) after domain_graph's rollup, so the reverse-edge intersect
+    and the per-host aggregate are cheap shuffles over narrow pairs.
+    """
+    e = (
+        edges.select("src_host", "dst_host")
+        .where(F.col("src_host") != F.col("dst_host"))
+        .distinct()
+    )
+    rev = e.select(
+        F.col("dst_host").alias("src_host"), F.col("src_host").alias("dst_host")
+    )
+    recip = e.intersect(rev)
+    n_out = e.groupBy("src_host").agg(F.count(F.lit(1)).alias("n_out"))
+    n_rec = recip.groupBy("src_host").agg(
+        F.count(F.lit(1)).alias("n_reciprocal")
+    )
+    from codebased_spark.util import round_stable
+
+    joined = n_out.join(n_rec, "src_host", "left").select(
+        F.col("src_host").alias("host"),
+        "n_out",
+        F.coalesce("n_reciprocal", F.lit(0)).alias("n_reciprocal"),
+    )
+    return joined.withColumn(
+        "reciprocity",
+        round_stable(F.col("n_reciprocal").cast("double") / F.col("n_out")),
+    )

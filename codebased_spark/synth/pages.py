@@ -668,3 +668,28 @@ def translated_pages_spark(docs):
         de_text.alias("text"),
     )
     return en.unionByName(de)
+
+
+def pages_with_crosshost_links_spark(docs):
+    """pages_from_documents_spark plus CROSS-host anchors that make link
+    reciprocity non-trivial: with i = the numeric source index, every
+    page links forward to src{(i+1)%20}; odd-i pages also link BACK to
+    src{(i-1)%20}. So even->odd forward edges are reciprocated (the odd
+    host links back) while odd->even forward edges are not — a
+    deterministic mix of mutual and one-way host pairs the spam-signal
+    oracle can state relationally from the documents columns."""
+    from pyspark.sql import functions as F
+
+    i = F.substring(F.col("source"), 4, 10).cast("int")
+    fwd = F.concat(
+        F.lit('<a href="https://src'), ((i + 1) % 20).cast("string"),
+        F.lit('.example.org/p">f</a>'),
+    )
+    back = F.when(
+        i % 2 == 1,
+        F.concat(
+            F.lit("<A HREF='https://src"), ((i + 19) % 20).cast("string"),
+            F.lit(".example.org/q'>b</A>"),
+        ),
+    ).otherwise(F.lit(""))
+    return pages_from_documents_spark(docs, body_extra=F.concat(fwd, back))

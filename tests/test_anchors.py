@@ -122,3 +122,26 @@ def test_cocitation_counts_and_out_degree_cap(spark):
         ("https://a/", "https://c/"): 1,
         ("https://b/", "https://c/"): 1,
     }
+
+
+def test_link_reciprocity(spark):
+    from codebased_spark.extract.anchors import link_reciprocity
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "a"),          # mutual pair
+            ("a", "c"),                       # one-way
+            ("a", "a"),                       # self-loop: excluded
+            ("a", "b"),                       # duplicate edge: deduped
+            ("d", "a"),                       # one-way into a
+        ],
+        ["src_host", "dst_host"],
+    )
+    rows = {
+        r.host: (r.n_out, r.n_reciprocal, r.reciprocity)
+        for r in link_reciprocity(edges).collect()
+    }
+    assert rows["a"] == (2, 1, 0.5)   # out: b (recip), c (not)
+    assert rows["b"] == (1, 1, 1.0)
+    assert rows["d"] == (1, 0, 0.0)
+    assert "c" not in rows            # no out-links -> no row
