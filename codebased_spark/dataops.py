@@ -998,6 +998,18 @@ def kg_link_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-fair crawl-frontier scheduling (sources/frontier.py): each
+    host appears at most once per wave (politeness), deterministic
+    lexicographic priority within host. The per-host window is the
+    semantically required shuffle; no global sort."""
+    from codebased_spark.sources.frontier import schedule_frontier
+    from codebased_spark.synth.pages import pages_from_documents_spark
+
+    pages = pages_from_documents_spark(_docs(spark, sf_dir))
+    return schedule_frontier(pages.select("url"))
+
+
 def kg_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebTables-style structured extraction: planted <table> markup
     parsed to relational (url, table_idx, row_idx, col_idx, cell) rows
@@ -1466,6 +1478,7 @@ QUERIES = {
     "kg_resolved_links": kg_resolved_links,
     "kg_resolved_domain_graph": kg_resolved_domain_graph,
     "kg_link_reciprocity": kg_link_reciprocity,
+    "kg_crawl_schedule": kg_crawl_schedule,
     "kg_canonical_collapse": kg_canonical_collapse,
     "kg_triple_lifespan": kg_triple_lifespan,
     "g_hits": g_hits,
@@ -2515,6 +2528,18 @@ ORACLES = {
         SELECT doc_id, '$' || (doc_id % 900 + 100) || '.' || lpad((doc_id % 100)::VARCHAR, 2, '0'),
                'Money'
         FROM documents
+    """,
+    # per-host politeness waves: row_number over (host, url-lexicographic)
+    "kg_crawl_schedule": """
+        WITH u AS (
+          SELECT 'https://' || source || '.example.org/' || lang || '/doc/'
+                   || doc_id AS url,
+                 source || '.example.org' AS host
+          FROM documents
+        )
+        SELECT url, host,
+               row_number() OVER (PARTITION BY host ORDER BY url) - 1 AS wave
+        FROM u
     """,
     # cross-host plants restated (forward i->i+1 for all i, back i->i-1
     # for odd i), then the SAME reverse-edge intersect relationally
