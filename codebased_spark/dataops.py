@@ -294,6 +294,25 @@ def tx_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bitext_candidates(translated_pages_spark(_docs(spark, sf_dir)))
 
 
+def tx_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation (textops/sentences.py): engine-exact
+    regular-language splitter, map-only posexplode — the granularity
+    under sentence-level dedup / PII / bitext alignment. The corpus text
+    carries no terminators, so a 4-sentence text is planted per doc
+    (., !, ? and a terminator-less tail) to make the split non-trivial."""
+    from codebased_spark.textops.sentences import split_sentences
+
+    docs = _docs(spark, sf_dir)
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(". Tail "),
+            F.col("doc_id").cast("string"), F.lit("! Short? End"),
+        ).alias("text"),
+    )
+    return split_sentences(planted)
+
+
 def tx_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(_docs(spark, sf_dir), k=3, w=4)
 
@@ -1435,6 +1454,7 @@ QUERIES = {
     "tx_quality": tx_quality,
     "tx_quality_buckets": tx_quality_buckets,
     "tx_bitext": tx_bitext,
+    "tx_sentences": tx_sentences,
     "tx_winnow": tx_winnow,
     "tx_decontaminate": tx_decontaminate,
     "tx_redact": tx_redact,
@@ -2020,6 +2040,20 @@ ORACLES = {
                      + distinct_ratio * 0.25
                      + (CASE WHEN mean_tok_len >= 3 AND mean_tok_len <= 10
                              THEN 0.25 ELSE 0 END)) * 10000 + 0.5) / 10000 AS quality_score
+        FROM r
+    """,
+    # the planted 4-sentence text restated declaratively (trim commutes
+    # with the terminator append since '.' is not whitespace)
+    "tx_sentences": """
+        WITH r AS (
+          SELECT doc_id, 0 AS sent_idx, trim(text) || '.' AS sentence
+          FROM documents
+          UNION ALL
+          SELECT doc_id, 1, 'Tail ' || doc_id || '!' FROM documents
+          UNION ALL SELECT doc_id, 2, 'Short?' FROM documents
+          UNION ALL SELECT doc_id, 3, 'End' FROM documents
+        )
+        SELECT doc_id, sent_idx, sentence, length(sentence) AS n_chars
         FROM r
     """,
     # translated_pages_spark plants restated: de = en + 22 chars except
