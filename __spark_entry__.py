@@ -105,7 +105,7 @@ def kg_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RECEIPT_PRIORITY = [
     # new in r4
     "kg_hypernyms", "kg_resolved_links", "kg_resolved_domain_graph",
-    "tx_quality_buckets", "tx_bitext", "tx_sentences",
+    "tx_quality_buckets", "tx_bitext", "tx_sentences", "dd_sentence_dups",
     "kg_link_reciprocity", "kg_crawl_schedule", "g_scc",
     "kg_snapshot_delta", "kg_triple_confidence", "kg_takedown",
     "kg_mention_contexts", "kg_context_disambig", "ann_pq", "tx_pack",

@@ -313,6 +313,16 @@ def tx_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_sentences(planted)
 
 
+def dd_sentence_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 repeated-sentence boilerplate removal over the tx_sentences
+    plant: 'Short?' and 'End' occur in every doc (corpus-wide count = N,
+    dropped at min_count=3); the text sentence and 'Tail {id}!' are
+    unique (kept). Hash-keyed count shuffle, string never shuffles."""
+    from codebased_spark.textops.sentences import sentence_occurrence_flags
+
+    return sentence_occurrence_flags(tx_sentences(spark, sf_dir))
+
+
 def tx_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(_docs(spark, sf_dir), k=3, w=4)
 
@@ -1455,6 +1465,7 @@ QUERIES = {
     "tx_quality_buckets": tx_quality_buckets,
     "tx_bitext": tx_bitext,
     "tx_sentences": tx_sentences,
+    "dd_sentence_dups": dd_sentence_dups,
     "tx_winnow": tx_winnow,
     "tx_decontaminate": tx_decontaminate,
     "tx_redact": tx_redact,
@@ -2041,6 +2052,23 @@ ORACLES = {
                      + (CASE WHEN mean_tok_len >= 3 AND mean_tok_len <= 10
                              THEN 0.25 ELSE 0 END)) * 10000 + 0.5) / 10000 AS quality_score
         FROM r
+    """,
+    # tx_sentences plant + corpus-wide counts by sentence string (the
+    # Spark side counts by xxhash64; collision-free on the fixture)
+    "dd_sentence_dups": """
+        WITH r AS (
+          SELECT doc_id, 0 AS sent_idx, trim(text) || '.' AS sentence
+          FROM documents
+          UNION ALL
+          SELECT doc_id, 1, 'Tail ' || doc_id || '!' FROM documents
+          UNION ALL SELECT doc_id, 2, 'Short?' FROM documents
+          UNION ALL SELECT doc_id, 3, 'End' FROM documents
+        ),
+        c AS (SELECT sentence, count(*) AS n_occurrences FROM r GROUP BY 1)
+        SELECT r.doc_id, r.sent_idx, r.sentence,
+               length(r.sentence) AS n_chars,
+               c.n_occurrences, c.n_occurrences < 3 AS keep
+        FROM r JOIN c USING (sentence)
     """,
     # the planted 4-sentence text restated declaratively (trim commutes
     # with the terminator append since '.' is not whitespace)

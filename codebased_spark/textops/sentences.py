@@ -26,6 +26,37 @@ from pyspark.sql import functions as F
 SENTENCE_RE = r"[^.!?]+[.!?]*"
 
 
+def sentence_occurrence_flags(
+    sents: DataFrame,
+    min_count: int = 3,
+    sentence_col: str = "sentence",
+) -> DataFrame:
+    """sents + (n_occurrences, keep): the C4 repeated-line rule — any
+    sentence occurring >= min_count times corpus-wide is boilerplate
+    (cookie banners, footers) and is flagged keep=false.
+
+    Scale shape: the corpus-wide count groups on xxhash64(sentence), so
+    the count shuffle moves 8-byte keys, not strings, and map-side
+    combine collapses the heavy hitters early (the whole point — the
+    boilerplate sentences ARE the skewed keys). The count table is
+    distinct-sentence-sized; the flag join is hash-keyed. A 64-bit
+    collision mislabels a pair of distinct sentences, the accepted
+    trade in every production line-dedup.
+    """
+    h = F.xxhash64(sentence_col)
+    counts = (
+        sents.select(h.alias("_h"))
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    return (
+        sents.withColumn("_h", h)
+        .join(counts, "_h")
+        .drop("_h")
+        .withColumn("keep", F.col("n_occurrences") < min_count)
+    )
+
+
 def split_sentences(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -55,3 +55,34 @@ def test_map_only_plan(spark):
     plan = split_sentences(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_c4_repeated_sentence_flags(spark):
+    from pyspark.sql import functions as F
+
+    from codebased_spark.textops.sentences import (
+        sentence_occurrence_flags,
+        split_sentences,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Unique one. Accept cookies. Bye."),
+            (2, "Unique two. Accept cookies. Bye."),
+            (3, "Unique three. Accept cookies. Bye."),
+            (4, "Only doc four here."),
+        ],
+        ["doc_id", "text"],
+    )
+    out = sentence_occurrence_flags(split_sentences(docs), min_count=3)
+    rows = {
+        (r.doc_id, r.sentence): (r.n_occurrences, r.keep)
+        for r in out.collect()
+    }
+    assert rows[(1, "Accept cookies.")] == (3, False)  # boilerplate dropped
+    assert rows[(2, "Bye.")] == (3, False)
+    assert rows[(1, "Unique one.")] == (1, True)
+    assert rows[(4, "Only doc four here.")] == (1, True)
+    # the count shuffle groups on the 64-bit hash, not the string
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan
