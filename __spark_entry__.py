@@ -106,7 +106,8 @@ _RECEIPT_PRIORITY = [
     # new in r4
     "kg_hypernyms", "kg_resolved_links", "kg_resolved_domain_graph",
     "tx_quality_buckets", "tx_bitext", "tx_sentences", "dd_sentence_dups",
-    "kg_link_reciprocity", "kg_crawl_schedule", "g_scc",
+    "kg_link_reciprocity", "kg_crawl_schedule", "kg_anchor_dictionary",
+    "g_scc",
     "kg_snapshot_delta", "kg_triple_confidence", "kg_takedown",
     "kg_mention_contexts", "kg_context_disambig", "ann_pq", "tx_pack",
     "q_asof_attribution", "q_range_campaigns", "dd_span_dups",

@@ -1027,6 +1027,18 @@ def kg_link_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_anchor_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text dictionary prior P(target | surface) — the Wikipedia-
+    anchor commonness prior for entity linking (extract/anchors.py::
+    anchor_dictionary). 'doc N'/'article N' surfaces concentrate on one
+    target (prior 1.0); 'download' spreads over 13 cdn assets with
+    count-proportional priors and a deterministic argmax."""
+    from codebased_spark.extract.anchors import anchor_dictionary
+    from codebased_spark.synth.pages import pages_with_links_spark
+
+    return anchor_dictionary(pages_with_links_spark(_docs(spark, sf_dir)))
+
+
 def kg_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-fair crawl-frontier scheduling (sources/frontier.py): each
     host appears at most once per wave (politeness), deterministic
@@ -1510,6 +1522,7 @@ QUERIES = {
     "kg_resolved_domain_graph": kg_resolved_domain_graph,
     "kg_link_reciprocity": kg_link_reciprocity,
     "kg_crawl_schedule": kg_crawl_schedule,
+    "kg_anchor_dictionary": kg_anchor_dictionary,
     "kg_canonical_collapse": kg_canonical_collapse,
     "kg_triple_lifespan": kg_triple_lifespan,
     "g_hits": g_hits,
@@ -2590,6 +2603,37 @@ ORACLES = {
         SELECT doc_id, '$' || (doc_id % 900 + 100) || '.' || lpad((doc_id % 100)::VARCHAR, 2, '0'),
                'Money'
         FROM documents
+    """,
+    # same planted anchors as kg_anchor_text, grouped by surface instead
+    # of target; prior = exact count ratio, argmax rank deterministic
+    "kg_anchor_dictionary": """
+        WITH a AS (
+          SELECT 'https://' || source || '.example.org/' || lang || '/doc/'
+                   || (doc_id % 97) AS target,
+                 CASE WHEN doc_id % 3 = 0 THEN 'doc ' || (doc_id % 97)
+                      ELSE 'article ' || (doc_id % 97) END AS anchor_text
+          FROM documents
+          UNION ALL
+          SELECT 'https://cdn.example.net/asset/' || (doc_id % 13),
+                 'download'
+          FROM documents
+        ),
+        c AS (
+          SELECT anchor_text, target, count(*) AS n_refs
+          FROM a GROUP BY 1, 2
+        ),
+        t AS (
+          SELECT *,
+                 sum(n_refs) OVER (PARTITION BY anchor_text) AS n_surface_total,
+                 row_number() OVER (PARTITION BY anchor_text
+                     ORDER BY n_refs DESC, target) AS rnk
+          FROM c
+        )
+        SELECT anchor_text, target, n_refs, n_surface_total,
+               floor((n_refs::DOUBLE / n_surface_total) * 10000 + 0.5) / 10000
+                 AS prior,
+               rnk
+        FROM t
     """,
     # per-host politeness waves: row_number over (host, url-lexicographic)
     "kg_crawl_schedule": """

@@ -206,3 +206,37 @@ def link_reciprocity(edges: DataFrame) -> DataFrame:
         "reciprocity",
         round_stable(F.col("n_reciprocal").cast("double") / F.col("n_out")),
     )
+
+
+def anchor_dictionary(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """(anchor_text, target, n_refs, n_surface_total, prior, rnk): the
+    anchor-text dictionary — P(target | surface) estimated from link
+    counts, the classic entity-linking commonness prior (Wikipedia-anchor
+    style): when a mention surface matches an anchor text, rnk=1 is the
+    argmax disambiguation and `prior` its confidence. Feeds the fuzzy
+    candidate scorer as an additional feature family beside TF-IDF.
+
+    Scale shape: one (surface, target) count shuffle over the exploded
+    anchors (map-side combined), then window + normalization over the
+    vocabulary-sized count table — the corpus is touched once.
+    """
+    from codebased_spark.util import round_stable
+
+    pairs = exploded_anchors(pages, html_col=html_col)
+    counts = pairs.groupBy("anchor_text", "target").agg(
+        F.count(F.lit(1)).alias("n_refs")
+    )
+    w_all = Window.partitionBy("anchor_text")
+    w_rank = Window.partitionBy("anchor_text").orderBy(
+        F.col("n_refs").desc(), F.col("target")
+    )
+    return (
+        counts.withColumn("n_surface_total", F.sum("n_refs").over(w_all))
+        .withColumn(
+            "prior",
+            round_stable(
+                F.col("n_refs").cast("double") / F.col("n_surface_total")
+            ),
+        )
+        .withColumn("rnk", F.row_number().over(w_rank))
+    )

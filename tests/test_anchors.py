@@ -145,3 +145,29 @@ def test_link_reciprocity(spark):
     assert rows["b"] == (1, 1, 1.0)
     assert rows["d"] == (1, 0, 0.0)
     assert "c" not in rows            # no out-links -> no row
+
+
+def test_anchor_dictionary_prior(spark):
+    from codebased_spark.extract.anchors import anchor_dictionary
+
+    def page(url, *anchors):
+        body = "".join(f'<a href="{h}">{t}</a>' for h, t in anchors)
+        return (url, f"<html><body>{body}</body></html>".encode())
+
+    pages = spark.createDataFrame(
+        [
+            page("https://a.org/1", ("https://t.org/x", "acme"),
+                 ("https://t.org/x", "acme")),
+            page("https://a.org/2", ("https://t.org/y", "acme")),
+            page("https://a.org/3", ("https://t.org/z", "other")),
+        ],
+        ["url", "html"],
+    )
+    rows = {
+        (r.anchor_text, r.target): (r.n_refs, r.n_surface_total, r.prior, r.rnk)
+        for r in anchor_dictionary(pages).collect()
+    }
+    # 'acme' -> x twice, y once: argmax prior 2/3 on x
+    assert rows[("acme", "https://t.org/x")] == (2, 3, 0.6667, 1)
+    assert rows[("acme", "https://t.org/y")] == (1, 3, 0.3333, 2)
+    assert rows[("other", "https://t.org/z")] == (1, 1, 1.0, 1)
