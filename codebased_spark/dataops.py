@@ -313,6 +313,15 @@ def tx_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_sentences(planted)
 
 
+def tx_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality proxy (textops/lmscore.py): known-bigram
+    fraction at min_df=30 — the exactly-checkable CCNet-perplexity
+    stand-in (integer-count ratio, no transcendental in the gate)."""
+    from codebased_spark.textops.lmscore import known_bigram_fraction
+
+    return known_bigram_fraction(_docs(spark, sf_dir))
+
+
 def dd_sentence_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 repeated-sentence boilerplate removal over the tx_sentences
     plant: 'Short?' and 'End' occur in every doc (corpus-wide count = N,
@@ -1478,6 +1487,7 @@ QUERIES = {
     "tx_bitext": tx_bitext,
     "tx_sentences": tx_sentences,
     "dd_sentence_dups": dd_sentence_dups,
+    "tx_lm_score": tx_lm_score,
     "tx_winnow": tx_winnow,
     "tx_decontaminate": tx_decontaminate,
     "tx_redact": tx_redact,
@@ -2065,6 +2075,24 @@ ORACLES = {
                      + (CASE WHEN mean_tok_len >= 3 AND mean_tok_len <= 10
                              THEN 0.25 ELSE 0 END)) * 10000 + 0.5) / 10000 AS quality_score
         FROM r
+    """,
+    # bigram instances + corpus-wide counts by string (Spark counts by
+    # xxhash64; collision-free here), integer-ratio fraction
+    "tx_lm_score": f"""
+        WITH {_TOKS},
+        b AS (
+          SELECT doc_id,
+                 unnest([toks[i] || ' ' || toks[i + 1]
+                         for i in generate_series(1, len(toks) - 1)]) AS bg
+          FROM t WHERE len(toks) >= 2
+        ),
+        c AS (SELECT bg, count(*) AS df FROM b GROUP BY 1)
+        SELECT b.doc_id, count(*) AS n_bigrams,
+               count(*) FILTER (df >= 30) AS n_known,
+               floor((count(*) FILTER (df >= 30))::DOUBLE / count(*)
+                     * 10000 + 0.5) / 10000 AS known_fraction
+        FROM b JOIN c USING (bg)
+        GROUP BY b.doc_id
     """,
     # tx_sentences plant + corpus-wide counts by sentence string (the
     # Spark side counts by xxhash64; collision-free on the fixture)
