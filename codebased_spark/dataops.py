@@ -886,6 +886,17 @@ def g_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("node", "doc_id")
 
 
+def g_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peeling (graph/kcore.py), k=2, 3 synchronous
+    rounds over the undirected doc graph — chain tendrils peel away
+    round by round; oracle unrolls the identical rounds as CTEs."""
+    from codebased_spark.graph.kcore import k_core_members
+
+    return k_core_members(_doc_edges(spark, sf_dir), k=2, rounds=3).select(
+        F.col("node").alias("doc_id"), "degree"
+    )
+
+
 def g_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic random-walk corpus (graph/walks.py): one 4-step walk
     per node over the doc graph — the DeepWalk/node2vec training-corpus
@@ -1520,6 +1531,7 @@ QUERIES = {
     "g_khop_reach": g_khop_reach,
     "g_closure": g_closure,
     "g_scc": g_scc,
+    "g_kcore": g_kcore,
     "g_walks": g_walks,
     "g_lpa": g_lpa,
     "g_cycle_members": g_cycle_members,
@@ -2867,6 +2879,26 @@ ORACLES = {
           SELECT u, v FROM m UNION ALL SELECT u, u FROM nodes
         )
         SELECT u AS doc_id, min(v) AS scc_id FROM p GROUP BY u
+    """,
+    # the SAME 3 synchronous peel rounds as graph/kcore.py, unrolled
+    "g_kcore": f"""
+        WITH {_EDGES_SQL},
+        sym AS (
+          SELECT src AS a, dst AS b FROM edges WHERE src <> dst
+          UNION
+          SELECT dst, src FROM edges WHERE src <> dst
+        ),
+        d1 AS (SELECT a, count(DISTINCT b) AS degree FROM sym GROUP BY 1),
+        a1 AS (SELECT a, degree FROM d1 WHERE degree >= 2),
+        l1 AS (SELECT s.a, s.b FROM sym s
+               JOIN a1 x ON s.a = x.a JOIN a1 y ON s.b = y.a),
+        d2 AS (SELECT a, count(DISTINCT b) AS degree FROM l1 GROUP BY 1),
+        a2 AS (SELECT a, degree FROM d2 WHERE degree >= 2),
+        l2 AS (SELECT s.a, s.b FROM l1 s
+               JOIN a2 x ON s.a = x.a JOIN a2 y ON s.b = y.a),
+        d3 AS (SELECT a, count(DISTINCT b) AS degree FROM l2 GROUP BY 1),
+        a3 AS (SELECT a, degree FROM d3 WHERE degree >= 2)
+        SELECT a AS doc_id, degree FROM a3
     """,
     # the SAME 2 synchronous vote/argmax rounds as graph/lpa.py, unrolled
     "g_lpa": f"""
