@@ -847,6 +847,21 @@ def g_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def g_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded out-harmonic centrality: sum over nodes first reached
+    within 3 hops of 1/first-arrival-depth (k_hop_reach already tracks
+    first-arrival depth). The floor(x*1e4+0.5) gate is boundary-safe:
+    the exact value's fractional part in 1e-4 units is a multiple of
+    1/3, never the 1/2 the rounding rule tests against."""
+    from codebased_spark.graph.paths import k_hop_reach
+
+    reach = k_hop_reach(_doc_edges(spark, sf_dir), k=3)
+    return reach.groupBy(F.col("origin").alias("doc_id")).agg(
+        F.countDistinct("node").alias("n_reach"),
+        round_stable_col(F.sum(F.lit(1.0) / F.col("depth"))).alias("harmonic"),
+    )
+
+
 def _ring_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The e1 (ring-only) slice of _doc_edges: 6-rings with deterministic
     breaks — small per-origin closures, so the UNBOUNDED operator has a
@@ -1532,6 +1547,7 @@ QUERIES = {
     "g_closure": g_closure,
     "g_scc": g_scc,
     "g_kcore": g_kcore,
+    "g_harmonic": g_harmonic,
     "g_walks": g_walks,
     "g_lpa": g_lpa,
     "g_cycle_members": g_cycle_members,
@@ -2836,6 +2852,20 @@ ORACLES = {
         )
         SELECT origin AS doc_id, count(DISTINCT node) AS n_reach
         FROM r GROUP BY origin
+    """,
+    # first-arrival depths via min(depth) over the same bounded expansion
+    "g_harmonic": f"""
+        WITH RECURSIVE {_EDGES_SQL},
+        r AS (
+          SELECT src AS origin, dst AS node, 1 AS depth FROM edges
+          UNION ALL
+          SELECT r.origin, e.dst, r.depth + 1
+          FROM r JOIN edges e ON r.node = e.src WHERE r.depth < 3
+        ),
+        m AS (SELECT origin, node, min(depth) AS depth FROM r GROUP BY 1, 2)
+        SELECT origin AS doc_id, count(*) AS n_reach,
+               floor(sum(1.0 / depth) * 10000 + 0.5) / 10000 AS harmonic
+        FROM m GROUP BY origin
     """,
     # unbounded closure over the ring-only edge slice (e1 of _EDGES_SQL);
     # the recursive CTE terminates because DuckDB's UNION dedups rows

@@ -238,3 +238,31 @@ def test_pagerank_driver_and_distributed_paths_identical(spark):
         for r in pagerank(nodes, edges, n_iter=5, driver_threshold=0).collect()
     )
     assert a == b
+
+
+def test_harmonic_first_arrival_depths(spark):
+    # diamond: 1->2->4, 1->3->4, 1->4 direct: 4 first-reached at depth 1
+    from pyspark.sql import functions as F
+
+    from codebased_spark.graph.paths import k_hop_reach
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 4), (3, 4), (4, 5)], ["src", "dst"]
+    )
+    reach = k_hop_reach(edges, k=3)
+    from codebased_spark.util import round_stable
+
+    got = {
+        r.origin: (r.n, r.h)
+        for r in reach.groupBy("origin")
+        .agg(
+            F.countDistinct("node").alias("n"),
+            round_stable(F.sum(F.lit(1.0) / F.col("depth"))).alias("h"),
+        )
+        .collect()
+    }
+    # origin 1: nodes 2,3,4 at depth 1 and 5 at depth 2 -> 3 + 0.5
+    assert got[1] == (4, 3.5)
+    # origin 2: 4 at d1, 5 at d2 -> 1.5; origin 4: just 5 -> 1.0
+    assert got[2] == (2, 1.5)
+    assert got[4] == (1, 1.0)
