@@ -1074,6 +1074,16 @@ def kg_anchor_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anchor_dictionary(pages_with_links_spark(_docs(spark, sf_dir)))
 
 
+def kg_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL template census (extract/urlops.py::url_templates): digit runs
+    collapse to '{n}' so per-doc urls fold into one template per
+    (source, lang) — the crawler-trap / site-structure analytic."""
+    from codebased_spark.extract.urlops import url_templates
+    from codebased_spark.synth.pages import pages_from_documents_spark
+
+    return url_templates(pages_from_documents_spark(_docs(spark, sf_dir)))
+
+
 def kg_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-fair crawl-frontier scheduling (sources/frontier.py): each
     host appears at most once per wave (politeness), deterministic
@@ -1561,6 +1571,7 @@ QUERIES = {
     "kg_link_reciprocity": kg_link_reciprocity,
     "kg_crawl_schedule": kg_crawl_schedule,
     "kg_anchor_dictionary": kg_anchor_dictionary,
+    "kg_url_templates": kg_url_templates,
     "kg_canonical_collapse": kg_canonical_collapse,
     "kg_triple_lifespan": kg_triple_lifespan,
     "g_hits": g_hits,
@@ -2690,6 +2701,13 @@ ORACLES = {
                  AS prior,
                rnk
         FROM t
+    """,
+    # digit runs -> '{n}': every doc url folds into /{lang}/doc/{n}
+    "kg_url_templates": """
+        SELECT source || '.example.org' AS host,
+               '/' || lang || '/doc/{n}' AS template,
+               count(*) AS n_urls
+        FROM documents GROUP BY 1, 2
     """,
     # per-host politeness waves: row_number over (host, url-lexicographic)
     "kg_crawl_schedule": """

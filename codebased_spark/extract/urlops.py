@@ -63,6 +63,25 @@ def with_url_parts(df: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
+def url_templates(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """(host, template, n_urls): URL pattern census — digit runs in the
+    path collapse to '{n}', so /en/doc/42 and /en/doc/7 share a
+    template. The standard crawl-frontier analytic: templates with
+    runaway n_urls are faceted-search / calendar traps to cap, and the
+    census doubles as the site-structure profile a scoped recrawl uses.
+    Map-side regexps + one (host, template) count shuffle with map-side
+    combine — heavy templates ARE the hot keys the combine collapses."""
+    u = F.col(url_col)
+    host = host_col(u)
+    path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    template = F.regexp_replace(path, r"[0-9]+", "{n}")
+    return (
+        df.select(host.alias("host"), template.alias("template"))
+        .groupBy("host", "template")
+        .agg(F.count(F.lit(1)).alias("n_urls"))
+    )
+
+
 def _remove_dot_segments(path: Column) -> Column:
     """RFC 3986 §5.2.4 over an absolute path ('/'-prefixed): fold the
     segment list through a stack — '.' skips, '..' pops, everything else

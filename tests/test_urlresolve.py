@@ -223,3 +223,25 @@ def test_seeded_fuzz_battery_matches_urljoin(spark):
         if r != urldefrag(urljoin(b, h)).url
     ]
     assert not bad, f"{len(bad)} divergences, first: {bad[0]}"
+
+
+def test_url_templates_census(spark):
+    from codebased_spark.extract.urlops import url_templates
+
+    urls = spark.createDataFrame(
+        [
+            ("https://s.org/item/42",),
+            ("https://s.org/item/7",),
+            ("https://s.org/item/42/rev/3",),
+            ("https://s.org/about",),
+            ("https://other.org/item/1?page=2",),  # query excluded from path
+        ],
+        ["url"],
+    )
+    rows = {
+        (r.host, r.template): r.n_urls for r in url_templates(urls).collect()
+    }
+    assert rows[("s.org", "/item/{n}")] == 2
+    assert rows[("s.org", "/item/{n}/rev/{n}")] == 1
+    assert rows[("s.org", "/about")] == 1
+    assert rows[("other.org", "/item/{n}")] == 1
