@@ -11,6 +11,8 @@ job an LLM-data pipeline runs over a crawl snapshot:
     -> keep/drop decision table     (textops/filters.py: lang, length,
                                      quality, repetition, exact-dup,
                                      optional minhash near-dup keep-one)
+    -> C4 repeated-sentence removal (textops/sentences.py, --line-dedup)
+    -> CCNet tail-bucket drop       (textops/buckets.py, --drop-tail)
     -> fixed-window token chunking  (textops/chunk.py)
 
 Outputs under --out:
@@ -44,6 +46,12 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--lang", default="en")
     ap.add_argument("--near-dup", action="store_true",
                     help="also drop minhash near-dup non-survivors")
+    ap.add_argument("--line-dedup", type=int, default=0, metavar="MIN_COUNT",
+                    help="drop sentences occurring >= MIN_COUNT times "
+                         "corpus-wide (C4 boilerplate rule)")
+    ap.add_argument("--drop-tail", action="store_true",
+                    help="drop the per-language tail quality bucket "
+                         "(CCNet head/middle/tail)")
     ap.add_argument("--chunk-tokens", type=int, default=512)
     ap.add_argument("--overlap", type=int, default=64)
     ap.add_argument("--master", default=None)
@@ -83,6 +91,43 @@ def main(argv: list[str] | None = None) -> None:
     decisions = spark.read.parquet(f"{args.out}/decisions")
 
     kept = docs.join(decisions.where(F.col("keep") == 1).select("url"), "url", "left_semi")
+
+    if args.line_dedup:
+        from codebased_spark.textops.sentences import (
+            sentence_occurrence_flags,
+            split_sentences,
+        )
+
+        flags = sentence_occurrence_flags(
+            split_sentences(kept, id_col="url"), min_count=args.line_dedup
+        )
+        rebuilt = (
+            flags.where(F.col("keep"))
+            .groupBy("url")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("sent_idx", "sentence"))
+                        ),
+                        lambda s: s["sentence"],
+                    ),
+                    " ",
+                ).alias("text")
+            )
+        )
+        kept = rebuilt.join(kept.select("url", "lang"), "url")
+
+    if args.drop_tail:
+        from codebased_spark.textops.buckets import assign_quality_buckets
+        from codebased_spark.textops.quality import doc_quality
+
+        scored = doc_quality(kept, id_col="url", keep_cols=("lang",))
+        good = assign_quality_buckets(scored).where(
+            F.col("bucket") != "tail"
+        )
+        kept = kept.join(good.select("url"), "url", "left_semi")
+
     chunks = chunk_documents(
         kept, id_col="url", chunk_tokens=args.chunk_tokens, overlap=args.overlap
     )

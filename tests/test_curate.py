@@ -77,3 +77,47 @@ def test_curate_job_end_to_end(spark, tmp_path):
     assert kept == ["https://a.example.com/keep"]
     chunks = spark.read.parquet(f"{out}/chunks")
     assert chunks.where("url = 'https://a.example.com/keep'").count() == chunks.count()
+
+
+def test_curate_job_line_dedup_and_tail_drop(spark, tmp_path):
+    base = datetime.datetime(2025, 1, 1)
+    boiler = "please subscribe to our newsletter for the daily updates today."
+
+    def body(i, n_sents, with_boiler):
+        sents = " ".join(
+            f"the market{i}x{j} moved and analysts{i}x{j} saw a steady "
+            f"gain{j} in trading."
+            for j in range(n_sents)
+        )
+        return sents + (" " + boiler if with_boiler else "")
+
+    rows = [
+        (f"https://a.example.com/k{i}", base,
+         _html(body(i, 12 if i < 3 else 5, with_boiler=i < 3)), "", "en")
+        for i in range(4)
+    ]
+    pages = spark.createDataFrame(rows, ["url", "warc_ts", "html", "text", "lang"])
+    pages_path = str(tmp_path / "pages")
+    out = str(tmp_path / "out")
+    pages.write.parquet(pages_path)
+
+    proc = subprocess.run(
+        [sys.executable, "jobs/curate_corpus.py", "--pages", pages_path,
+         "--out", out, "--chunk-tokens", "16", "--overlap", "4",
+         "--line-dedup", "3", "--drop-tail", "--master", "local[4]"],
+        capture_output=True, text=True, cwd=REPO, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    report = json.loads(
+        [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    assert report["keep"] == 4  # the filter table keeps all four
+
+    chunks = spark.read.parquet(f"{out}/chunks")
+    urls = {r.url for r in chunks.select("url").distinct().collect()}
+    # k3 (short, lowest quality score) fell into the tail bucket
+    assert urls == {f"https://a.example.com/k{i}" for i in range(3)}
+    # the 3x-repeated boilerplate sentence was removed before chunking
+    assert chunks.where(chunks.chunk_text.contains("subscribe")).count() == 0
+    # real content survived
+    assert chunks.where(chunks.chunk_text.contains("market0x0")).count() >= 1
