@@ -248,6 +248,20 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF-PQ (similarity/pq.py::ann_ivfpq_topk): coarse-cell
+    pruning + ADC codebook scoring — the production billion-vector
+    architecture, value-checked end to end by splicing the two existing
+    oracle unrolls (_ivfpq_sql)."""
+    from codebased_spark.similarity.pq import ann_ivfpq_topk
+
+    return ann_ivfpq_topk(
+        _emb(spark, sf_dir), query_id=0, topk=10, n_cells=8, n_probe=2,
+        m=PQ_M, k=PQ_K, n_iter=PQ_ITERS, n_iter_cells=ANN_KMEANS_ITERS,
+        seed=11, driver_threshold=KMEANS_DRIVER_THRESHOLD,
+    )
+
+
 def tx_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style fixed-length sequence packing (textops/pack.py): the
     (shard, pack, doc, span) assignment manifest over whitespace token
@@ -1516,6 +1530,7 @@ QUERIES = {
     "ann_ivf": ann_ivf,
     "ann_ivf_kmeans": ann_ivf_kmeans,
     "ann_pq": ann_pq,
+    "ann_ivfpq": ann_ivfpq,
     "tx_pack": tx_pack,
     "tx_lang_id": tx_lang_id,
     "tx_quality": tx_quality,
@@ -3530,12 +3545,19 @@ def _pq_sql(
     dim: int = 64,
     query_id: int = 0,
     topk: int = 10,
+    cell_ctes: str = "",
+    cand_where: str = "",
 ) -> str:
     """ann_pq's full trajectory in SQL: m independent portable k-means
     fits (same unroll discipline as _ivf_kmeans_sql) over the vector
     SLICES, per-vector codes by squared-L2 argmin (low-index ties), and
     the ADC distance as the sum of per-subspace codeword lookups —
-    term order ascending by subspace, matching the Spark fold."""
+    term order ascending by subspace, matching the Spark fold.
+
+    `cell_ctes`/`cand_where` let _ivfpq_sql splice an IVF coarse-cell
+    chain in front and restrict the final ADC scan to the probed cells
+    (the composed IVF-PQ stack); CTE names are disjoint by construction
+    (c0 vs c0_0 etc.)."""
     sub = dim // m
     parts = [
         "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
@@ -3595,18 +3617,95 @@ def _pq_sql(
     adc_joins = " ".join(f"JOIN adc{s} a{s} ON a{s}.idx = cd{s}.code" for s in range(m))
     pq_code = " || '-' || ".join(f"cd{s}.code::VARCHAR" for s in range(m))
     total = " + ".join(f"a{s}.dd" for s in range(m))
+    if cell_ctes:
+        parts.append(cell_ctes)
     return f"""
         WITH {",".join(parts)}
         SELECT e.vec_id, {pq_code} AS pq_code,
                floor(({total}) * 10000 + 0.5) / 10000 AS adc_dist
         FROM e {code_joins} {adc_joins}
-        WHERE e.vec_id <> {query_id}
+        WHERE e.vec_id <> {query_id} {cand_where}
         ORDER BY adc_dist ASC, e.vec_id ASC
         LIMIT {topk}
     """
 
 
 ORACLES["ann_pq"] = _pq_sql()
+
+
+def _ivfpq_sql(
+    m: int = PQ_M,
+    k: int = PQ_K,
+    n_iter: int = PQ_ITERS,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    n_iter_cells: int = 4,
+    seed: int = 11,
+    dim: int = 64,
+    query_id: int = 0,
+    topk: int = 10,
+) -> str:
+    """The composed IVF-PQ stack: the _ivf_kmeans_sql coarse-cell chain
+    (fit + final assignment + probe selection) spliced into _pq_sql so
+    ADC scoring only sees vectors in the probed cells — the standard
+    billion-vector serving architecture, value-checked end to end."""
+    sqd = (
+        "list_sum([(e.v[i] - c.v[i]) * (e.v[i] - c.v[i])"
+        f" for i in generate_series(1, {dim})])"
+    )
+    iters = []
+    for t in range(1, n_iter_cells + 1):
+        iters.append(f"""
+        d{t} AS (
+          SELECT e.vec_id, c.idx,
+                 row_number() OVER (PARTITION BY e.vec_id
+                                    ORDER BY {sqd}, c.idx) AS rn
+          FROM e, c{t-1} c
+        ),
+        a{t} AS (SELECT vec_id, idx AS cl FROM d{t} WHERE rn = 1),
+        m{t} AS (
+          SELECT a.cl AS idx, g.i,
+                 floor(avg(e.v[g.i]) * 1000000 + 0.5) / 1000000 AS mv
+          FROM a{t} a JOIN e ON a.vec_id = e.vec_id,
+               generate_series(1, {dim}) AS g(i)
+          GROUP BY a.cl, g.i
+        ),
+        mv{t} AS (SELECT idx, list(mv ORDER BY i) AS v FROM m{t} GROUP BY idx),
+        c{t} AS (
+          SELECT c.idx, coalesce(mv.v, c.v) AS v
+          FROM c{t-1} c LEFT JOIN mv{t} mv ON c.idx = mv.idx
+        )""")
+    cells = f"""c0 AS (
+          SELECT idx, v FROM (
+            SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR || ':{seed}'),
+                                      vec_id) - 1 AS idx, v
+            FROM e
+          ) WHERE idx < {n_cells}
+        ),
+        {",".join(iters)},
+        qfull AS (SELECT v AS qv FROM e WHERE vec_id = {query_id}),
+        pr AS (
+          SELECT c.idx FROM c{n_iter_cells} c, qfull
+          ORDER BY list_sum([(qfull.qv[i] - c.v[i]) * (qfull.qv[i] - c.v[i])
+                             for i in generate_series(1, {dim})]), c.idx
+          LIMIT {n_probe}
+        ),
+        dfin AS (
+          SELECT e.vec_id, c.idx,
+                 row_number() OVER (PARTITION BY e.vec_id
+                                    ORDER BY {sqd}, c.idx) AS rn
+          FROM e, c{n_iter_cells} c
+        ),
+        afin AS (SELECT vec_id, idx AS cl FROM dfin WHERE rn = 1)"""
+    cand = ("AND e.vec_id IN (SELECT a.vec_id FROM afin a "
+            "WHERE a.cl IN (SELECT idx FROM pr))")
+    return _pq_sql(
+        m=m, k=k, n_iter=n_iter, seed=seed, dim=dim, query_id=query_id,
+        topk=topk, cell_ctes=cells, cand_where=cand,
+    )
+
+
+ORACLES["ann_ivfpq"] = _ivfpq_sql(n_iter_cells=ANN_KMEANS_ITERS)
 
 # Sequence packing: same whitespace token count as tx_token_counts; the
 # per-shard cumsum + generate_series explode mirror pack_sequences.

@@ -138,9 +138,15 @@ def ann_pq_topk(
     )
     codes = pq_encode(emb, books, dim=dim, id_col=id_col, vec_col=vec_col)
     qv = _query_vec(emb, query_id, id_col, vec_col)
+    return _adc_rank(codes, books, qv, dim, id_col, query_id, topk)
+
+
+def _adc_rank(codes, books, qv, dim, id_col, query_id, topk):
+    """Shared ADC scoring tail: m x k squared query-to-codeword distance
+    tables shipped as literal arrays; per-row distance is m lookups + an
+    add, ranked ascending with id tie-break."""
+    m = len(books)
     sub = dim // m
-    # ADC table: m x k squared distances from the query's subvectors to
-    # every codeword — computed once, shipped as literal arrays
     dist = F.lit(0.0)
     for s, book in enumerate(books):
         qs = qv[s * sub : (s + 1) * sub]
@@ -161,3 +167,48 @@ def ann_pq_topk(
         .orderBy(F.asc("adc_dist"), F.asc(id_col))
         .limit(topk)
     )
+
+
+def ann_ivfpq_topk(
+    emb: DataFrame,
+    query_id: int = 0,
+    topk: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    k: int = 8,
+    dim: int = 64,
+    n_iter: int = 3,
+    n_iter_cells: int = 4,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    driver_threshold: int = 0,
+) -> DataFrame:
+    """The composed IVF-PQ stack — the standard billion-vector serving
+    architecture: an IVF coarse quantizer (kmeans_fit portable) prunes
+    the scan to the n_probe cells nearest the query, and PQ ADC lookups
+    score only those members. At 10^12 vectors the scan touches
+    n_probe/n_cells of the code table (itself 64x smaller than the float
+    corpus); both fits are index-build-time and sample-trainable
+    (driver_threshold). Same output contract as ann_pq_topk.
+    """
+    from codebased_spark.similarity.ann import _query_vec
+    from codebased_spark.similarity.kmeans import assign_clusters
+
+    cells = kmeans_fit(
+        emb, k=n_cells, max_iter=n_iter_cells, seed=seed, portable=True,
+        id_col=id_col, vec_col=vec_col, driver_threshold=driver_threshold,
+    )
+    qv = _query_vec(emb, query_id, id_col, vec_col)
+    dists = [sum((a - b) ** 2 for a, b in zip(qv, c)) for c in cells]
+    probes = sorted(range(len(dists)), key=lambda i: (dists[i], i))[:n_probe]
+    cand = assign_clusters(emb, cells, vec_col=vec_col).where(
+        F.col("cluster").isin(probes)
+    )
+    books = pq_fit(
+        emb, m=m, k=k, dim=dim, n_iter=n_iter, seed=seed,
+        id_col=id_col, vec_col=vec_col, driver_threshold=driver_threshold,
+    )
+    codes = pq_encode(cand, books, dim=dim, id_col=id_col, vec_col=vec_col)
+    return _adc_rank(codes, books, qv, dim, id_col, query_id, topk)

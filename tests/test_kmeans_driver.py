@@ -57,3 +57,36 @@ def test_fewer_rows_than_k(spark):
     dist = kmeans_fit(emb, k=4, max_iter=2, seed=11, portable=True)
     assert drv == dist
     assert len(drv) == 2
+
+
+def test_ivfpq_probing_all_cells_equals_plain_pq(spark):
+    from codebased_spark.similarity.pq import ann_ivfpq_topk
+
+    emb = _emb(spark, n=80, dim=16)
+    kw = dict(query_id=0, topk=5, m=4, k=4, dim=16, n_iter=2, seed=11)
+    pq = [tuple(r) for r in ann_pq_topk(emb, **kw).collect()]
+    full_probe = [
+        tuple(r)
+        for r in ann_ivfpq_topk(
+            emb, n_cells=4, n_probe=4, n_iter_cells=2, **kw
+        ).collect()
+    ]
+    assert full_probe == pq  # probing every cell degenerates to plain PQ
+
+
+def test_ivfpq_prunes_to_probed_cells(spark):
+    from codebased_spark.similarity.kmeans import assign_clusters, kmeans_fit
+    from codebased_spark.similarity.pq import ann_ivfpq_topk
+
+    emb = _emb(spark, n=80, dim=16)
+    kw = dict(query_id=0, topk=20, m=4, k=4, dim=16, n_iter=2, seed=11)
+    out = ann_ivfpq_topk(emb, n_cells=4, n_probe=1, n_iter_cells=2, **kw)
+    got_ids = {r.vec_id for r in out.collect()}
+    cells = kmeans_fit(emb, k=4, max_iter=2, seed=11, portable=True)
+    assigned = {
+        r.vec_id: r.cluster
+        for r in assign_clusters(emb, cells).select("vec_id", "cluster").collect()
+    }
+    probed = {assigned[i] for i in got_ids}
+    assert len(probed) == 1  # every result lives in the single probed cell
+    assert 0 not in got_ids  # the query itself is excluded
