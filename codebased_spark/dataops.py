@@ -327,6 +327,15 @@ def tx_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_sentences(planted)
 
 
+def tx_hashing_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed sparse doc vectors (textops/feature_hash.py):
+    dictionary-free vectorization via a portable md5 bucket hash —
+    the 10^12-doc vectorizer that needs no vocabulary pass."""
+    from codebased_spark.textops.feature_hash import hashed_tf
+
+    return hashed_tf(_docs(spark, sf_dir), dim=1024)
+
+
 def tx_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-LM quality proxy (textops/lmscore.py): known-bigram
     fraction at min_df=30 — the exactly-checkable CCNet-perplexity
@@ -1539,6 +1548,7 @@ QUERIES = {
     "tx_sentences": tx_sentences,
     "dd_sentence_dups": dd_sentence_dups,
     "tx_lm_score": tx_lm_score,
+    "tx_hashing_tf": tx_hashing_tf,
     "tx_winnow": tx_winnow,
     "tx_decontaminate": tx_decontaminate,
     "tx_redact": tx_redact,
@@ -2129,6 +2139,15 @@ ORACLES = {
                      + (CASE WHEN mean_tok_len >= 3 AND mean_tok_len <= 10
                              THEN 0.25 ELSE 0 END)) * 10000 + 0.5) / 10000 AS quality_score
         FROM r
+    """,
+    # same md5-hex bucket parse on both engines (conv <-> '0x'||...::BIGINT)
+    "tx_hashing_tf": f"""
+        WITH {_TOKS},
+        x AS (SELECT doc_id, unnest(toks) AS tok FROM t)
+        SELECT doc_id,
+               (('0x' || substr(md5(tok), 1, 8))::BIGINT % 1024) AS bucket,
+               count(*) AS tf
+        FROM x GROUP BY 1, 2
     """,
     # bigram instances + corpus-wide counts by string (Spark counts by
     # xxhash64; collision-free here), integer-ratio fraction
