@@ -1085,6 +1085,30 @@ def kg_link_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_crawl_pacing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness pacing (sources/frontier.py::paced_schedule): the
+    host-fair waves joined with REAL Crawl-delay parsing of planted
+    per-host robots bodies (delay = source-index % 5 + 1); wave w may
+    fetch at w*delay seconds. Broadcast delay join, integer arithmetic."""
+    from codebased_spark.sources.frontier import paced_schedule, schedule_frontier
+    from codebased_spark.synth.pages import pages_from_documents_spark
+
+    docs = _docs(spark, sf_dir)
+    sched = schedule_frontier(
+        pages_from_documents_spark(docs).select("url")
+    )
+    idx = F.substring(F.col("source"), 4, 10).cast("int")
+    robots = docs.select("source").distinct().select(
+        F.concat(F.col("source"), F.lit(".example.org")).alias("host"),
+        F.concat(
+            F.lit("User-agent: *\nCrawl-delay: "),
+            (idx % 5 + 1).cast("string"),
+            F.lit("\nDisallow: /private/\n"),
+        ).alias("robots_txt"),
+    )
+    return paced_schedule(sched, robots)
+
+
 def kg_anchor_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text dictionary prior P(target | surface) — the Wikipedia-
     anchor commonness prior for entity linking (extract/anchors.py::
@@ -1597,6 +1621,7 @@ QUERIES = {
     "kg_crawl_schedule": kg_crawl_schedule,
     "kg_anchor_dictionary": kg_anchor_dictionary,
     "kg_url_templates": kg_url_templates,
+    "kg_crawl_pacing": kg_crawl_pacing,
     "kg_canonical_collapse": kg_canonical_collapse,
     "kg_triple_lifespan": kg_triple_lifespan,
     "g_hits": g_hits,
@@ -2735,6 +2760,22 @@ ORACLES = {
                  AS prior,
                rnk
         FROM t
+    """,
+    # the kg_crawl_schedule waves + planted per-host Crawl-delay
+    "kg_crawl_pacing": """
+        WITH u AS (
+          SELECT 'https://' || source || '.example.org/' || lang || '/doc/'
+                   || doc_id AS url,
+                 source || '.example.org' AS host,
+                 substr(source, 4)::INT % 5 + 1 AS delay_s
+          FROM documents
+        )
+        SELECT url, host,
+               row_number() OVER (PARTITION BY host ORDER BY url) - 1 AS wave,
+               delay_s,
+               (row_number() OVER (PARTITION BY host ORDER BY url) - 1)
+                 * delay_s AS fetch_after_s
+        FROM u
     """,
     # digit runs -> '{n}': every doc url folds into /{lang}/doc/{n}
     "kg_url_templates": """

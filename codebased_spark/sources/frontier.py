@@ -49,3 +49,29 @@ def schedule_frontier(
         .withColumn("wave", F.row_number().over(w) - 1)
         .drop("_pri")
     )
+
+
+def paced_schedule(
+    schedule: DataFrame,
+    robots: DataFrame,
+    default_delay_s: int = 1,
+    host_col_name: str = "host",
+    body_col: str = "robots_txt",
+) -> DataFrame:
+    """schedule + (delay_s, fetch_after_s): politeness pacing — wave w on
+    a host with Crawl-delay d may fetch no earlier than w*d seconds into
+    the run (one fetch per host per wave, waves d seconds apart). Hosts
+    without a robots row or directive use default_delay_s. Broadcast-
+    sized join: one delay row per host."""
+    from codebased_spark.sources.robots import crawl_delay_col
+
+    delays = robots.select(
+        F.col(host_col_name).alias("host"),
+        crawl_delay_col(F.col(body_col)).alias("_d"),
+    )
+    return (
+        schedule.join(F.broadcast(delays), "host", "left")
+        .withColumn("delay_s", F.coalesce("_d", F.lit(default_delay_s)))
+        .drop("_d")
+        .withColumn("fetch_after_s", F.col("wave") * F.col("delay_s"))
+    )

@@ -178,3 +178,13 @@ def apply_robots(
     return joined.withColumn("allowed", best["allow"].cast("int")).drop(
         "_host", "_path", "rules"
     )
+
+
+def crawl_delay_col(robots_col: Column) -> Column:
+    """First `Crawl-delay: N` directive in the robots body (integer
+    seconds), NULL when absent. Deliberately group-agnostic — the
+    directive is non-standard (absent from RFC 9309) and major crawlers
+    treat it as a host-global hint; the full UA-group machinery above is
+    for the normative Allow/Disallow rules."""
+    d = F.regexp_extract(robots_col, r"(?i)crawl-delay:\s*([0-9]+)", 1)
+    return F.when(d != "", d.cast("int"))

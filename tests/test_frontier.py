@@ -51,3 +51,31 @@ def test_duplicate_urls_deduped(spark):
     out = schedule_frontier(urls)
     assert out.count() == 2
     assert {r.wave for r in out.collect()} == {0, 1}
+
+
+def test_paced_schedule_crawl_delay(spark):
+    from codebased_spark.sources.frontier import paced_schedule
+
+    urls = spark.createDataFrame(
+        [(f"https://slow.org/p{i}",) for i in range(3)]
+        + [(f"https://fast.org/p{i}",) for i in range(3)]
+        + [("https://norobots.org/p0",)],
+        ["url"],
+    )
+    robots = spark.createDataFrame(
+        [
+            ("slow.org", "User-agent: *\nCrawl-Delay: 10\nDisallow: /x/"),
+            ("fast.org", "User-agent: *\nDisallow: /y/"),  # no directive
+        ],
+        ["host", "robots_txt"],
+    )
+    out = {
+        (r.host, r.wave): (r.delay_s, r.fetch_after_s)
+        for r in paced_schedule(
+            schedule_frontier(urls), robots, default_delay_s=2
+        ).collect()
+    }
+    assert out[("slow.org", 0)] == (10, 0)
+    assert out[("slow.org", 2)] == (10, 20)
+    assert out[("fast.org", 2)] == (2, 4)      # default: no directive
+    assert out[("norobots.org", 0)] == (2, 0)  # default: no robots row
