@@ -9,6 +9,8 @@ performs before fetching anything:
     -> robots compliance          (sources/robots.py, RFC 9309, optional)
     -> host-fair politeness waves (sources/frontier.py: one url per host
                                    per wave, stalest first)
+    -> Crawl-delay pacing         (robots Crawl-delay x wave ->
+                                   fetch_after_s, when --robots given)
 
 Outputs under --out:
     schedule/   (url, host, wave) parquet — wave w is a fetchable batch
@@ -73,6 +75,10 @@ def main(argv: list[str] | None = None) -> None:
             F.col("_declared"), F.lit("1970-01-01").cast("timestamp")
         )
     )
+    if args.robots:
+        from codebased_spark.sources.frontier import paced_schedule
+
+        schedule = paced_schedule(schedule, robots)
     schedule.write.mode("overwrite").parquet(f"{args.out}/schedule")
 
     out = spark.read.parquet(f"{args.out}/schedule")

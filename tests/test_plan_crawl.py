@@ -85,3 +85,32 @@ def test_plan_crawl_end_to_end(spark, tmp_path):
     assert sched["https://a.example.com/never"] == ("a.example.com", 0)
     assert sched["https://a.example.com/new"] == ("a.example.com", 1)
     assert sched["https://b.example.com/x"] == ("b.example.com", 0)
+
+
+def test_plan_crawl_pacing_columns(spark, tmp_path):
+    sitemaps = spark.createDataFrame(
+        [("a.example.com", _sitemap([
+            ("https://a.example.com/u1", None),
+            ("https://a.example.com/u2", None),
+        ]))],
+        ["host", "sitemap_xml"],
+    )
+    robots = spark.createDataFrame(
+        [("a.example.com", "User-agent: *\nCrawl-delay: 7\n")],
+        ["host", "robots_txt"],
+    )
+    sm, rb = str(tmp_path / "sm"), str(tmp_path / "rb")
+    out = str(tmp_path / "out")
+    sitemaps.write.parquet(sm)
+    robots.write.parquet(rb)
+    proc = subprocess.run(
+        [sys.executable, "jobs/plan_crawl.py", "--sitemaps", sm,
+         "--robots", rb, "--out", out, "--master", "local[4]"],
+        capture_output=True, text=True, cwd=REPO, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    sched = {
+        r.wave: (r.delay_s, r.fetch_after_s)
+        for r in spark.read.parquet(f"{out}/schedule").collect()
+    }
+    assert sched == {0: (7, 0), 1: (7, 7)}
