@@ -885,6 +885,38 @@ def g_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def g_node_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed per-node feature table for graph ML — the artifact a KG
+    link-prediction / spam-classification pipeline materializes: out-
+    degree, 2-core membership (3 peel rounds), bounded reach and
+    harmonic centrality, one row per node with out-edges. Oracle embeds
+    the component oracles verbatim (tx_filter_pipeline discipline), so
+    the features can never drift from the standalone checks."""
+    edges = _doc_edges(spark, sf_dir)
+    deg = (
+        edges.where(F.col("src") != F.col("dst"))
+        .groupBy(F.col("src").alias("doc_id"))
+        .agg(F.countDistinct("dst").alias("out_degree"))
+    )
+    from codebased_spark.graph.kcore import k_core_members
+
+    core = k_core_members(edges, k=2, rounds=3).select(
+        F.col("node").alias("doc_id"), F.lit(1).alias("in_2core")
+    )
+    harm = g_harmonic(spark, sf_dir)
+    return (
+        deg.join(core, "doc_id", "left")
+        .join(harm, "doc_id", "left")
+        .select(
+            "doc_id",
+            "out_degree",
+            F.coalesce("in_2core", F.lit(0)).alias("in_2core"),
+            F.coalesce("n_reach", F.lit(0)).alias("n_reach"),
+            F.coalesce("harmonic", F.lit(0.0)).alias("harmonic"),
+        )
+    )
+
+
 def _ring_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The e1 (ring-only) slice of _doc_edges: 6-rings with deterministic
     breaks — small per-origin closures, so the UNBOUNDED operator has a
@@ -1607,6 +1639,7 @@ QUERIES = {
     "g_scc": g_scc,
     "g_kcore": g_kcore,
     "g_harmonic": g_harmonic,
+    "g_node_features": g_node_features,
     "g_walks": g_walks,
     "g_lpa": g_lpa,
     "g_cycle_members": g_cycle_members,
@@ -3378,6 +3411,25 @@ ORACLES = {
         FROM t GROUP BY target
     """,
 }
+
+# Composed from the component oracles (same SQL text by construction):
+# degree + 2-core + bounded reach/harmonic per node.
+ORACLES["g_node_features"] = f"""
+    WITH {_EDGES_SQL},
+    deg AS (
+      SELECT src AS doc_id, count(DISTINCT dst) AS out_degree
+      FROM edges WHERE src <> dst GROUP BY 1
+    ),
+    core AS (SELECT doc_id, 1 AS in_2core FROM ({ORACLES["g_kcore"]})),
+    harm AS (SELECT doc_id, n_reach, harmonic FROM ({ORACLES["g_harmonic"]}))
+    SELECT d.doc_id, d.out_degree,
+           coalesce(core.in_2core, 0) AS in_2core,
+           coalesce(harm.n_reach, 0) AS n_reach,
+           coalesce(harm.harmonic, 0.0) AS harmonic
+    FROM deg d
+    LEFT JOIN core USING (doc_id)
+    LEFT JOIN harm USING (doc_id)
+"""
 
 # Composed from the component oracles (same SQL text by construction), so
 # the filter rules can never drift from the standalone tx_quality /
