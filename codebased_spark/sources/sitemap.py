@@ -89,7 +89,10 @@ _PUBDATE_RE = "(?s)<(?:pubDate|updated|published)[^>]*>\\s*(.*?)\\s*</(?:pubDate
 
 
 def parse_feed(
-    feeds: DataFrame, host: str = "host", body: str = "feed_xml"
+    feeds: DataFrame,
+    host: str = "host",
+    body: str = "feed_xml",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(host, title, link, published) — one row per RSS <item> / Atom
     <entry>. RSS carries the link as element text, Atom as an href
@@ -98,7 +101,9 @@ def parse_feed(
     dates yield NULL. Same crawl-discovery family as parse_sitemap —
     feeds declare NEW urls with freshness before any sitemap updates."""
     e = feeds.select(
-        F.col(host), F.explode(_entries(F.col(body), _ITEM_RE)).alias("_e")
+        F.col(host),
+        *[F.col(c) for c in keep_cols],
+        F.explode(_entries(F.col(body), _ITEM_RE)).alias("_e"),
     )
     link_attr = F.regexp_extract("_e", _FEED_LINK_RE, 1)
     link_text = F.regexp_extract("_e", _FEED_LINK_RE, 2)
@@ -107,6 +112,7 @@ def parse_feed(
     return (
         e.select(
             host,
+            *keep_cols,
             F.when(title != "", title).alias("title"),
             F.when(link_attr != "", link_attr)
             .when(link_text != "", link_text)

@@ -136,3 +136,50 @@ def test_stream_exact_dedup_matches_batch(spark, tmp_path):
     # one row per content hash, and none of them is a late duplicate url
     assert got.select("content_sha256").distinct().count() == batch_distinct
     assert got.where(F.col("url").startswith("dup-")).count() == 0
+
+
+def test_stream_feed_discovery_dedups_urls(spark, tmp_path):
+    """Streaming feed discovery: entries parsed with the batch column
+    expressions, urls deduped within the watermark — a url republished
+    by a second feed enters the frontier once."""
+    import datetime
+
+    from codebased_spark.streaming.discovery import stream_feed_discovery
+
+    def rss(host, links):
+        items = "".join(
+            f"<item><title>t {l}</title><link>https://{host}/{l}</link></item>"
+            for l in links
+        )
+        return f"<rss><channel>{items}</channel></rss>"
+
+    t0 = datetime.datetime(2025, 1, 1, 12, 0)
+    rows = [
+        ("a.org", rss("a.org", ["p1", "p2"]), t0),
+        # second fetch 10 min later republishes p2 and adds p3
+        ("a.org", rss("a.org", ["p2", "p3"]), t0 + datetime.timedelta(minutes=10)),
+        ("b.org", rss("b.org", ["p1"]), t0),
+    ]
+    src = str(tmp_path / "feeds")
+    sink = str(tmp_path / "fsink")
+    ckpt = str(tmp_path / "fckpt")
+    spark.createDataFrame(rows, ["host", "feed_xml", "fetched_at"]).write.parquet(src)
+
+    sdf = stream_feed_discovery(spark, src, watermark="1 hour")
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {r.url for r in spark.read.parquet(sink).collect()}
+    assert got == {
+        "https://a.org/p1", "https://a.org/p2", "https://a.org/p3",
+        "https://b.org/p1",
+    }
+    # p2 entered once despite the republish
+    assert spark.read.parquet(sink).count() == 4
