@@ -1186,6 +1186,20 @@ def kg_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_table_cells(pages_with_tables_spark(_docs(spark, sf_dir)))
 
 
+def kg_table_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebTables-style triple lifting (extract/tables.py::table_triples):
+    header row → predicates, first column → row entity, every other cell
+    → (subj, pred, obj). Runs on REAL extraction over the planted tables
+    (incl. the adversarial uppercase form); oracle restates the 4 lifted
+    triples per doc declaratively."""
+    from codebased_spark.extract.tables import html_table_cells, table_triples
+    from codebased_spark.synth.pages import pages_with_tables_spark
+
+    return table_triples(
+        html_table_cells(pages_with_tables_spark(_docs(spark, sf_dir)))
+    )
+
+
 def kg_jsonld(spark: SparkSession, sf_dir: str) -> DataFrame:
     """schema.org JSON-LD entity extraction (extract/jsonld.py): regexp
     block collection + JVM from_json parse; malformed blocks (every 10th
@@ -1659,6 +1673,7 @@ QUERIES = {
     "kg_triple_lifespan": kg_triple_lifespan,
     "g_hits": g_hits,
     "kg_html_tables": kg_html_tables,
+    "kg_table_triples": kg_table_triples,
     "kg_jsonld": kg_jsonld,
     "kg_negatives": kg_negatives,
     "kg_robots": kg_robots,
@@ -2893,6 +2908,20 @@ ORACLES = {
         SELECT hyponym, hypernym, count(DISTINCT doc_id) AS n_docs,
                count(*) AS n_mentions
         FROM t GROUP BY 1, 2
+    """,
+    # the 4 lifted (subj, pred, obj) per planted table, stated directly
+    "kg_table_triples": """
+        WITH p AS (
+          SELECT 'https://' || source || '.example.org/' || lang || '/doc/'
+                   || doc_id AS url,
+                 source, lang, n_chars, doc_id
+          FROM documents
+        )
+        SELECT url, source AS subj, 'lang' AS pred, lang AS obj FROM p
+        UNION ALL SELECT url, source, 'chars', n_chars::VARCHAR FROM p
+        UNION ALL SELECT url, 'doc ' || doc_id, 'lang', 'mixed' FROM p
+        UNION ALL SELECT url, 'doc ' || doc_id, 'chars',
+                         (doc_id % 7)::VARCHAR FROM p
     """,
     "kg_url_parts": """
         SELECT 'https://' || source || '.example.org/' || lang || '/doc/' || doc_id AS url,

@@ -65,3 +65,28 @@ def html_table_cells(pages: DataFrame, html_col: str = "html") -> DataFrame:
             F.posexplode("_r").alias("col_idx", "cell"),
         )
     )
+
+
+def table_triples(cells: DataFrame) -> DataFrame:
+    """WebTables-style triple lifting (Cafarella et al. 2008): row 0 is
+    the header, column 0 of each data row is the row's entity key, and
+    every other cell becomes (subj=key, pred=header[col], obj=cell) —
+    the tables-to-KG step that turns relational web markup into edges
+    the graph can join with text-derived triples.
+
+    Input: the (url, table_idx, row_idx, col_idx, cell) relation from
+    html_table_cells. Two narrow equi-joins keyed on (url, table_idx,
+    col_idx)/(url, table_idx, row_idx) — header and key sides are
+    table-count-sized, never page-content-sized."""
+    hdr = cells.where(F.col("row_idx") == 0).select(
+        "url", "table_idx", "col_idx", F.col("cell").alias("pred")
+    )
+    keys = cells.where((F.col("row_idx") > 0) & (F.col("col_idx") == 0)).select(
+        "url", "table_idx", "row_idx", F.col("cell").alias("subj")
+    )
+    vals = cells.where((F.col("row_idx") > 0) & (F.col("col_idx") > 0))
+    return (
+        vals.join(hdr, ["url", "table_idx", "col_idx"])
+        .join(keys, ["url", "table_idx", "row_idx"])
+        .select("url", "subj", "pred", F.col("cell").alias("obj"))
+    )

@@ -40,3 +40,24 @@ def test_plan_is_pure_jvm(spark):
     df = html_table_cells(_pages(spark, "<table><tr><td>x</td></tr></table>"))
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_table_triples_lifting(spark):
+    from codebased_spark.extract.tables import html_table_cells, table_triples
+
+    html = (
+        "<html><body><table>"
+        "<tr><th>name</th><th>pop</th><th>cap</th></tr>"
+        "<tr><td>France</td><td>68</td><td>Paris</td></tr>"
+        "<tr><td>Japan</td><td>125</td><td>Tokyo</td></tr>"
+        "</table></body></html>"
+    ).encode()
+    pages = spark.createDataFrame([("https://x.org/1", html)], ["url", "html"])
+    got = {
+        (r.subj, r.pred, r.obj)
+        for r in table_triples(html_table_cells(pages)).collect()
+    }
+    assert got == {
+        ("France", "pop", "68"), ("France", "cap", "Paris"),
+        ("Japan", "pop", "125"), ("Japan", "cap", "Tokyo"),
+    }
