@@ -1200,6 +1200,16 @@ def kg_table_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_definition_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Definition-list (infobox-style) key/value extraction
+    (extract/tables.py::definition_pairs) over planted <dl> markup incl.
+    the adversarial uppercase/nested form. Map-only regexps."""
+    from codebased_spark.extract.tables import definition_pairs
+    from codebased_spark.synth.pages import pages_with_dl_spark
+
+    return definition_pairs(pages_with_dl_spark(_docs(spark, sf_dir)))
+
+
 def kg_jsonld(spark: SparkSession, sf_dir: str) -> DataFrame:
     """schema.org JSON-LD entity extraction (extract/jsonld.py): regexp
     block collection + JVM from_json parse; malformed blocks (every 10th
@@ -1674,6 +1684,7 @@ QUERIES = {
     "g_hits": g_hits,
     "kg_html_tables": kg_html_tables,
     "kg_table_triples": kg_table_triples,
+    "kg_definition_lists": kg_definition_lists,
     "kg_jsonld": kg_jsonld,
     "kg_negatives": kg_negatives,
     "kg_robots": kg_robots,
@@ -2908,6 +2919,20 @@ ORACLES = {
         SELECT hyponym, hypernym, count(DISTINCT doc_id) AS n_docs,
                count(*) AS n_mentions
         FROM t GROUP BY 1, 2
+    """,
+    # the 2 planted dt/dd pairs per doc, restated declaratively
+    "kg_definition_lists": """
+        WITH p AS (
+          SELECT 'https://' || source || '.example.org/' || lang || '/doc/'
+                   || doc_id AS url,
+                 source, doc_id
+          FROM documents
+        )
+        SELECT url, 0 AS dl_idx, 'author' AS key,
+               'team ' || source AS value FROM p
+        UNION ALL
+        SELECT url, 0, 'updated',
+               '2025-01-' || lpad((doc_id % 28 + 1)::VARCHAR, 2, '0') FROM p
     """,
     # the 4 lifted (subj, pred, obj) per planted table, stated directly
     "kg_table_triples": """

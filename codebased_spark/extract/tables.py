@@ -90,3 +90,41 @@ def table_triples(cells: DataFrame) -> DataFrame:
         .join(keys, ["url", "table_idx", "row_idx"])
         .select("url", "subj", "pred", F.col("cell").alias("obj"))
     )
+
+
+# definition lists — the infobox-style key/value markup family
+_DL_RE = "(?is)<dl\\b[^>]*>(.*?)</dl\\s*>"
+_DT_DD_RE = "(?is)<dt\\b[^>]*>(.*?)</dt\\s*>\\s*<dd\\b[^>]*>(.*?)</dd\\s*>"
+
+
+def definition_pairs(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """(url, dl_idx, key, value): <dt>/<dd> pairs from definition lists —
+    the infobox-style key-value markup family beside tables/JSON-LD/
+    microdata. Case/attribute tolerant per the house markup rule; nested
+    markup inside keys/values is stripped by the shared _clean. Map-only
+    regexps in codegen; one explode, no shuffle."""
+    h = F.col(html_col).cast("string")
+    dls = F.regexp_extract_all(h, F.lit(_DL_RE), 1)
+
+    def pairs_of(dl):
+        matches = F.regexp_extract_all(dl, F.lit(_DT_DD_RE), 0)
+        return F.transform(
+            matches,
+            lambda m: F.struct(
+                _clean(F.regexp_extract(m, _DT_DD_RE, 1)).alias("key"),
+                _clean(F.regexp_extract(m, _DT_DD_RE, 2)).alias("value"),
+            ),
+        )
+
+    return (
+        pages.select(
+            F.col("url"),
+            F.posexplode(F.transform(dls, pairs_of)).alias("dl_idx", "_kv"),
+        )
+        .select("url", "dl_idx", F.explode("_kv").alias("_p"))
+        .select(
+            "url", "dl_idx",
+            F.col("_p.key").alias("key"), F.col("_p.value").alias("value"),
+        )
+        .where(F.col("key") != "")
+    )

@@ -693,3 +693,28 @@ def pages_with_crosshost_links_spark(docs):
         ),
     ).otherwise(F.lit(""))
     return pages_from_documents_spark(docs, body_extra=F.concat(fwd, back))
+
+
+def pages_with_dl_spark(docs):
+    """pages_from_documents_spark plus a planted definition list: author
+    and updated keys derived from columns; on doc_id % 3 == 2 the markup
+    is the adversarial uppercase-attribute form with nested <b> in the
+    value (values identical, so the oracle is unchanged)."""
+    from pyspark.sql import functions as F
+
+    author = F.concat(F.lit("team "), F.col("source"))
+    updated = F.concat(
+        F.lit("2025-01-"),
+        F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+    )
+    canonical = F.concat(
+        F.lit("<dl><dt>author</dt><dd>"), author,
+        F.lit("</dd><dt>updated</dt><dd>"), updated, F.lit("</dd></dl>"),
+    )
+    shouty = F.concat(
+        F.lit("<DL class='meta'><DT id='a'>author</DT> <DD><b>"), author,
+        F.lit("</b></DD><DT>updated</DT><DD>"), updated,
+        F.lit("</DD></DL>"),
+    )
+    dl = F.when(F.col("doc_id") % 3 == 2, shouty).otherwise(canonical)
+    return pages_from_documents_spark(docs, body_extra=dl)

@@ -61,3 +61,24 @@ def test_table_triples_lifting(spark):
         ("France", "pop", "68"), ("France", "cap", "Paris"),
         ("Japan", "pop", "125"), ("Japan", "cap", "Tokyo"),
     }
+
+
+def test_definition_pairs(spark):
+    from codebased_spark.extract.tables import definition_pairs
+
+    html = (
+        "<html><body>"
+        "<dl><dt>k1</dt><dd>v1</dd><dt>k2</dt><dd><i>v2</i></dd></dl>"
+        "<DL CLASS='m'><DT>K3</DT> <DD> v3 spaced </DD></DL>"
+        "<dl><dt></dt><dd>dropped: empty key</dd></dl>"
+        "</body></html>"
+    ).encode()
+    pages = spark.createDataFrame([("https://x.org/1", html)], ["url", "html"])
+    got = {
+        (r.dl_idx, r.key, r.value) for r in definition_pairs(pages).collect()
+    }
+    assert got == {
+        (0, "k1", "v1"),
+        (0, "k2", "v2"),        # nested markup stripped
+        (1, "K3", "v3 spaced"),  # uppercase form + whitespace collapse
+    }
