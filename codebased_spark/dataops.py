@@ -1200,6 +1200,23 @@ def kg_table_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_predicate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate profiling over the lifted table triples — the KG
+    schema-induction pass: per predicate, triple/subject/object counts
+    and cardinality ratios (n_triples == n_subjects ⇒ functional — each
+    subject asserts it once), all exact integers. One vocabulary-sized
+    aggregate over the triple stream."""
+    t = kg_table_triples(spark, sf_dir)
+    return t.groupBy("pred").agg(
+        F.count(F.lit(1)).alias("n_triples"),
+        F.countDistinct("subj").alias("n_subjects"),
+        F.countDistinct("obj").alias("n_objects"),
+    ).withColumn(
+        "functional",
+        (F.col("n_triples") == F.col("n_subjects")).cast("int"),
+    )
+
+
 def kg_definition_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Definition-list (infobox-style) key/value extraction
     (extract/tables.py::definition_pairs) over planted <dl> markup incl.
@@ -1685,6 +1702,7 @@ QUERIES = {
     "kg_html_tables": kg_html_tables,
     "kg_table_triples": kg_table_triples,
     "kg_definition_lists": kg_definition_lists,
+    "kg_predicate_stats": kg_predicate_stats,
     "kg_jsonld": kg_jsonld,
     "kg_negatives": kg_negatives,
     "kg_robots": kg_robots,
@@ -2919,6 +2937,28 @@ ORACLES = {
         SELECT hyponym, hypernym, count(DISTINCT doc_id) AS n_docs,
                count(*) AS n_mentions
         FROM t GROUP BY 1, 2
+    """,
+    # the kg_table_triples stream grouped by predicate, exact integers
+    "kg_predicate_stats": """
+        WITH p AS (
+          SELECT 'https://' || source || '.example.org/' || lang || '/doc/'
+                   || doc_id AS url,
+                 source, lang, n_chars, doc_id
+          FROM documents
+        ),
+        t AS (
+          SELECT url, source AS subj, 'lang' AS pred, lang AS obj FROM p
+          UNION ALL SELECT url, source, 'chars', n_chars::VARCHAR FROM p
+          UNION ALL SELECT url, 'doc ' || doc_id, 'lang', 'mixed' FROM p
+          UNION ALL SELECT url, 'doc ' || doc_id, 'chars',
+                           (doc_id % 7)::VARCHAR FROM p
+        )
+        SELECT pred, count(*) AS n_triples,
+               count(DISTINCT subj) AS n_subjects,
+               count(DISTINCT obj) AS n_objects,
+               CASE WHEN count(*) = count(DISTINCT subj)
+                    THEN 1 ELSE 0 END AS functional
+        FROM t GROUP BY pred
     """,
     # the 2 planted dt/dd pairs per doc, restated declaratively
     "kg_definition_lists": """
