@@ -383,6 +383,18 @@ def tx_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return redact_patterns(planted)
 
 
+def mm_image_alt_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAION-style caption-pair mining (extract/images.py): <img src/alt>
+    pairs with relative srcs RFC-resolved and the decorative alt=""
+    dropped; adversarial uppercase/alt-first markup planted. This is the
+    discovery half of the multimodal pipeline — pairs join media/ decode
+    for bytes."""
+    from codebased_spark.extract.images import image_alt_pairs
+    from codebased_spark.synth.pages import pages_with_images_spark
+
+    return image_alt_pairs(pages_with_images_spark(_docs(spark, sf_dir)))
+
+
 def mm_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_metadata(media_from_documents(_docs(spark, sf_dir)))
 
@@ -1664,6 +1676,7 @@ QUERIES = {
     "kg_doc_entity_types": kg_doc_entity_types,
     "kg_top_docs_per_type": kg_top_docs_per_type,
     "mm_media_meta": mm_media_meta,
+    "mm_image_alt_pairs": mm_image_alt_pairs,
     "mm_real_decode": mm_real_decode,
     "mm_sample_stats": mm_sample_stats,
     "kg_page_meta": kg_page_meta,
@@ -2937,6 +2950,25 @@ ORACLES = {
         SELECT hyponym, hypernym, count(DISTINCT doc_id) AS n_docs,
                count(*) AS n_mentions
         FROM t GROUP BY 1, 2
+    """,
+    # planted <img> pairs: relative src resolved to the host, external
+    # image on even ids, decorative alt="" dropped by the length bar
+    "mm_image_alt_pairs": """
+        WITH p AS (
+          SELECT 'https://' || source || '.example.org/' || lang || '/doc/'
+                   || doc_id AS src_url,
+                 'https://' || source || '.example.org' AS host,
+                 lang, doc_id,
+                 doc_id % 31 AS n31, doc_id % 13 AS n13
+          FROM documents
+        )
+        SELECT src_url, host || '/media/img/' || n31 || '.png' AS image_url,
+               'photo of item ' || n31 || ' in ' || lang AS alt
+        FROM p
+        UNION ALL
+        SELECT src_url, 'https://img.example.net/x/' || n13 || '.jpg',
+               'chart ' || n13 || ' overview'
+        FROM p WHERE doc_id % 2 = 0
     """,
     # the kg_table_triples stream grouped by predicate, exact integers
     "kg_predicate_stats": """

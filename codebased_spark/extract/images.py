@@ -1,0 +1,56 @@
+"""Image-alt pair mining — the LAION-style caption-pair extractor.
+
+Image-text training corpora (LAION, CC-variants) are mined exactly like
+this: every <img> whose alt text passes a minimal quality bar yields an
+(image_url, caption) candidate pair; the image url resolves against the
+page's <base href>/url like any other reference, and pairs join
+downstream with the media decode stage (media/) for the bytes.
+
+House markup rules apply: case-insensitive, quote-agnostic,
+attribute-order-free (src and alt in either order), map-only JVM
+regexps; the only shuffle is whatever the caller aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from codebased_spark.extract.urlops import base_href_col, resolve_url_col
+
+_IMG_RE = r"(?is)<img\b[^>]*>"
+_SRC_RE = r"(?is)\bsrc\s*=\s*[\"']([^\"']+)[\"']"
+_ALT_RE = r"(?is)\balt\s*=\s*[\"']([^\"']*)[\"']"
+
+
+def image_alt_pairs(
+    pages: DataFrame, html_col: str = "html", min_alt_chars: int = 5
+) -> DataFrame:
+    """(src_url, image_url, alt): one row per <img> with a resolvable src
+    and an alt of at least min_alt_chars after whitespace collapse —
+    empty/placeholder alts (the decorative-image convention) are
+    dropped, which is the LAION filter's first rule."""
+    h = F.col(html_col).cast("string")
+    base_tag = base_href_col(h)
+    base = F.when(base_tag == "", F.col("url")).otherwise(
+        resolve_url_col(F.col("url"), base_tag)
+    )
+    tags = pages.select(
+        F.col("url").alias("src_url"),
+        base.alias("_base"),
+        F.explode(F.regexp_extract_all(h, F.lit(_IMG_RE), 0)).alias("_t"),
+    )
+    src = F.regexp_extract("_t", _SRC_RE, 1)
+    alt = F.trim(F.regexp_replace(F.regexp_extract("_t", _ALT_RE, 1), r"\s+", " "))
+    return (
+        tags.where(src != "")  # srcless <img> would resolve to the base itself
+        .select(
+            "src_url",
+            resolve_url_col(F.col("_base"), src).alias("image_url"),
+            alt.alias("alt"),
+        )
+        .where(
+            (F.length("alt") >= min_alt_chars)
+            & F.col("image_url").rlike("(?i)^https?://")
+        )
+    )

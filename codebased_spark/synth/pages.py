@@ -718,3 +718,35 @@ def pages_with_dl_spark(docs):
     )
     dl = F.when(F.col("doc_id") % 3 == 2, shouty).otherwise(canonical)
     return pages_from_documents_spark(docs, body_extra=dl)
+
+
+def pages_with_images_spark(docs):
+    """pages_from_documents_spark plus planted <img> tags for the
+    caption-pair miner: a relative-src image with a real alt on every
+    page (adversarial uppercase/alt-first form on doc_id % 4 == 1), an
+    absolute external image on even doc_ids, and a decorative alt=""
+    image that the quality bar must drop."""
+    from pyspark.sql import functions as F
+
+    n31 = (F.col("doc_id") % 31).cast("string")
+    n13 = (F.col("doc_id") % 13).cast("string")
+    rel_src = F.concat(F.lit("/media/img/"), n31, F.lit(".png"))
+    alt1 = F.concat(F.lit("photo of item "), n31, F.lit(" in "), F.col("lang"))
+    good = F.when(
+        F.col("doc_id") % 4 == 1,
+        F.concat(
+            F.lit("<IMG ALT='"), alt1, F.lit("' SRC='"), rel_src,
+            F.lit("' CLASS='x'>"),
+        ),
+    ).otherwise(
+        F.concat(F.lit('<img src="'), rel_src, F.lit('" alt="'), alt1, F.lit('">'))
+    )
+    ext = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit('<img src="https://img.example.net/x/'), n13,
+            F.lit('.jpg" alt="chart '), n13, F.lit(' overview">'),
+        ),
+    ).otherwise(F.lit(""))
+    deco = F.lit('<img src="/spacer.gif" alt="">')
+    return pages_from_documents_spark(docs, body_extra=F.concat(good, ext, deco))
