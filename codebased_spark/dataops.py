@@ -395,6 +395,16 @@ def mm_image_alt_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_alt_pairs(pages_with_images_spark(_docs(spark, sf_dir)))
 
 
+def mm_av_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio/video source mining (extract/images.py::media_src_pairs):
+    declared-MIME, extension-inferred, and unknown-type plants across
+    three doc classes; srcs RFC-resolved."""
+    from codebased_spark.extract.images import media_src_pairs
+    from codebased_spark.synth.pages import pages_with_av_spark
+
+    return media_src_pairs(pages_with_av_spark(_docs(spark, sf_dir)))
+
+
 def mm_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_metadata(media_from_documents(_docs(spark, sf_dir)))
 
@@ -1677,6 +1687,7 @@ QUERIES = {
     "kg_top_docs_per_type": kg_top_docs_per_type,
     "mm_media_meta": mm_media_meta,
     "mm_image_alt_pairs": mm_image_alt_pairs,
+    "mm_av_sources": mm_av_sources,
     "mm_real_decode": mm_real_decode,
     "mm_sample_stats": mm_sample_stats,
     "kg_page_meta": kg_page_meta,
@@ -2969,6 +2980,26 @@ ORACLES = {
         SELECT src_url, 'https://img.example.net/x/' || n13 || '.jpg',
                'chart ' || n13 || ' overview'
         FROM p WHERE doc_id % 2 = 0
+    """,
+    # three planted AV classes: declared MIME, extension-inferred, unknown
+    "mm_av_sources": """
+        WITH p AS (
+          SELECT 'https://' || source || '.example.org/' || lang || '/doc/'
+                   || doc_id AS src_url,
+                 'https://' || source || '.example.org' AS host,
+                 lang, doc_id, doc_id % 23 AS n
+          FROM documents
+        )
+        SELECT src_url, host || '/media/v/' || n || '.mp4' AS media_url,
+               'video/mp4' AS media_type
+        FROM p WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT src_url, host || '/' || lang || '/doc/clips/' || n || '.wav',
+               'audio/wav'
+        FROM p WHERE doc_id % 3 = 1
+        UNION ALL
+        SELECT src_url, host || '/files/' || n || '.bin', ''
+        FROM p WHERE doc_id % 3 = 2
     """,
     # the kg_table_triples stream grouped by predicate, exact integers
     "kg_predicate_stats": """

@@ -54,3 +54,42 @@ def image_alt_pairs(
             & F.col("image_url").rlike("(?i)^https?://")
         )
     )
+
+
+_MEDIA_TAG_RE = r"(?is)<(?:video|audio|source)\b[^>]*>"
+_TYPE_RE = r"(?is)\btype\s*=\s*[\"']([^\"']+)[\"']"
+
+
+def media_src_pairs(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """(src_url, media_url, media_type): <video>/<audio>/<source> srcs,
+    RFC-resolved like image srcs — the audio/video half of multimodal
+    discovery. media_type is the declared MIME type when present, else
+    inferred from the url extension ('' when neither); the downstream
+    decode stage (media/) verifies real container bytes anyway."""
+    h = F.col(html_col).cast("string")
+    base_tag = base_href_col(h)
+    base = F.when(base_tag == "", F.col("url")).otherwise(
+        resolve_url_col(F.col("url"), base_tag)
+    )
+    tags = pages.select(
+        F.col("url").alias("src_url"),
+        base.alias("_base"),
+        F.explode(F.regexp_extract_all(h, F.lit(_MEDIA_TAG_RE), 0)).alias("_t"),
+    )
+    src = F.regexp_extract("_t", _SRC_RE, 1)
+    declared = F.lower(F.regexp_extract("_t", _TYPE_RE, 1))
+    ext = F.lower(F.regexp_extract(src, r"\.([A-Za-z0-9]+)(?:[?#]|$)", 1))
+    inferred = (
+        F.when(ext.isin("mp4", "webm", "mov"), F.concat(F.lit("video/"), ext))
+        .when(ext.isin("mp3", "wav", "ogg", "flac"), F.concat(F.lit("audio/"), ext))
+        .otherwise(F.lit(""))
+    )
+    return (
+        tags.where(src != "")
+        .select(
+            "src_url",
+            resolve_url_col(F.col("_base"), src).alias("media_url"),
+            F.when(declared != "", declared).otherwise(inferred).alias("media_type"),
+        )
+        .where(F.col("media_url").rlike("(?i)^https?://"))
+    )

@@ -750,3 +750,37 @@ def pages_with_images_spark(docs):
     ).otherwise(F.lit(""))
     deco = F.lit('<img src="/spacer.gif" alt="">')
     return pages_from_documents_spark(docs, body_extra=F.concat(good, ext, deco))
+
+
+def pages_with_av_spark(docs):
+    """pages_from_documents_spark plus planted audio/video markup: a
+    relative-src <video> with declared MIME on doc_id % 3 == 0 (uppercase
+    adversarial form on doc_id % 6 == 0), an <audio> whose type must be
+    INFERRED from the extension on doc_id % 3 == 1, and a typeless
+    unknown-extension <source> (media_type '') on doc_id % 3 == 2."""
+    from pyspark.sql import functions as F
+
+    d = F.col("doc_id")
+    n = (d % 23).cast("string")
+    video = F.when(
+        d % 6 == 0,
+        F.concat(
+            F.lit("<VIDEO TYPE='video/mp4' SRC='/media/v/"), n,
+            F.lit(".mp4' CONTROLS>"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit('<video src="/media/v/'), n,
+            F.lit('.mp4" type="video/mp4">'),
+        ),
+    )
+    audio = F.concat(
+        F.lit('<audio src="clips/'), n, F.lit('.wav" controls>')
+    )
+    other = F.concat(F.lit('<source src="/files/'), n, F.lit('.bin">'))
+    av = (
+        F.when(d % 3 == 0, video)
+        .when(d % 3 == 1, audio)
+        .otherwise(other)
+    )
+    return pages_from_documents_spark(docs, body_extra=av)

@@ -32,3 +32,30 @@ def test_pairs_resolution_quality_and_markup_tolerance(spark):
         # alt="" (decorative), alt too short, missing src, and non-http
         # scheme are all dropped
     }
+
+
+def test_media_src_pairs_type_resolution(spark):
+    from codebased_spark.extract.images import media_src_pairs
+
+    html = (
+        "<html><body>"
+        '<video src="/v/a.mp4" type="video/mp4"></video>'
+        "<AUDIO SRC='snd/b.wav'></AUDIO>"          # inferred from extension
+        '<source src="c.webm">'                     # inferred video/webm
+        '<source src="/d.bin">'                     # unknown -> ""
+        '<video controls></video>'                  # srcless: dropped
+        "</body></html>"
+    ).encode()
+    pages = spark.createDataFrame(
+        [("https://s.org/en/doc/1", html)], ["url", "html"]
+    )
+    got = {
+        (r.media_url, r.media_type)
+        for r in media_src_pairs(pages).collect()
+    }
+    assert got == {
+        ("https://s.org/v/a.mp4", "video/mp4"),
+        ("https://s.org/en/doc/snd/b.wav", "audio/wav"),
+        ("https://s.org/en/doc/c.webm", "video/webm"),
+        ("https://s.org/d.bin", ""),
+    }
