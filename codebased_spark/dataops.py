@@ -1239,6 +1239,17 @@ def kg_predicate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_pagination_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-page article stitching (extract/pagination.py): rel=next
+    chains labeled by connected components — 3-part planted articles,
+    one canonical <link> and one adversarial uppercase <a rel=next>
+    per chain. chain_id = min url (the /p1 part)."""
+    from codebased_spark.extract.pagination import pagination_chains
+    from codebased_spark.synth.pages import pages_with_pagination_spark
+
+    return pagination_chains(pages_with_pagination_spark(_docs(spark, sf_dir)))
+
+
 def kg_definition_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Definition-list (infobox-style) key/value extraction
     (extract/tables.py::definition_pairs) over planted <dl> markup incl.
@@ -1726,6 +1737,7 @@ QUERIES = {
     "kg_html_tables": kg_html_tables,
     "kg_table_triples": kg_table_triples,
     "kg_definition_lists": kg_definition_lists,
+    "kg_pagination_chains": kg_pagination_chains,
     "kg_predicate_stats": kg_predicate_stats,
     "kg_jsonld": kg_jsonld,
     "kg_negatives": kg_negatives,
@@ -3022,6 +3034,17 @@ ORACLES = {
                CASE WHEN count(*) = count(DISTINCT subj)
                     THEN 1 ELSE 0 END AS functional
         FROM t GROUP BY pred
+    """,
+    # every planted 3-part chain: all parts labeled with the /p1 url
+    "kg_pagination_chains": """
+        WITH s AS (
+          SELECT 'https://' || source || '.example.org/' || lang || '/doc/'
+                   || doc_id AS stem
+          FROM documents
+        )
+        SELECT stem || '/p1' AS url, stem || '/p1' AS chain_id FROM s
+        UNION ALL SELECT stem || '/p2', stem || '/p1' FROM s
+        UNION ALL SELECT stem || '/p3', stem || '/p1' FROM s
     """,
     # the 2 planted dt/dd pairs per doc, restated declaratively
     "kg_definition_lists": """

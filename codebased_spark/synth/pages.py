@@ -784,3 +784,32 @@ def pages_with_av_spark(docs):
         .otherwise(other)
     )
     return pages_from_documents_spark(docs, body_extra=av)
+
+
+def pages_with_pagination_spark(docs):
+    """Three-part paginated articles: each doc yields pages /p1 /p2 /p3;
+    p1 and p2 declare rel=next to the following part (p1 via <link> in
+    canonical form, p2 via the adversarial uppercase <A REL='next'>
+    anchor form), p3 has no next. (url, html) only — the stitcher needs
+    nothing else."""
+    from pyspark.sql import functions as F
+
+    stem = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.org/"),
+        F.col("lang"), F.lit("/doc/"), F.col("doc_id").cast("string"),
+    )
+
+    def page(part, body):
+        return docs.select(
+            F.concat(stem, F.lit(f"/p{part}")).alias("url"),
+            F.encode(
+                F.concat(F.lit("<html><head>"), body,
+                         F.lit(f"</head><body>part {part}</body></html>")),
+                "UTF-8",
+            ).alias("html"),
+        )
+
+    p1 = page(1, F.concat(F.lit('<link rel="next" href="'), stem, F.lit('/p2">')))
+    p2 = page(2, F.concat(F.lit("<A HREF='"), stem, F.lit("/p3' REL='next'>more</A>")))
+    p3 = page(3, F.lit(""))
+    return p1.unionByName(p2).unionByName(p3)
