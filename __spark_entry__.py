@@ -109,7 +109,8 @@ _RECEIPT_PRIORITY = [
     "tx_lm_score", "tx_hashing_tf",
     "kg_link_reciprocity", "kg_crawl_schedule", "kg_anchor_dictionary",
     "kg_url_templates", "kg_crawl_pacing", "kg_table_triples",
-    "kg_definition_lists", "kg_pagination_chains", "kg_predicate_stats",
+    "kg_definition_lists", "kg_pagination_chains", "kg_article_dates",
+    "kg_predicate_stats",
     "mm_image_alt_pairs",
     "mm_av_sources",
     "g_scc", "g_kcore", "g_harmonic", "g_node_features", "ann_ivfpq",

@@ -1239,6 +1239,16 @@ def kg_predicate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_article_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup-declared publish dates (extract/dates.py): <time datetime>
+    beats og article:published_time beats nothing, over three planted
+    classes incl. the adversarial attribute-order form."""
+    from codebased_spark.extract.dates import article_dates
+    from codebased_spark.synth.pages import pages_with_dates_spark
+
+    return article_dates(pages_with_dates_spark(_docs(spark, sf_dir)))
+
+
 def kg_pagination_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-page article stitching (extract/pagination.py): rel=next
     chains labeled by connected components — 3-part planted articles,
@@ -1738,6 +1748,7 @@ QUERIES = {
     "kg_table_triples": kg_table_triples,
     "kg_definition_lists": kg_definition_lists,
     "kg_pagination_chains": kg_pagination_chains,
+    "kg_article_dates": kg_article_dates,
     "kg_predicate_stats": kg_predicate_stats,
     "kg_jsonld": kg_jsonld,
     "kg_negatives": kg_negatives,
@@ -3034,6 +3045,26 @@ ORACLES = {
                CASE WHEN count(*) = count(DISTINCT subj)
                     THEN 1 ELSE 0 END AS functional
         FROM t GROUP BY pred
+    """,
+    # three planted date classes; time beats og; parses to timestamps
+    "kg_article_dates": """
+        WITH p AS (
+          SELECT 'https://' || source || '.example.org/' || lang || '/doc/'
+                   || doc_id AS url,
+                 doc_id,
+                 '2025-02-' || lpad((doc_id % 28 + 1)::VARCHAR, 2, '0') AS td,
+                 '2025-03-' || lpad((doc_id % 28 + 1)::VARCHAR, 2, '0') AS od
+          FROM documents
+        )
+        SELECT url,
+               CASE WHEN doc_id % 3 = 0 THEN td END AS time_tag,
+               CASE WHEN doc_id % 3 IN (0, 1) THEN od END AS og_published,
+               CASE WHEN doc_id % 3 = 0 THEN td::TIMESTAMP
+                    WHEN doc_id % 3 = 1 THEN od::TIMESTAMP END AS published_at,
+               CASE WHEN doc_id % 3 = 0 THEN 'time'
+                    WHEN doc_id % 3 = 1 THEN 'og'
+                    ELSE 'none' END AS date_source
+        FROM p
     """,
     # every planted 3-part chain: all parts labeled with the /p1 url
     "kg_pagination_chains": """

@@ -813,3 +813,31 @@ def pages_with_pagination_spark(docs):
     p2 = page(2, F.concat(F.lit("<A HREF='"), stem, F.lit("/p3' REL='next'>more</A>")))
     p3 = page(3, F.lit(""))
     return p1.unionByName(p2).unionByName(p3)
+
+
+def pages_with_dates_spark(docs):
+    """pages_from_documents_spark plus date markup in three classes:
+    doc_id % 3 == 0 has BOTH a <time datetime> (must win) and an og
+    published meta; % 3 == 1 has only the og meta in the adversarial
+    content-before-property uppercase form; % 3 == 2 declares nothing."""
+    from pyspark.sql import functions as F
+
+    d = F.col("doc_id")
+    day = F.lpad((d % 28 + 1).cast("string"), 2, "0")
+    t_date = F.concat(F.lit("2025-02-"), day)
+    og_date = F.concat(F.lit("2025-03-"), day)
+    both = F.concat(
+        F.lit('<time datetime="'), t_date, F.lit('">x</time>'),
+        F.lit('<meta property="article:published_time" content="'),
+        og_date, F.lit('"/>'),
+    )
+    og_only = F.concat(
+        F.lit("<META CONTENT='"), og_date,
+        F.lit("' PROPERTY='article:published_time'/>"),
+    )
+    extra = (
+        F.when(d % 3 == 0, both)
+        .when(d % 3 == 1, og_only)
+        .otherwise(F.lit(""))
+    )
+    return pages_from_documents_spark(docs, body_extra=extra)
