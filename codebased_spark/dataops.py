@@ -327,6 +327,21 @@ def tx_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_sentences(planted)
 
 
+def tx_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (textops/normalize.py): a combining
+    acute (U+0301) planted on every doc composes to a precomposed é, so
+    changed=1 and the length shrinks by one everywhere. The oracle is
+    DuckDB's native nfc_normalize — an independent implementation, not a
+    restatement of ours."""
+    from codebased_spark.textops.normalize import nfc_normalize_docs
+
+    docs = _docs(spark, sf_dir)
+    planted = docs.select(
+        "doc_id", F.concat("text", F.lit(" cafe\u0301 end")).alias("text")
+    )
+    return nfc_normalize_docs(planted)
+
+
 def tx_hashing_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashed sparse doc vectors (textops/feature_hash.py):
     dictionary-free vectorization via a portable md5 bucket hash —
@@ -1689,6 +1704,7 @@ QUERIES = {
     "dd_sentence_dups": dd_sentence_dups,
     "tx_lm_score": tx_lm_score,
     "tx_hashing_tf": tx_hashing_tf,
+    "tx_nfc": tx_nfc,
     "tx_winnow": tx_winnow,
     "tx_decontaminate": tx_decontaminate,
     "tx_redact": tx_redact,
@@ -2288,6 +2304,18 @@ ORACLES = {
                      + (CASE WHEN mean_tok_len >= 3 AND mean_tok_len <= 10
                              THEN 0.25 ELSE 0 END)) * 10000 + 0.5) / 10000 AS quality_score
         FROM r
+    """,
+    # independent ICU-grade oracle: DuckDB's native nfc_normalize
+    "tx_nfc": """
+        WITH p AS (
+          SELECT doc_id, text || ' cafe' || chr(769) || ' end' AS text
+          FROM documents
+        )
+        SELECT doc_id, nfc_normalize(text) AS text_nfc,
+               length(text) AS n_chars_before,
+               length(nfc_normalize(text)) AS n_chars_after,
+               CASE WHEN nfc_normalize(text) <> text THEN 1 ELSE 0 END AS changed
+        FROM p
     """,
     # same md5-hex bucket parse on both engines (conv <-> '0x'||...::BIGINT)
     "tx_hashing_tf": f"""
