@@ -4,6 +4,7 @@
 Composes the engine's curation operators into the standard corpus-build
 job an LLM-data pipeline runs over a crawl snapshot:
 
+    NFC normalization               (textops/normalize.py, --nfc)
     robots compliance filter        (sources/robots.py, optional)
     -> latest capture per url       (sources/recrawl.py)
     -> canonical-url collapse       (sources/canonical.py)
@@ -12,6 +13,8 @@ job an LLM-data pipeline runs over a crawl snapshot:
                                      quality, repetition, exact-dup,
                                      optional minhash near-dup keep-one)
     -> C4 repeated-sentence removal (textops/sentences.py, --line-dedup)
+    (NFC normalization runs FIRST when --nfc, so hashes/dedup see
+     canonical forms)
     -> CCNet tail-bucket drop       (textops/buckets.py, --drop-tail)
     -> fixed-window token chunking  (textops/chunk.py)
 
@@ -46,6 +49,8 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--lang", default="en")
     ap.add_argument("--near-dup", action="store_true",
                     help="also drop minhash near-dup non-survivors")
+    ap.add_argument("--nfc", action="store_true",
+                    help="NFC-normalize text before any filter/dedup")
     ap.add_argument("--line-dedup", type=int, default=0, metavar="MIN_COUNT",
                     help="drop sentences occurring >= MIN_COUNT times "
                          "corpus-wide (C4 boilerplate rule)")
@@ -84,6 +89,13 @@ def main(argv: list[str] | None = None) -> None:
         pages = with_text(pages, "html", "text")
 
     docs = pages.select("url", "text", "lang")
+    if args.nfc:
+        from codebased_spark.textops.normalize import nfc_normalize_docs
+
+        norm = nfc_normalize_docs(docs, id_col="url").select(
+            "url", F.col("text_nfc").alias("text")
+        )
+        docs = norm.join(docs.select("url", "lang"), "url")
     decisions = filter_decisions(
         docs, id_col="url", keep_lang=args.lang, near_dup=args.near_dup
     )

@@ -121,3 +121,30 @@ def test_curate_job_line_dedup_and_tail_drop(spark, tmp_path):
     assert chunks.where(chunks.chunk_text.contains("subscribe")).count() == 0
     # real content survived
     assert chunks.where(chunks.chunk_text.contains("market0x0")).count() >= 1
+
+
+def test_curate_job_nfc_normalization(spark, tmp_path):
+    base = datetime.datetime(2025, 1, 1)
+    # decomposed e + combining acute planted in otherwise-keepable text
+    text = " ".join(
+        f"the cafe\u0301{i} opened and analysts{i} saw a steady gain{i} in trading."
+        for i in range(30)
+    )
+    pages = spark.createDataFrame(
+        [("https://a.example.com/k", base, _html(text), "", "en")],
+        ["url", "warc_ts", "html", "text", "lang"],
+    )
+    pages_path, out = str(tmp_path / "p"), str(tmp_path / "o")
+    pages.write.parquet(pages_path)
+    proc = subprocess.run(
+        [sys.executable, "jobs/curate_corpus.py", "--pages", pages_path,
+         "--out", out, "--nfc", "--chunk-tokens", "16", "--overlap", "4",
+         "--master", "local[4]"],
+        capture_output=True, text=True, cwd=REPO, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    chunks = spark.read.parquet(f"{out}/chunks")
+    assert chunks.count() > 0
+    # every chunk carries the PRECOMPOSED form; no combining marks remain
+    assert chunks.where(chunks.chunk_text.contains("caf\u00e9")).count() > 0
+    assert chunks.where(chunks.chunk_text.contains("\u0301")).count() == 0
