@@ -103,6 +103,10 @@ def kg_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stale (r2), then the r3-receipted bulk. Values are identical either way —
 # this only controls which rows land in CORRECTNESS_r{N}.json.
 _RECEIPT_PRIORITY = [
+    # never received a driver receipt in ANY round (r3 rotation gap —
+    # VERDICT r3 "What's wrong #3"): always first
+    "kg_cocitation", "kg_entity_pmi", "kg_feed_items", "kg_hreflang",
+    "kg_microdata",
     # new in r4
     "kg_hypernyms", "kg_resolved_links", "kg_resolved_domain_graph",
     "tx_quality_buckets", "tx_bitext", "tx_sentences", "dd_sentence_dups",
@@ -121,8 +125,6 @@ _RECEIPT_PRIORITY = [
     "g_closure", "mm_sample_stats", "tx_boilerplate", "kg_entity_salience",
     "tx_learned_stopwords", "g_walks", "g_lpa", "dd_mirrors", "tx_postings",
     # never driver-receipted before r4
-    "kg_cocitation", "kg_entity_pmi", "kg_feed_items", "kg_hreflang",
-    "kg_microdata",
     # last receipted in r2
     "kg_pipeline_mentions", "kg_graph_stats", "kg_mentions",
     "kg_top_entities", "kg_cooccurrence", "kg_unlinked_entities",
@@ -142,9 +144,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pipeline_mentions": kg_pipeline_mentions,
         "kg_graph_stats": kg_graph_stats,
         "kg_mentions": q.kg_mentions,
+        "kg_entity_pmi": q.kg_entity_pmi,
         "kg_top_entities": q.kg_top_entities,
         "kg_cooccurrence": q.kg_cooccurrence,
-        "kg_entity_pmi": q.kg_entity_pmi,
         "kg_entity_salience": q.kg_entity_salience,
         "kg_unlinked_entities": q.kg_unlinked_entities,
         "kg_doc_fingerprint": q.kg_doc_fingerprint,
