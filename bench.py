@@ -74,9 +74,19 @@ def main() -> None:
 
     n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
 
+    # soft wall budget for the per-query loop: with 100+ registered
+    # queries a VM slow period could outrun an external timeout and lose
+    # the WHOLE json line; when exceeded, remaining queries are listed
+    # (not silently dropped) and the headline metric still prints
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "480"))
+    loop_t0 = time.perf_counter()
+    skipped_after_budget = []
     for name, fn in entry_mod.queries().items():
         if name == "kg_pipeline_mentions":
             continue  # already measured as the flagship
+        if time.perf_counter() - loop_t0 > budget_s:
+            skipped_after_budget.append(name)
+            continue
         t0 = time.perf_counter()
         try:
             fn(spark, SF_DIR).count()
@@ -124,6 +134,7 @@ def main() -> None:
         "value": timings["kg_pipeline_e2e"],
         "unit": "sec",
         "queries": timings,
+        "skipped_after_budget": skipped_after_budget,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "total_sec": total,
         "docs": n_docs,
