@@ -327,6 +327,47 @@ def tx_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_sentences(planted)
 
 
+def kg_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery from robots.txt (sources/robots.py::
+    sitemap_urls): planted per-host robots bodies declare two Sitemap:
+    directives (one mixed-case, one behind a comment line) plus a
+    relative one the http(s) bar drops."""
+    from codebased_spark.sources.robots import sitemap_urls
+
+    docs = _docs(spark, sf_dir)
+    robots = docs.select("source").distinct().select(
+        F.concat(F.col("source"), F.lit(".example.org")).alias("host"),
+        F.concat(
+            F.lit("User-agent: *\nDisallow: /tmp/\n"
+                  "# Sitemap: https://commented.example.org/ignore.xml\n"
+                  "Sitemap: https://"),
+            F.col("source"),
+            F.lit(".example.org/sitemap.xml\n"
+                  "SITEMAP: https://"),
+            F.col("source"),
+            F.lit(".example.org/news.xml\nSitemap: /relative.xml\n"),
+        ).alias("robots_txt"),
+    )
+    return sitemap_urls(robots)
+
+
+def kg_host_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level quality prior (FineWeb-style): mean per-doc quality
+    per host — the reputation score a crawler uses to admit or skip
+    UNSEEN urls from a host before fetching them. One host-keyed
+    aggregate over the map-side quality scores."""
+    scored = doc_quality(_docs(spark, sf_dir), keep_cols=("source",))
+    return (
+        scored.groupBy(
+            F.concat(F.col("source"), F.lit(".example.org")).alias("host")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            round_stable_col(F.avg("quality_score")).alias("avg_quality"),
+        )
+    )
+
+
 def tx_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC normalization (textops/normalize.py): a combining
     acute (U+0301) planted on every doc composes to a precomposed é, so
@@ -1705,6 +1746,8 @@ QUERIES = {
     "tx_lm_score": tx_lm_score,
     "tx_hashing_tf": tx_hashing_tf,
     "tx_nfc": tx_nfc,
+    "kg_host_quality": kg_host_quality,
+    "kg_robots_sitemaps": kg_robots_sitemaps,
     "tx_winnow": tx_winnow,
     "tx_decontaminate": tx_decontaminate,
     "tx_redact": tx_redact,
@@ -2304,6 +2347,51 @@ ORACLES = {
                      + (CASE WHEN mean_tok_len >= 3 AND mean_tok_len <= 10
                              THEN 0.25 ELSE 0 END)) * 10000 + 0.5) / 10000 AS quality_score
         FROM r
+    """,
+    # two kept directives per host; commented + relative ones dropped
+    "kg_robots_sitemaps": """
+        WITH h AS (SELECT DISTINCT source FROM documents)
+        SELECT source || '.example.org' AS host,
+               'https://' || source || '.example.org/sitemap.xml' AS sitemap_url
+        FROM h
+        UNION ALL
+        SELECT source || '.example.org',
+               'https://' || source || '.example.org/news.xml'
+        FROM h
+    """,
+    # same score pipeline as tx_quality (source carried), host rollup
+    "kg_host_quality": f"""
+        WITH t AS (
+          SELECT doc_id, source,
+                 list_filter(string_split(text, ' '), w -> w <> '') AS toks
+          FROM documents
+        ),
+        m AS (
+          SELECT doc_id, source, len(toks) AS n_tokens,
+                 len(list_distinct(toks)) AS n_distinct,
+                 len(list_filter(toks, w -> list_contains({_STOP_SQL}, w))) AS n_stop,
+                 list_sum([length(w) for w in toks]) AS tok_chars
+          FROM t WHERE len(toks) > 0
+        ),
+        r AS (
+          SELECT doc_id, source, n_tokens, n_distinct,
+                 floor((n_distinct::DOUBLE / n_tokens) * 10000 + 0.5) / 10000 AS distinct_ratio,
+                 floor((n_stop::DOUBLE / n_tokens) * 10000 + 0.5) / 10000 AS stopword_ratio,
+                 floor((tok_chars::DOUBLE / n_tokens) * 10000 + 0.5) / 10000 AS mean_tok_len
+          FROM m
+        ),
+        q AS (
+          SELECT doc_id, source,
+                 floor((least(1.0::DOUBLE, n_tokens::DOUBLE / 100.0) * 0.25
+                       + least(1.0::DOUBLE, stopword_ratio * 5) * 0.25
+                       + distinct_ratio * 0.25
+                       + (CASE WHEN mean_tok_len >= 3 AND mean_tok_len <= 10
+                               THEN 0.25 ELSE 0 END)) * 10000 + 0.5) / 10000 AS quality_score
+          FROM r
+        )
+        SELECT source || '.example.org' AS host, count(*) AS n_docs,
+               floor(avg(quality_score) * 10000 + 0.5) / 10000 AS avg_quality
+        FROM q GROUP BY 1
     """,
     # independent ICU-grade oracle: DuckDB's native nfc_normalize
     "tx_nfc": """

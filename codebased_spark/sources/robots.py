@@ -188,3 +188,19 @@ def crawl_delay_col(robots_col: Column) -> Column:
     for the normative Allow/Disallow rules."""
     d = F.regexp_extract(robots_col, r"(?i)crawl-delay:\s*([0-9]+)", 1)
     return F.when(d != "", d.cast("int"))
+
+
+def sitemap_urls(robots: DataFrame, host: str = "host", body: str = "robots_txt") -> DataFrame:
+    """(host, sitemap_url): every `Sitemap: <url>` directive — the
+    discovery bootstrap (robots.txt is the one file a crawler always
+    fetches first, and it declares where the sitemaps live). Directive
+    is UA-group-independent per the sitemaps.org protocol; matching is
+    case-insensitive and comment lines are ignored."""
+    lines = F.regexp_extract_all(
+        F.regexp_replace(F.col(body), r"(?m)#.*$", ""),
+        F.lit(r"(?im)^\s*sitemap:\s*(\S+)\s*$"),
+        1,
+    )
+    return robots.select(
+        F.col(host), F.explode(lines).alias("sitemap_url")
+    ).where(F.col("sitemap_url").rlike("(?i)^https?://"))

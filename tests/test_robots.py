@@ -123,3 +123,25 @@ def test_plan_is_pure_jvm(spark):
     urls = spark.createDataFrame([("https://h/x",)], ["url"])
     p = apply_robots(urls, robots)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_sitemap_directive_discovery(spark):
+    from codebased_spark.sources.robots import sitemap_urls
+
+    robots = spark.createDataFrame(
+        [
+            ("a.org",
+             "User-agent: *\nDisallow: /x/\n"
+             "Sitemap: https://a.org/s1.xml\n"
+             "  sitemap:   https://a.org/s2.xml  \n"
+             "# Sitemap: https://a.org/commented.xml\n"
+             "Sitemap: /relative.xml\n"),
+            ("b.org", "User-agent: *\nDisallow:\n"),  # none declared
+        ],
+        ["host", "robots_txt"],
+    )
+    got = {(r.host, r.sitemap_url) for r in sitemap_urls(robots).collect()}
+    assert got == {
+        ("a.org", "https://a.org/s1.xml"),
+        ("a.org", "https://a.org/s2.xml"),
+    }
