@@ -351,6 +351,27 @@ def kg_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sitemap_urls(robots)
 
 
+def kg_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-consistency audit: the page's DECLARED language (the
+    og:locale / lang column a crawler trusts blindly) versus the
+    corpus-trained detector's verdict (tx_lang_id) — disagreements are
+    the mislabeled-locale pages a curation pipeline must re-route before
+    per-language bucketing. Oracle embeds the tx_lang_id oracle verbatim
+    (composition discipline), joined back to the declared column."""
+    pred = tx_lang_id(spark, sf_dir)
+    declared = _docs(spark, sf_dir).select(
+        "doc_id", F.col("lang").alias("declared_lang")
+    )
+    return pred.join(declared, "doc_id").select(
+        "doc_id",
+        "declared_lang",
+        "pred_lang",
+        (F.col("pred_lang") != F.col("declared_lang")).cast("int").alias(
+            "mismatch"
+        ),
+    )
+
+
 def kg_host_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-level quality prior (FineWeb-style): mean per-doc quality
     per host — the reputation score a crawler uses to admit or skip
@@ -1748,6 +1769,7 @@ QUERIES = {
     "tx_nfc": tx_nfc,
     "kg_host_quality": kg_host_quality,
     "kg_robots_sitemaps": kg_robots_sitemaps,
+    "kg_lang_mismatch": kg_lang_mismatch,
     "tx_winnow": tx_winnow,
     "tx_decontaminate": tx_decontaminate,
     "tx_redact": tx_redact,
@@ -3738,6 +3760,14 @@ ORACLES = {
         FROM t GROUP BY target
     """,
 }
+
+# declared vs detected language, tx_lang_id oracle embedded verbatim
+ORACLES["kg_lang_mismatch"] = f"""
+    SELECT p.doc_id, d.lang AS declared_lang, p.pred_lang,
+           CASE WHEN p.pred_lang <> d.lang THEN 1 ELSE 0 END AS mismatch
+    FROM ({ORACLES["tx_lang_id"]}) p
+    JOIN documents d USING (doc_id)
+"""
 
 # Composed from the component oracles (same SQL text by construction):
 # degree + 2-core + bounded reach/harmonic per node.
