@@ -111,7 +111,7 @@ _RECEIPT_PRIORITY = [
     "kg_hypernyms", "kg_resolved_links", "kg_resolved_domain_graph",
     "tx_quality_buckets", "tx_bitext", "tx_sentences", "dd_sentence_dups",
     "tx_lm_score", "tx_hashing_tf", "tx_nfc", "kg_host_quality",
-    "kg_robots_sitemaps", "kg_lang_mismatch",
+    "kg_robots_sitemaps", "kg_lang_mismatch", "kg_markup_profile",
     "kg_link_reciprocity", "kg_crawl_schedule", "kg_anchor_dictionary",
     "kg_url_templates", "kg_crawl_pacing", "kg_table_triples",
     "kg_definition_lists", "kg_pagination_chains", "kg_article_dates",

@@ -351,6 +351,27 @@ def kg_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sitemap_urls(robots)
 
 
+def kg_markup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-markup completeness audit (extract/metadata.py::
+    markup_profile): which extraction families fire per page, over a
+    combined fixture planting a table on every page, a dl on even ids,
+    an img on ids % 3 != 0, and neither JSON-LD nor microdata."""
+    from codebased_spark.extract.metadata import markup_profile
+    from codebased_spark.synth.pages import pages_from_documents_spark
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    extra = F.concat(
+        F.lit("<table><tr><td>x</td></tr></table>"),
+        F.when(d % 2 == 0, F.lit("<dl><dt>k</dt><dd>v</dd></dl>")).otherwise(
+            F.lit("")
+        ),
+        F.when(d % 3 != 0, F.lit('<img src="/i.png" alt="planted image">'))
+        .otherwise(F.lit("")),
+    )
+    return markup_profile(pages_from_documents_spark(docs, body_extra=extra))
+
+
 def kg_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-consistency audit: the page's DECLARED language (the
     og:locale / lang column a crawler trusts blindly) versus the
@@ -1770,6 +1791,7 @@ QUERIES = {
     "kg_host_quality": kg_host_quality,
     "kg_robots_sitemaps": kg_robots_sitemaps,
     "kg_lang_mismatch": kg_lang_mismatch,
+    "kg_markup_profile": kg_markup_profile,
     "tx_winnow": tx_winnow,
     "tx_decontaminate": tx_decontaminate,
     "tx_redact": tx_redact,
@@ -3760,6 +3782,20 @@ ORACLES = {
         FROM t GROUP BY target
     """,
 }
+
+# the combined plant's family flags restated declaratively
+ORACLES["kg_markup_profile"] = """
+    SELECT 'https://' || source || '.example.org/' || lang || '/doc/'
+             || doc_id AS url,
+           1 AS has_table,
+           CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS has_dl,
+           0 AS has_jsonld,
+           0 AS has_microdata,
+           CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END AS has_img,
+           1 + (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END) AS n_families
+    FROM documents
+"""
 
 # declared vs detected language, tx_lang_id oracle embedded verbatim
 ORACLES["kg_lang_mismatch"] = f"""

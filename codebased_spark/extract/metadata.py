@@ -111,3 +111,33 @@ def page_meta_rows(pages: DataFrame, html_col: str = "html") -> DataFrame:
     return meta.select(
         "url", F.explode("page_meta").alias("meta_key", "meta_value")
     )
+
+
+def markup_profile(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """(url, has_table, has_dl, has_jsonld, has_microdata, has_img,
+    n_families): which structured-extraction families will fire on each
+    page — the crawl-audit table that sizes extraction work per partition
+    and spots template changes (a host whose has_jsonld rate drops
+    between snapshots changed its CMS). Map-only presence regexps in
+    codegen, case-insensitive per the house markup rule."""
+    h = F.col(html_col).cast("string")
+
+    def flag(rx):
+        return h.rlike(rx).cast("int")
+
+    has_table = flag("(?is)<table\\b")
+    has_dl = flag("(?is)<dl\\b")
+    has_jsonld = flag("(?is)<script\\b[^>]*application/ld\\+json")
+    has_micro = flag("(?is)\\bitemscope\\b")
+    has_img = flag("(?is)<img\\b")
+    return pages.select(
+        "url",
+        has_table.alias("has_table"),
+        has_dl.alias("has_dl"),
+        has_jsonld.alias("has_jsonld"),
+        has_micro.alias("has_microdata"),
+        has_img.alias("has_img"),
+        (has_table + has_dl + has_jsonld + has_micro + has_img).alias(
+            "n_families"
+        ),
+    )

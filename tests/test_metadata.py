@@ -96,3 +96,23 @@ def test_url_parts_and_normalization(spark):
     # malformed url: NULL parts, no job failure (try_parse_url)
     bh, bp, _, _ = got["https://bad url/x y"]
     assert bh is None and bp is None
+
+
+def test_markup_profile_flags(spark):
+    from codebased_spark.extract.metadata import markup_profile
+
+    html = (
+        "<html><body><TABLE><tr><td>x</td></tr></TABLE>"
+        '<script type="application/ld+json">{}</script>'
+        "<div itemscope itemtype='https://schema.org/Thing'></div>"
+        "</body></html>"
+    ).encode()
+    bare = b"<html><body><p>nothing structured</p></body></html>"
+    pages = spark.createDataFrame(
+        [("u1", html), ("u2", bare)], ["url", "html"]
+    )
+    got = {r.url: (r.has_table, r.has_jsonld, r.has_microdata,
+                   r.has_dl, r.has_img, r.n_families)
+           for r in markup_profile(pages).collect()}
+    assert got["u1"] == (1, 1, 1, 0, 0, 3)
+    assert got["u2"] == (0, 0, 0, 0, 0, 0)
