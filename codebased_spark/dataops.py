@@ -649,6 +649,17 @@ def g_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering_coefficient(_doc_edges(spark, sf_dir))
 
 
+def g_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood link prediction (graph/linkpred.py): common-neighbor,
+    exact-integer resource-allocation, and Jaccard scores for every
+    non-adjacent pair sharing a neighbor — KG completion's candidate
+    ranking. Wedge join capped at hub degree 64 (co-citation pattern);
+    anti-join removes existing edges."""
+    from codebased_spark.graph.linkpred import link_prediction
+
+    return link_prediction(_doc_edges(spark, sf_dir), max_degree=64)
+
+
 def kg_latest_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recrawl collapse: latest capture per url wins (sources/recrawl.py).
 
@@ -1806,6 +1817,7 @@ QUERIES = {
     "tx_chunk": tx_chunk,
     "g_triangles": g_triangles,
     "g_clustering": g_clustering,
+    "g_link_prediction": g_link_prediction,
     "tx_tfidf_top_terms": tx_tfidf_top_terms,
     "kg_doc_entity_types": kg_doc_entity_types,
     "kg_top_docs_per_type": kg_top_docs_per_type,
@@ -2685,6 +2697,43 @@ ORACLES = {
                      / (degree * (degree - 1)) * 10000 + 0.5) / 10000
                  AS clustering
         FROM deg LEFT JOIN tcnt USING (node)
+    """,
+    # same wedge enumeration as linkpred.py: hub cap 64, exact-integer
+    # resource allocation (10000 // deg), anti-join vs existing edges
+    "g_link_prediction": f"""
+        WITH {_EDGES_SQL},
+        und AS (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM edges WHERE src <> dst
+        ),
+        adj AS (
+          SELECT a AS node, b AS nb FROM und
+          UNION ALL SELECT b, a FROM und
+        ),
+        deg AS (SELECT node, count(*) AS d FROM adj GROUP BY node),
+        cap AS (
+          SELECT adj.node, nb, d
+          FROM adj JOIN deg ON adj.node = deg.node WHERE d <= 64
+        ),
+        wedges AS (
+          SELECT x.nb AS a, y.nb AS b, x.d AS dc
+          FROM cap x JOIN cap y ON x.node = y.node AND x.nb < y.nb
+        ),
+        cand AS (
+          SELECT a, b, count(*) AS n_common,
+                 sum(10000 // dc) AS ra_scaled
+          FROM wedges GROUP BY a, b
+        ),
+        nw AS (
+          SELECT cand.* FROM cand
+          ANTI JOIN und ON cand.a = und.a AND cand.b = und.b
+        )
+        SELECT nw.a AS src, nw.b AS dst, n_common, ra_scaled,
+               floor(CAST(n_common AS DOUBLE) / (da.d + db.d - n_common)
+                     * 10000 + 0.5) / 10000 AS jaccard
+        FROM nw
+        JOIN deg da ON nw.a = da.node
+        JOIN deg db ON nw.b = db.node
     """,
     "kg_latest_capture": """
         WITH caps AS (
