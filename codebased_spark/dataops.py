@@ -1156,6 +1156,26 @@ def g_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def g_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (graph/pagerank.py::personalized_pagerank):
+    restart distribution on the doc_id % 17 == 0 seed set, over the
+    SINK-BEARING doc graph (src % 7 == 0 edges dropped) so the
+    dangling-mass-returns-to-seeds term is exercised and value-checked —
+    the oracle unrolls the same 5 iterations with the identical dm*s
+    teleport CTE."""
+    from codebased_spark.graph.pagerank import personalized_pagerank
+
+    docs = _docs(spark, sf_dir)
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    seeds = docs.where(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").alias("node")
+    )
+    edges = _doc_edges(spark, sf_dir).where(F.col("src") % 7 != 0)
+    return personalized_pagerank(
+        nodes, edges, seeds, n_iter=5, out_decimals=6
+    ).withColumnRenamed("node", "doc_id")
+
+
 def g_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weak components of the doc graph via iterative min-label CC.
 
@@ -1846,6 +1866,7 @@ QUERIES = {
     "g_cycle_members": g_cycle_members,
     "g_components": g_components,
     "g_pagerank": g_pagerank,
+    "g_ppr": g_ppr,
     "g_pagerank_dangling": g_pagerank_dangling,
     "kg_anchor_text": kg_anchor_text,
     "kg_domain_graph": kg_domain_graph,
@@ -2213,6 +2234,56 @@ def _pagerank_sql(
         {",".join(iters)}
         SELECT v AS doc_id,
                floor(pr * 1000000 + 0.5) / 1000000 AS pr
+        FROM p{n_iter}
+    """
+
+
+def _ppr_sql(n_iter: int = 5, damping: float = 0.85) -> str:
+    """The SAME fixed personalized-PageRank iterations as
+    graph/pagerank.py::personalized_pagerank, unrolled as chained CTEs:
+    seed vector s = 1/|S| on doc_id % 17 == 0, sink-bearing edge set
+    (src % 7 <> 0 — matching g_ppr's fixture), per-iteration formula
+    pr = (1-d)*s + d*(inflow + dm*s) with the dangling mass dm teleported
+    back to the seeds. p-CTEs MATERIALIZED: each is referenced twice
+    (dm scalar + inflow join), which would re-execute the whole chain
+    exponentially if inlined (the _hits_sql rationale)."""
+    one_minus_d = 1.0 - damping
+    iters = []
+    for i in range(1, n_iter + 1):
+        iters.append(f"""
+        dm{i} AS (
+          SELECT coalesce(sum(pr), 0.0) AS m FROM p{i-1}
+          WHERE v NOT IN (SELECT src FROM deg)
+        ),
+        p{i} AS MATERIALIZED (
+          SELECT sv.v,
+                 {one_minus_d!r} * sv.s
+                 + {damping!r} * (coalesce(s{i}.x, 0.0)
+                                  + (SELECT m FROM dm{i}) * sv.s) AS pr
+          FROM sv LEFT JOIN (
+            SELECT e.dst AS v, sum(p{i-1}.pr / deg.d) AS x
+            FROM eds e
+            JOIN p{i-1} ON e.src = p{i-1}.v
+            JOIN deg ON deg.src = e.src
+            GROUP BY e.dst
+          ) s{i} ON sv.v = s{i}.v
+        )""")
+    return f"""
+        WITH {_EDGES_SQL},
+        eds AS (SELECT src, dst FROM edges WHERE src % 7 <> 0),
+        deg AS (SELECT src, count(*) AS d FROM eds GROUP BY src),
+        sd AS (SELECT doc_id AS v FROM documents WHERE doc_id % 17 = 0),
+        nsd AS (SELECT count(*) AS c FROM sd),
+        sv AS MATERIALIZED (
+          SELECT d.doc_id AS v,
+                 CASE WHEN sd.v IS NOT NULL
+                      THEN 1.0 / (SELECT c FROM nsd) ELSE 0.0 END AS s
+          FROM documents d LEFT JOIN sd ON d.doc_id = sd.v
+        ),
+        p0 AS (SELECT v, s AS pr FROM sv),
+        {",".join(iters)}
+        SELECT v AS doc_id,
+               floor(pr * 1000000 + 0.5) / 1000000 AS ppr
         FROM p{n_iter}
     """
 
@@ -3552,6 +3623,7 @@ ORACLES = {
         SELECT DISTINCT origin AS doc_id FROM r WHERE node = origin
     """,
     "g_pagerank": _pagerank_sql(n_iter=5, damping=0.85),
+    "g_ppr": _ppr_sql(n_iter=5, damping=0.85),
     "g_hits": _hits_sql(n_iter=4),
     "g_domain_pagerank": _domain_pagerank_sql(),
     "g_pagerank_dangling": _pagerank_sql(n_iter=5, damping=0.85, dangling=True),

@@ -171,3 +171,153 @@ def pagerank(
         out = out.localCheckpoint(eager=True)
         prev_cached.unpersist()
     return out
+
+
+def _ppr_driver_side(
+    node_rows, edge_rows, seed_set, n_iter, damping, out_decimals, spark,
+    node_col, id_type
+):
+    """Driver-side PPR twin — identical formula/arithmetic to the
+    distributed loop (the _pagerank_driver_side adaptive rationale)."""
+    vs = [r[0] for r in node_rows]
+    seeds = [v for v in vs if v in seed_set]
+    ns = len(seeds)
+    if ns == 0:
+        raise ValueError("personalized_pagerank: no seed overlaps the node set")
+    s = {v: (1.0 / ns if v in seed_set else 0.0) for v in vs}
+    deg: dict = {}
+    for a, _ in edge_rows:
+        deg[a] = deg.get(a, 0) + 1
+    pr = dict(s)
+    one_minus_d = 1.0 - damping
+    for _ in range(n_iter):
+        # dangling mass teleports BACK TO THE SEEDS (standard PPR: the
+        # restart distribution is s, not uniform)
+        dm = sum(p for v, p in pr.items() if v not in deg)
+        inflow = {v: 0.0 for v in vs}
+        for a, b in edge_rows:
+            if b in inflow and a in pr:
+                inflow[b] += pr[a] / deg[a]
+        pr = {
+            v: one_minus_d * s[v] + damping * (inflow[v] + dm * s[v])
+            for v in vs
+        }
+    import math
+
+    from pyspark.sql import types as T
+
+    scale = 10 ** out_decimals
+    schema = T.StructType(
+        [T.StructField(node_col, id_type), T.StructField("ppr", T.DoubleType())]
+    )
+    rows = [(v, math.floor(p * scale + 0.5) / scale) for v, p in pr.items()]
+    return spark.createDataFrame(rows, schema)
+
+
+def personalized_pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iter: int = 5,
+    damping: float = 0.85,
+    node_col: str = "node",
+    src: str = "src",
+    dst: str = "dst",
+    out_decimals: int = 7,
+    driver_threshold: int = 200_000,
+) -> DataFrame:
+    """Personalized PageRank: restart distribution concentrated on `seeds`
+    (one-column DataFrame of node ids) instead of uniform — the topic- /
+    entity-conditioned relevance ranking a KG serves for "related pages
+    to this seed set" (Haveliwala 2002). Same fixed-k power method,
+    adaptive driver-side twin, and rounding contract as ``pagerank``;
+    dangling mass teleports back to the seeds (the PPR restart vector),
+    so rank mass stays in the seeds' neighborhood.
+
+    Scale shape: the seed vector is node-keyed but sparse; it rides the
+    same per-iteration dst-keyed shuffle as the uniform variant — the
+    only extra cost is the one-time seed-flag left join (broadcast-sized
+    for any realistic seed set).
+    """
+    if driver_threshold:
+        np_ = nodes.select(node_col).limit(driver_threshold + 1).collect()
+        if len(np_) <= driver_threshold:
+            ep = (
+                edges.select(src, dst)
+                .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+                .limit(driver_threshold + 1)
+                .collect()
+            )
+            if len(ep) <= driver_threshold:
+                seed_set = {r[0] for r in seeds.collect()}
+                return _ppr_driver_side(
+                    np_, [tuple(r) for r in ep], seed_set, n_iter, damping,
+                    out_decimals, nodes.sparkSession, node_col,
+                    nodes.schema[node_col].dataType,
+                )
+    sd = seeds.select(F.col(seeds.columns[0]).alias("v")).distinct()
+    ns = nodes.select(F.col(node_col).alias("v")).join(sd, "v", "left_semi").count()
+    if ns == 0:
+        raise ValueError("personalized_pagerank: no seed overlaps the node set")
+    # per-node restart mass: 1/|S| on seeds, 0 elsewhere (cached — reused
+    # as both the init vector and every iteration's teleport term)
+    sv = (
+        nodes.select(F.col(node_col).alias("v"))
+        .join(sd.withColumn("_is_seed", F.lit(True)), "v", "left")
+        .select(
+            "v",
+            F.when(F.col("_is_seed"), F.lit(1.0) / ns)
+            .otherwise(F.lit(0.0))
+            .alias("s"),
+        )
+        .persist()
+    )
+    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("_deg"))
+    e = edges.join(deg, src)
+    dangling = nodes.select(F.col(node_col).alias("v")).join(
+        deg.select(F.col(src).alias("v")), "v", "left_anti"
+    )
+    has_dangling = not dangling.isEmpty()
+    one_minus_d = 1.0 - damping
+    ranks = sv.select("v", F.col("s").alias("pr"))
+    prev_cached = None
+    for _ in range(n_iter):
+        if has_dangling:
+            ranks = ranks.persist()
+            dm = (
+                ranks.join(dangling, "v", "left_semi")
+                .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("m"))
+                .collect()[0].m
+            )
+            if prev_cached is not None:
+                prev_cached.unpersist()
+            prev_cached = ranks
+        else:
+            dm = 0.0
+        contrib = (
+            e.join(ranks, e[src] == ranks.v)
+            .groupBy(F.col(dst).alias("v2"))
+            .agg(F.sum(F.col("pr") / F.col("_deg")).alias("inflow"))
+        )
+        inflow_term = F.coalesce("inflow", F.lit(0.0))
+        if has_dangling:
+            inflow_term = inflow_term + F.lit(dm) * F.col("s")
+        ranks = (
+            sv.join(contrib, F.col("v") == F.col("v2"), "left")
+            .select(
+                "v",
+                (
+                    F.lit(one_minus_d) * F.col("s")
+                    + F.lit(damping) * inflow_term
+                ).alias("pr"),
+            )
+        )
+    out = ranks.select(
+        F.col("v").alias(node_col),
+        round_stable(F.col("pr"), out_decimals).alias("ppr"),
+    )
+    out = out.localCheckpoint(eager=True)
+    if prev_cached is not None:
+        prev_cached.unpersist()
+    sv.unpersist()
+    return out
