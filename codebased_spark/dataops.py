@@ -778,6 +778,47 @@ def kg_hypernyms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hypernym_summary(extract_hypernyms(_hearst_text_docs(spark, sf_dir)))
 
 
+def _quote_text_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted reported-speech sentences derived purely from documents
+    columns (declarative-oracle trick) — per doc:
+
+    - quote_first:  "Results beat guidance v{d%9}." said Ana Vargas{d%7}.
+      (adversarial on d % 3 == 0: curly quotes + uppercase SAID)
+    - speaker_first: Omar Haddad{(d+2)%7} said: "Margins will improve v{d%5}"
+    - decoy: a quoted span with no adjacent speech verb ("… appeared in
+      the memo") — must NOT be attributed, keeping the negative non-vacuous.
+    """
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    s = lambda e: e.cast("string")  # noqa: E731
+    qa = F.concat(F.lit("Results beat guidance v"), s(d % 9), F.lit("."))
+    sp_a = F.concat(F.lit("Ana Vargas"), s(d % 7))
+    sent_a = F.when(
+        d % 3 == 0,
+        F.concat(F.lit("“"), qa, F.lit("” SAID "), sp_a, F.lit(".")),
+    ).otherwise(F.concat(F.lit('"'), qa, F.lit('" said '), sp_a, F.lit(".")))
+    sent_b = F.concat(
+        F.lit("Omar Haddad"), s((d + 2) % 7),
+        F.lit(' said: "Margins will improve v'), s(d % 5), F.lit('"'),
+    )
+    decoy = F.concat(
+        F.lit('The phrase "synergy update '), s(d % 4),
+        F.lit('" appeared in the memo.'),
+    )
+    txt = F.concat(sent_a, F.lit(" "), sent_b, F.lit(" "), decoy)
+    return docs.select("doc_id", txt.alias("text"))
+
+
+def kg_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quotation attribution (extract/quotes.py): (speaker, quote) pairs
+    from both reported-speech argument orders, straight and curly quotes,
+    case-insensitive speech verbs — the QUOTED_AS edge family. Map-only
+    JVM regex pass; the planted decoy quote stays unattributed."""
+    from codebased_spark.extract.quotes import extract_quotes
+
+    return extract_quotes(_quote_text_docs(spark, sf_dir))
+
+
 def kg_doc_entity_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc sorted set of mentioned entity types (Q7 collect_set)."""
     from codebased_spark.graph.queries import DOC_GAZETTEER
@@ -1850,6 +1891,7 @@ QUERIES = {
     "kg_url_parts": kg_url_parts,
     "kg_pattern_entities": kg_pattern_entities,
     "kg_hypernyms": kg_hypernyms,
+    "kg_quotes": kg_quotes,
     "q_suppliers_per_region": q_suppliers_per_region,
     "q_hourly_events": q_hourly_events,
     "q_user_sessions": q_user_sessions,
@@ -3264,6 +3306,22 @@ ORACLES = {
         SELECT hyponym, hypernym, count(DISTINCT doc_id) AS n_docs,
                count(*) AS n_mentions
         FROM t GROUP BY 1, 2
+    """,
+    # planted reported speech (_quote_text_docs) restated declaratively:
+    # one quote_first + one speaker_first attribution per doc; the decoy
+    # quoted span is absent (no adjacent speech verb)
+    "kg_quotes": """
+        SELECT doc_id,
+               'Ana Vargas' || (doc_id % 7) AS speaker,
+               'Results beat guidance v' || (doc_id % 9) || '.' AS quote,
+               'quote_first' AS pattern
+        FROM documents
+        UNION ALL
+        SELECT doc_id,
+               'Omar Haddad' || ((doc_id + 2) % 7),
+               'Margins will improve v' || (doc_id % 5),
+               'speaker_first'
+        FROM documents
     """,
     # planted <img> pairs: relative src resolved to the host, external
     # image on even ids, decorative alt="" dropped by the length bar
