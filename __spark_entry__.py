@@ -108,7 +108,7 @@ _RECEIPT_PRIORITY = [
     "kg_cocitation", "kg_entity_pmi", "kg_feed_items", "kg_hreflang",
     "kg_microdata",
     # new in r4 continuation session
-    "g_link_prediction", "g_ppr", "kg_quotes",
+    "g_link_prediction", "g_ppr", "kg_quotes", "kg_numeric_facts",
     # new in r4
     "kg_hypernyms", "kg_resolved_links", "kg_resolved_domain_graph",
     "tx_quality_buckets", "tx_bitext", "tx_sentences", "dd_sentence_dups",

@@ -819,6 +819,40 @@ def kg_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_quotes(_quote_text_docs(spark, sf_dir))
 
 
+def _numfact_text_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted numeric-fact sentences from documents columns — per doc:
+
+    - "Acme Widgets{d%7} employs 4,{100+d%900} people."  (comma grouping)
+    - "Acme Widgets{d%7} raised {10+d%90} million dollars."
+    - "Globex Labs{d%5} shipped {1+d%9} thousand units."
+    - decoy: "Version 3.5 of the spec shipped in 2024." — numbers with no
+      attribute pattern must NOT be extracted.
+    """
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    s = lambda e: e.cast("string")  # noqa: E731
+    txt = F.concat(
+        F.lit("Acme Widgets"), s(d % 7),
+        F.lit(" employs 4,"), s(d % 900 + 100), F.lit(" people. "),
+        F.lit("Acme Widgets"), s(d % 7),
+        F.lit(" raised "), s(d % 90 + 10), F.lit(" million dollars. "),
+        F.lit("Globex Labs"), s(d % 5),
+        F.lit(" shipped "), s(d % 9 + 1), F.lit(" thousand units. "),
+        F.lit("Version 3.5 of the spec shipped in 2024."),
+    )
+    return docs.select("doc_id", txt.alias("text"))
+
+
+def kg_numeric_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric-fact extraction (extract/numfacts.py): exact-integer
+    (entity, attribute, value) triples with comma de-grouping and word
+    multipliers — the quantitative attribute edges. Map-only JVM regex;
+    planted decoy numbers stay unextracted."""
+    from codebased_spark.extract.numfacts import extract_numeric_facts
+
+    return extract_numeric_facts(_numfact_text_docs(spark, sf_dir))
+
+
 def kg_doc_entity_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc sorted set of mentioned entity types (Q7 collect_set)."""
     from codebased_spark.graph.queries import DOC_GAZETTEER
@@ -1892,6 +1926,7 @@ QUERIES = {
     "kg_pattern_entities": kg_pattern_entities,
     "kg_hypernyms": kg_hypernyms,
     "kg_quotes": kg_quotes,
+    "kg_numeric_facts": kg_numeric_facts,
     "q_suppliers_per_region": q_suppliers_per_region,
     "q_hourly_events": q_hourly_events,
     "q_user_sessions": q_user_sessions,
@@ -3306,6 +3341,22 @@ ORACLES = {
         SELECT hyponym, hypernym, count(DISTINCT doc_id) AS n_docs,
                count(*) AS n_mentions
         FROM t GROUP BY 1, 2
+    """,
+    # planted numeric facts (_numfact_text_docs) restated declaratively:
+    # exact-integer values — 4,XYZ de-comma'd, million/thousand multiplied
+    "kg_numeric_facts": """
+        SELECT doc_id, 'Acme Widgets' || (doc_id % 7) AS subj,
+               'employees' AS attr,
+               CAST(4000 + (doc_id % 900) + 100 AS BIGINT) AS value
+        FROM documents
+        UNION ALL
+        SELECT doc_id, 'Acme Widgets' || (doc_id % 7), 'raised_usd',
+               CAST(((doc_id % 90) + 10) * 1000000 AS BIGINT)
+        FROM documents
+        UNION ALL
+        SELECT doc_id, 'Globex Labs' || (doc_id % 5), 'shipped_units',
+               CAST(((doc_id % 9) + 1) * 1000 AS BIGINT)
+        FROM documents
     """,
     # planted reported speech (_quote_text_docs) restated declaratively:
     # one quote_first + one speaker_first attribution per doc; the decoy
