@@ -853,6 +853,44 @@ def kg_numeric_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_numeric_facts(_numfact_text_docs(spark, sf_dir))
 
 
+def kg_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geotag extraction (extract/geo.py): exact milli-degree coordinates
+    from geo.position / ICBM meta tags planted in the page head —
+    canonical markup on even ids, adversarial real-web form on odd ids
+    (uppercase META, single quotes, content BEFORE name, comma
+    separator), plus an invalid-content decoy on d % 5 == 0 that must be
+    dropped. One row per doc either way, so the oracle restates the
+    values declaratively."""
+    from codebased_spark.extract.geo import extract_geo
+    from codebased_spark.synth.pages import pages_from_documents_spark
+
+    d = F.col("doc_id")
+    s = lambda e: e.cast("string")  # noqa: E731
+    lat = F.concat(s(d % 181 - 90), F.lit("."), F.lpad(s(d % 1000), 3, "0"))
+    lon = F.concat(
+        s((d * 7) % 361 - 180), F.lit("."), F.lpad(s((d * 31) % 1000), 3, "0")
+    )
+    geo = F.when(
+        d % 2 == 0,
+        F.concat(
+            F.lit('<meta name="geo.position" content="'),
+            lat, F.lit(";"), lon, F.lit('"/>'),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("<META CONTENT='"), lat, F.lit(", "), lon,
+            F.lit("' NAME='ICBM' DATA-X=\"1\"/>"),
+        )
+    )
+    decoy = F.when(
+        d % 5 == 0, F.lit('<meta name="geo.position" content="unknown"/>')
+    ).otherwise(F.lit(""))
+    pages = pages_from_documents_spark(
+        _docs(spark, sf_dir), head_extra=F.concat(geo, decoy)
+    )
+    return extract_geo(pages)
+
+
 def kg_doc_entity_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc sorted set of mentioned entity types (Q7 collect_set)."""
     from codebased_spark.graph.queries import DOC_GAZETTEER
@@ -1927,6 +1965,7 @@ QUERIES = {
     "kg_hypernyms": kg_hypernyms,
     "kg_quotes": kg_quotes,
     "kg_numeric_facts": kg_numeric_facts,
+    "kg_geo": kg_geo,
     "q_suppliers_per_region": q_suppliers_per_region,
     "q_hourly_events": q_hourly_events,
     "q_user_sessions": q_user_sessions,
@@ -3341,6 +3380,26 @@ ORACLES = {
         SELECT hyponym, hypernym, count(DISTINCT doc_id) AS n_docs,
                count(*) AS n_mentions
         FROM t GROUP BY 1, 2
+    """,
+    # planted geo metas restated declaratively: sign-aware milli-degree
+    # integers; the invalid-content decoy contributes no row
+    "kg_geo": """
+        WITH p AS (
+          SELECT 'https://' || source || '.example.org/' || lang || '/doc/'
+                   || doc_id AS url,
+                 doc_id,
+                 (doc_id % 181) - 90 AS li, doc_id % 1000 AS fr,
+                 ((doc_id * 7) % 361) - 180 AS lj, (doc_id * 31) % 1000 AS fj
+          FROM documents
+        )
+        SELECT url,
+               CASE WHEN doc_id % 2 = 0 THEN 'geo.position' ELSE 'icbm' END
+                 AS tag,
+               CAST(CASE WHEN li < 0 THEN -(abs(li) * 1000 + fr)
+                         ELSE li * 1000 + fr END AS BIGINT) AS lat_mdeg,
+               CAST(CASE WHEN lj < 0 THEN -(abs(lj) * 1000 + fj)
+                         ELSE lj * 1000 + fj END AS BIGINT) AS lon_mdeg
+        FROM p
     """,
     # planted numeric facts (_numfact_text_docs) restated declaratively:
     # exact-integer values — 4,XYZ de-comma'd, million/thousand multiplied
