@@ -853,6 +853,42 @@ def kg_numeric_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_numeric_facts(_numfact_text_docs(spark, sf_dir))
 
 
+def _type_text_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted COMPETING-hypernym sentences — the fixture that makes
+    majority-vote typing non-vacuous:
+
+    - "tools such as x{d%6}."            (every doc -> majority)
+    - "products including x{d%6}."       (d % 3 == 0 -> losing minority)
+    - "y{d%5} and other gadgets|gizmos." (even|odd d -> exact tie on
+      row-count-divisible fixtures, exercising the lexicographic break)
+    """
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    s = lambda e: e.cast("string")  # noqa: E731
+    txt = F.concat(
+        F.lit("tools such as x"), s(d % 6), F.lit(". "),
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit("products including x"), s(d % 6), F.lit(". ")),
+        ).otherwise(F.lit("")),
+        F.lit("y"), s(d % 5),
+        F.when(d % 2 == 0, F.lit(" and other gadgets.")).otherwise(
+            F.lit(" and other gizmos.")
+        ),
+    )
+    return docs.select("doc_id", txt.alias("text"))
+
+
+def kg_type_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-vote entity typing (extract/hearst.py::infer_types) over
+    competing IS_A evidence: most-supported hypernym wins per hyponym,
+    ties broken lexicographically, support share as exact-division
+    confidence. Vocabulary-sized aggregate + tiny argmax window."""
+    from codebased_spark.extract.hearst import extract_hypernyms, infer_types
+
+    return infer_types(extract_hypernyms(_type_text_docs(spark, sf_dir)))
+
+
 def kg_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geotag extraction (extract/geo.py): exact milli-degree coordinates
     from geo.position / ICBM meta tags planted in the page head —
@@ -1966,6 +2002,7 @@ QUERIES = {
     "kg_quotes": kg_quotes,
     "kg_numeric_facts": kg_numeric_facts,
     "kg_geo": kg_geo,
+    "kg_type_inference": kg_type_inference,
     "q_suppliers_per_region": q_suppliers_per_region,
     "q_hourly_events": q_hourly_events,
     "q_user_sessions": q_user_sessions,
@@ -3380,6 +3417,35 @@ ORACLES = {
         SELECT hyponym, hypernym, count(DISTINCT doc_id) AS n_docs,
                count(*) AS n_mentions
         FROM t GROUP BY 1, 2
+    """,
+    # planted competing hypernyms (_type_text_docs): the oracle rebuilds
+    # the identical vote table and argmax (ties -> lexicographic)
+    "kg_type_inference": """
+        WITH t AS (
+          SELECT doc_id, 'x' || (doc_id % 6) AS hyponym, 'tools' AS hypernym
+          FROM documents
+          UNION ALL
+          SELECT doc_id, 'x' || (doc_id % 6), 'products'
+          FROM documents WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT doc_id, 'y' || (doc_id % 5),
+                 CASE WHEN doc_id % 2 = 0 THEN 'gadgets' ELSE 'gizmos' END
+          FROM documents
+        ),
+        per AS (
+          SELECT hyponym, hypernym, count(DISTINCT doc_id) AS n_docs
+          FROM t GROUP BY 1, 2
+        ),
+        tot AS (SELECT hyponym, sum(n_docs) AS total FROM per GROUP BY 1),
+        rk AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY hyponym ORDER BY n_docs DESC, hypernym ASC) AS rn
+          FROM per
+        )
+        SELECT rk.hyponym, hypernym AS inferred_type, n_docs AS n_support,
+               floor(CAST(n_docs AS DOUBLE) / total * 10000 + 0.5) / 10000
+                 AS share
+        FROM rk JOIN tot ON rk.hyponym = tot.hyponym WHERE rn = 1
     """,
     # planted geo metas restated declaratively: sign-aware milli-degree
     # integers; the invalid-content decoy contributes no row

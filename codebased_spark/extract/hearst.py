@@ -103,3 +103,35 @@ def hypernym_summary(pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         F.countDistinct(id_col).alias("n_docs"),
         F.count(F.lit(1)).alias("n_mentions"),
     )
+
+
+def infer_types(pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Majority-vote entity typing from the IS_A evidence: each hyponym's
+    inferred type is its most-supported hypernym (document support, ties
+    broken lexicographically — deterministic), with the support share as
+    an exact-division confidence. This is how web-scale taxonomy systems
+    (WebIsA-style) collapse noisy per-sentence IS_A votes into one type
+    per entity; competing hypernyms (polysemy, bad extractions) lose the
+    vote instead of poisoning the type table.
+
+    Scale shape: the input aggregate is vocabulary-sized after the
+    hypernym_summary-style groupBy; the argmax window partitions by
+    hyponym whose fan-out is the candidate-type count (tiny), never the
+    corpus."""
+    from pyspark.sql import Window
+
+    per = pairs.groupBy("hyponym", "hypernym").agg(
+        F.countDistinct(id_col).alias("n_docs")
+    )
+    tot = per.groupBy("hyponym").agg(F.sum("n_docs").alias("_total"))
+    w = Window.partitionBy("hyponym").orderBy(
+        F.desc("n_docs"), F.asc("hypernym")
+    )
+    ranked = per.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    share = F.floor(F.col("n_docs") / F.col("_total") * 10000 + F.lit(0.5)) / 10000
+    return ranked.join(tot, "hyponym").select(
+        "hyponym",
+        F.col("hypernym").alias("inferred_type"),
+        F.col("n_docs").alias("n_support"),
+        share.alias("share"),
+    )

@@ -117,3 +117,23 @@ def test_hearst_family_registered_in_dispatch(spark):
     assert (1, "apples", "fruits") in rows
     assert (2, "me@x.org", "Email") in rows
     assert not any(d == 3 for d, *_ in rows)
+
+
+def test_infer_types_majority_tie_and_share(spark):
+    from codebased_spark.extract.hearst import infer_types
+
+    pairs = spark.createDataFrame(
+        # a: 3 docs say 'tool', 1 says 'product'  -> tool, share 3/4
+        [(1, "a", "tool"), (2, "a", "tool"), (3, "a", "tool"), (4, "a", "product"),
+         # b: exact 1-1 tie -> lexicographic winner 'gadget'
+         (1, "b", "gizmo"), (2, "b", "gadget"),
+         # c: duplicate mentions in ONE doc count once (countDistinct)
+         (1, "c", "thing"), (1, "c", "thing"), (2, "c", "other")],
+        ["doc_id", "hyponym", "hypernym"],
+    )
+    got = {r.hyponym: (r.inferred_type, r.n_support, r.share)
+           for r in infer_types(pairs).collect()}
+    assert got["a"] == ("tool", 3, 0.75)
+    assert got["b"] == ("gadget", 1, 0.5)
+    # 'thing' twice in doc 1 counts ONCE -> 1-1 tie -> 'other' wins lexically
+    assert got["c"] == ("other", 1, 0.5)
