@@ -111,6 +111,34 @@ def dd_mirrors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mirror_groups(docs.unionByName(m1).unionByName(m2))
 
 
+def dd_dust_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUST parameter-rule learning (sources/dust.py): per-host 'strip'/
+    'keep' verdicts for url query params from content-equality evidence.
+    Fixture plants three captures per doc on its source host —
+    ?id=N (base), ?id=N&utm=x (same content -> utm learns 'strip'),
+    and on d % 4 == 0 ?id=N&page=2 (different content -> page learns
+    'keep'); id itself has no param-less twin, so it produces NO rule
+    (no evidence is not 'safe')."""
+    from codebased_spark.sources.dust import dust_param_rules
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    s = lambda e: e.cast("string")  # noqa: E731
+    base_url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.org/item?id="), s(d)
+    )
+    content = F.concat(F.lit("content "), s(d))
+    a = docs.select(base_url.alias("url"), content.alias("text"))
+    b = docs.select(
+        F.concat(base_url, F.lit("&utm=x")).alias("url"), content.alias("text")
+    )
+    c = docs.where(d % 4 == 0).select(
+        F.concat(base_url, F.lit("&page=2")).alias("url"),
+        F.concat(content, F.lit(" p2")).alias("text"),
+    )
+    return dust_param_rules(a.unionByName(b).unionByName(c))
+
+
 MIX_TARGETS = {"en": 0.25, "zh": 0.30, "de": 0.15, "fr": 0.15, "es": 0.15}
 
 
@@ -1949,6 +1977,7 @@ QUERIES = {
     "dd_simhash": dd_simhash,
     "dd_clusters": dd_clusters,
     "dd_mirrors": dd_mirrors,
+    "dd_dust_rules": dd_dust_rules,
     "dd_span_dups": dd_span_dups,
     "tx_training_mix": tx_training_mix,
     "dd_embedding_exact": dd_embedding_exact,
@@ -2992,6 +3021,21 @@ ORACLES = {
                string_agg(CASE WHEN rn <= 5 THEN CAST(doc_id AS VARCHAR)
                           END, ',' ORDER BY doc_id) AS champions
         FROM ranked GROUP BY term
+    """,
+    # planted DUST evidence restated declaratively: every doc yields one
+    # equal utm pair; every d%4==0 doc yields one differing page pair;
+    # id has no param-less twin so no rule appears for it
+    "dd_dust_rules": """
+        WITH h AS (
+          SELECT source || '.example.org' AS host, count(*) AS n_all,
+                 sum(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) AS n_page
+          FROM documents GROUP BY 1
+        )
+        SELECT host, 'utm' AS param, n_all AS n_pairs, n_all AS n_equal,
+               'strip' AS verdict
+        FROM h
+        UNION ALL
+        SELECT host, 'page', n_page, 0, 'keep' FROM h WHERE n_page > 0
     """,
     "dd_mirrors": """
         WITH caps AS (
