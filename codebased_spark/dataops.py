@@ -881,6 +881,40 @@ def kg_numeric_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_numeric_facts(_numfact_text_docs(spark, sf_dir))
 
 
+def _alias_text_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted apposition sentences from documents columns — per doc:
+
+    - "Acme Widgets{d%7}, also known as AW{d%7}, reported growth."
+    - "Globex Labs{d%5} (formerly Globex Research{d%5}) expanded."
+    - "Stark Dynamics{d%3}, aka SD{d%3}, filed."
+    - decoy: "Margins, also known as the spread, widened." — lowercase
+      alias fails the capitalized-name pattern and must NOT be emitted.
+    """
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    s = lambda e: e.cast("string")  # noqa: E731
+    txt = F.concat(
+        F.lit("Acme Widgets"), s(d % 7), F.lit(", also known as AW"),
+        s(d % 7), F.lit(", reported growth. "),
+        F.lit("Globex Labs"), s(d % 5), F.lit(" (formerly Globex Research"),
+        s(d % 5), F.lit(") expanded. "),
+        F.lit("Stark Dynamics"), s(d % 3), F.lit(", aka SD"), s(d % 3),
+        F.lit(", filed. "),
+        F.lit("Margins, also known as the spread, widened."),
+    )
+    return docs.select("doc_id", txt.alias("text"))
+
+
+def kg_aliases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alias harvesting (extract/aliases.py): (name, alias) pairs mined
+    from also-known-as / formerly / aka appositions, aggregated to the
+    document-support table the entity linker unions into its variant
+    keys. Map-only regex pass + vocabulary-sized aggregate."""
+    from codebased_spark.extract.aliases import alias_summary, extract_aliases
+
+    return alias_summary(extract_aliases(_alias_text_docs(spark, sf_dir)))
+
+
 def _type_text_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Planted COMPETING-hypernym sentences — the fixture that makes
     majority-vote typing non-vacuous:
@@ -2032,6 +2066,7 @@ QUERIES = {
     "kg_numeric_facts": kg_numeric_facts,
     "kg_geo": kg_geo,
     "kg_type_inference": kg_type_inference,
+    "kg_aliases": kg_aliases,
     "q_suppliers_per_region": q_suppliers_per_region,
     "q_hourly_events": q_hourly_events,
     "q_user_sessions": q_user_sessions,
@@ -3460,6 +3495,25 @@ ORACLES = {
         )
         SELECT hyponym, hypernym, count(DISTINCT doc_id) AS n_docs,
                count(*) AS n_mentions
+        FROM t GROUP BY 1, 2
+    """,
+    # planted appositions (_alias_text_docs) restated declaratively;
+    # the lowercase-alias decoy contributes nothing
+    "kg_aliases": """
+        WITH t AS (
+          SELECT doc_id, 'Acme Widgets' || (doc_id % 7) AS name,
+                 'AW' || (doc_id % 7) AS alias
+          FROM documents
+          UNION ALL
+          SELECT doc_id, 'Globex Labs' || (doc_id % 5),
+                 'Globex Research' || (doc_id % 5)
+          FROM documents
+          UNION ALL
+          SELECT doc_id, 'Stark Dynamics' || (doc_id % 3),
+                 'SD' || (doc_id % 3)
+          FROM documents
+        )
+        SELECT name, alias, count(DISTINCT doc_id) AS n_docs
         FROM t GROUP BY 1, 2
     """,
     # planted competing hypernyms (_type_text_docs): the oracle rebuilds
