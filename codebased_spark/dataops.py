@@ -881,6 +881,35 @@ def kg_numeric_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_numeric_facts(_numfact_text_docs(spark, sf_dir))
 
 
+def kg_coref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coreference-lite (extract/coref.py): He/She/It/They resolved to the
+    nearest prior type-compatible mention via one per-doc window pass.
+    Fixture plants a Person, an Org, and a Product mention followed by
+    She (-> Person), It (-> last non-Person = the Product), They (-> last
+    any); on d % 6 == 0 a doc-initial 'He' has no antecedent and must be
+    dropped; a lowercase object-position 'it' is never a pronoun row.
+    The oracle resolves the same text with the OPPOSITE algorithm — a
+    max-prior-position mention join — so agreement is real evidence."""
+    from codebased_spark.extract.coref import resolve_pronouns
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    s = lambda e: e.cast("string")  # noqa: E731
+    txt = F.concat(
+        F.when(d % 6 == 0, F.lit("He arrived . ")).otherwise(F.lit("")),
+        F.lit("alice"), s(d % 5), F.lit(" joined acme"), s(d % 7),
+        F.lit(" . She praised it . widget"), s(d % 3),
+        F.lit(" shipped . It sold well . They expanded ."),
+    )
+    gaz = spark.createDataFrame(
+        [(f"alice{k}", f"ent:person:{k}", "Person") for k in range(5)]
+        + [(f"acme{k}", f"ent:org:{k}", "Org") for k in range(7)]
+        + [(f"widget{k}", f"ent:product:{k}", "Product") for k in range(3)],
+        ["surface_form", "entity", "entity_type"],
+    )
+    return resolve_pronouns(docs.select("doc_id", txt.alias("text")), gaz)
+
+
 def _alias_text_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Planted apposition sentences from documents columns — per doc:
 
@@ -2067,6 +2096,7 @@ QUERIES = {
     "kg_geo": kg_geo,
     "kg_type_inference": kg_type_inference,
     "kg_aliases": kg_aliases,
+    "kg_coref": kg_coref,
     "q_suppliers_per_region": q_suppliers_per_region,
     "q_hourly_events": q_hourly_events,
     "q_user_sessions": q_user_sessions,
@@ -3496,6 +3526,52 @@ ORACLES = {
         SELECT hyponym, hypernym, count(DISTINCT doc_id) AS n_docs,
                count(*) AS n_mentions
         FROM t GROUP BY 1, 2
+    """,
+    # coref: the oracle resolves the planted text with the OPPOSITE
+    # algorithm (mention x pronoun join, argmax prior position) vs the
+    # engine's single window pass
+    "kg_coref": """
+        WITH base AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 6 = 0 THEN 'He arrived . ' ELSE '' END
+                 || 'alice' || (doc_id % 5) || ' joined acme' || (doc_id % 7)
+                 || ' . She praised it . widget' || (doc_id % 3)
+                 || ' shipped . It sold well . They expanded .' AS text
+          FROM documents
+        ),
+        toks AS (
+          SELECT doc_id, i AS pos, w[i] AS word
+          FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i
+                FROM (SELECT doc_id, string_split(text, ' ') AS w FROM base))
+        ),
+        gaz AS (
+          SELECT 'alice' || k AS surface_form, 'ent:person:' || k AS entity,
+                 'Person' AS entity_type FROM range(5) t(k)
+          UNION ALL
+          SELECT 'acme' || k, 'ent:org:' || k, 'Org' FROM range(7) t(k)
+          UNION ALL
+          SELECT 'widget' || k, 'ent:product:' || k, 'Product' FROM range(3) t(k)
+        ),
+        m AS (
+          SELECT t.doc_id, t.pos, g.entity, g.entity_type
+          FROM toks t JOIN gaz g ON t.word = g.surface_form
+        ),
+        p AS (
+          SELECT doc_id, pos, word FROM toks
+          WHERE word IN ('He', 'She', 'It', 'They')
+        ),
+        j AS (
+          SELECT p.doc_id, p.pos, p.word, m.entity,
+                 row_number() OVER (
+                   PARTITION BY p.doc_id, p.pos ORDER BY m.pos DESC) AS rn
+          FROM p JOIN m ON m.doc_id = p.doc_id AND m.pos < p.pos
+            AND ((p.word IN ('He', 'She') AND m.entity_type = 'Person')
+              OR (p.word = 'It' AND m.entity_type <> 'Person')
+              OR (p.word = 'They'))
+        )
+        SELECT doc_id, pos AS pronoun_pos, word AS pronoun,
+               entity AS antecedent
+        FROM j WHERE rn = 1
     """,
     # planted appositions (_alias_text_docs) restated declaratively;
     # the lowercase-alias decoy contributes nothing
