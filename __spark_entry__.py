@@ -110,7 +110,7 @@ _RECEIPT_PRIORITY = [
     # new in r4 continuation session
     "g_link_prediction", "g_ppr", "kg_quotes", "kg_numeric_facts",
     "kg_geo", "kg_type_inference", "dd_dust_rules", "kg_aliases",
-    "kg_coref",
+    "kg_coref", "kg_bootstrap",
     # new in r4
     "kg_hypernyms", "kg_resolved_links", "kg_resolved_domain_graph",
     "tx_quality_buckets", "tx_bitext", "tx_sentences", "dd_sentence_dups",

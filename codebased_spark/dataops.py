@@ -881,6 +881,35 @@ def kg_numeric_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_numeric_facts(_numfact_text_docs(spark, sf_dir))
 
 
+def kg_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIPRE relation bootstrapping (extract/bootstrap.py): seeds
+    (Acme{k}, Dallas{k}) k<5 induce the 'headquartered' pattern from
+    planted seed sentences; the learned pattern then extracts the NEW
+    pairs (Globex{k}, Austin{k}) the seeds never mentioned. Decoys: a
+    'visited' context with non-seed pairs (zero seed support -> never
+    learned) and an 'acquired' context appearing with only ONE seed pair
+    (below min_support=2 -> rejected)."""
+    from codebased_spark.extract.bootstrap import bootstrap_new_pairs
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    s = lambda e: e.cast("string")  # noqa: E731
+    txt = F.concat(
+        F.lit("Acme"), s(d % 5), F.lit(" headquartered Dallas"), s(d % 5),
+        F.lit(" . Globex"), s(d % 7), F.lit(" headquartered Austin"),
+        s(d % 7),
+        F.lit(" . Acme"), s(d % 5), F.lit(" visited Paris"), s(d % 9),
+        F.when(d == 0, F.lit(" . Acme0 acquired Dallas0")).otherwise(
+            F.lit("")
+        ),
+        F.lit(" ."),
+    )
+    seeds = spark.createDataFrame(
+        [(f"Acme{k}", f"Dallas{k}") for k in range(5)], ["subj", "obj"]
+    )
+    return bootstrap_new_pairs(docs.select("doc_id", txt.alias("text")), seeds)
+
+
 def kg_coref(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Coreference-lite (extract/coref.py): He/She/It/They resolved to the
     nearest prior type-compatible mention via one per-doc window pass.
@@ -2097,6 +2126,7 @@ QUERIES = {
     "kg_type_inference": kg_type_inference,
     "kg_aliases": kg_aliases,
     "kg_coref": kg_coref,
+    "kg_bootstrap": kg_bootstrap,
     "q_suppliers_per_region": q_suppliers_per_region,
     "q_hourly_events": q_hourly_events,
     "q_user_sessions": q_user_sessions,
@@ -3526,6 +3556,18 @@ ORACLES = {
         SELECT hyponym, hypernym, count(DISTINCT doc_id) AS n_docs,
                count(*) AS n_mentions
         FROM t GROUP BY 1, 2
+    """,
+    # bootstrap: only 'headquartered' survives pattern induction (5 seed
+    # pairs; 'visited' has 0, 'acquired' has 1 < min_support), and only
+    # the non-seed Globex/Austin pairs survive the anti-join
+    "kg_bootstrap": """
+        WITH h AS (
+          SELECT doc_id % 7 AS k, count(DISTINCT doc_id) AS n
+          FROM documents GROUP BY 1
+        )
+        SELECT 'Globex' || k AS subj, 'headquartered' AS pattern,
+               'Austin' || k AS obj, n AS n_docs
+        FROM h
     """,
     # coref: the oracle resolves the planted text with the OPPOSITE
     # algorithm (mention x pronoun join, argmax prior position) vs the
