@@ -108,6 +108,7 @@ _RECEIPT_PRIORITY = [
     "kg_cocitation", "kg_entity_pmi", "kg_feed_items", "kg_hreflang",
     "kg_microdata",
     # new in r4 continuation session
+    "kg_taxonomy_reduction", "kg_constraint_violations", "kg_entity_cards",
     "g_link_prediction", "g_ppr", "kg_quotes", "kg_numeric_facts",
     "kg_geo", "kg_type_inference", "dd_dust_rules", "kg_aliases",
     "kg_coref", "kg_bootstrap",

@@ -4811,3 +4811,80 @@ ORACLES["tx_pack"] = """
              - greatest(tok_start, pack_id * 128) AS n_tok
     FROM spans
 """
+
+
+# ---------------------------------------------------------------------------
+# Taxonomy transitive reduction (graph/taxonomy.py) — Spark-native
+# recursive CTE closure over a deterministic IS_A DAG with planted
+# redundant shortcuts.
+# ---------------------------------------------------------------------------
+
+
+def _taxo_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic taxonomy DAG over doc ids, blocks of 8:
+
+    - chain edge (d, d+1) at block positions 0-6 EXCEPT 3 (the gap
+      makes two shortcuts genuinely non-redundant)
+    - shortcut edge (d, d+2) at positions 0-5
+
+    Within a full block the shortcuts at positions 0, 1, 4, 5 are
+    implied by the two surrounding chain edges (redundant = 1), while
+    positions 2 and 3 straddle the missing 3->4 chain edge and must
+    survive reduction (redundant = 0). Chain edges are never implied.
+    Edges always point small->large id, so the DAG contract of
+    transitive_closure_rcte holds by construction.
+    """
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    d = F.col("doc_id")
+    chain = docs.where((d % 8 < 7) & (d % 8 != 3) & (d + 1 < n)).select(
+        d.alias("src"), (d + 1).alias("dst")
+    )
+    short = docs.where((d % 8 <= 5) & (d + 2 < n)).select(
+        d.alias("src"), (d + 2).alias("dst")
+    )
+    return chain.unionByName(short)
+
+
+def kg_taxonomy_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive reduction of the IS_A taxonomy (graph/taxonomy.py):
+    unbounded closure via Spark 4's NATIVE recursive CTE (UnionLoop —
+    no driver-side iteration), then every edge flagged redundant iff a
+    sibling out-edge reaches its head. The DuckDB oracle runs the
+    byte-identical WITH RECURSIVE closure over the same fixture CTE."""
+    from codebased_spark.graph.taxonomy import taxonomy_reduction
+
+    r = taxonomy_reduction(_taxo_edges(spark, sf_dir))
+    return r.select(
+        F.col("src").alias("child"), F.col("dst").alias("parent"), "redundant"
+    )
+
+
+QUERIES["kg_taxonomy_reduction"] = kg_taxonomy_reduction
+
+ORACLES["kg_taxonomy_reduction"] = """
+    WITH RECURSIVE
+    nn AS (SELECT count(*) AS n FROM documents),
+    e AS (
+      SELECT doc_id AS src, doc_id + 1 AS dst FROM documents, nn
+      WHERE doc_id % 8 < 7 AND doc_id % 8 <> 3 AND doc_id + 1 < nn.n
+      UNION ALL
+      SELECT doc_id, doc_id + 2 FROM documents, nn
+      WHERE doc_id % 8 <= 5 AND doc_id + 2 < nn.n
+    ),
+    reach AS (
+      SELECT src, dst FROM e
+      UNION ALL
+      SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+    ),
+    reach_d AS (SELECT DISTINCT src, dst FROM reach),
+    red AS (
+      SELECT DISTINCT e1.src, e1.dst
+      FROM e e1
+      JOIN e e2 ON e2.src = e1.src AND e2.dst <> e1.dst
+      JOIN reach_d r ON r.src = e2.dst AND r.dst = e1.dst
+    )
+    SELECT e.src AS child, e.dst AS parent,
+           CASE WHEN red.src IS NOT NULL THEN 1 ELSE 0 END AS redundant
+    FROM e LEFT JOIN red ON red.src = e.src AND red.dst = e.dst
+"""
