@@ -4888,3 +4888,192 @@ ORACLES["kg_taxonomy_reduction"] = """
            CASE WHEN red.src IS NOT NULL THEN 1 ELSE 0 END AS redundant
     FROM e LEFT JOIN red ON red.src = e.src AND red.dst = e.dst
 """
+
+
+# ---------------------------------------------------------------------------
+# KG constraint audit (graph/constraints.py) — functional / referential /
+# disjoint-class violations over a deterministic triple fixture with
+# planted violations of all three kinds.
+# ---------------------------------------------------------------------------
+
+
+def _constraint_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic (subj, pred, obj) fixture over documents:
+
+    - functional pred `lang`: every doc asserts its lang; docs with
+      doc_id % 3 == 0 assert it AGAIN (same value — idempotent
+      re-extraction, must NOT violate); docs with doc_id % 7 == 0
+      assert a CONFLICTING 'xx' (real langs are en/fr/es/de/zh, so no
+      collision) — planted functional violation.
+    - entity pred `cites`: doc d cites doc 3d, dangling once 3d >= n —
+      planted referential violation.
+    - type pred `is_a`: Article on evens, Spam on multiples of 4 —
+      every 4th doc carries both disjoint classes.
+    """
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    subj = F.concat(F.lit("doc "), d.cast("string"))
+    lang = docs.select(subj.alias("subj"), F.lit("lang").alias("pred"),
+                       F.col("lang").alias("obj"))
+    lang_dup = docs.where(d % 3 == 0).select(
+        subj.alias("subj"), F.lit("lang").alias("pred"),
+        F.col("lang").alias("obj"))
+    lang_bad = docs.where(d % 7 == 0).select(
+        subj.alias("subj"), F.lit("lang").alias("pred"),
+        F.lit("xx").alias("obj"))
+    cites = docs.select(
+        subj.alias("subj"), F.lit("cites").alias("pred"),
+        F.concat(F.lit("doc "), (d * 3).cast("string")).alias("obj"))
+    art = docs.where(d % 2 == 0).select(
+        subj.alias("subj"), F.lit("is_a").alias("pred"),
+        F.lit("Article").alias("obj"))
+    spam = docs.where(d % 4 == 0).select(
+        subj.alias("subj"), F.lit("is_a").alias("pred"),
+        F.lit("Spam").alias("obj"))
+    out = lang
+    for part in (lang_dup, lang_bad, cites, art, spam):
+        out = out.unionByName(part)
+    return out
+
+
+def kg_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHACL-lite constraint battery (graph/constraints.py): functional
+    `lang` (conflicting second value fires, duplicate same value does
+    not), referential `cites` vs the doc-node vocabulary, and the
+    Article|Spam disjoint-class pair. The oracle restates all three
+    checks over the byte-identical fixture CTE."""
+    from codebased_spark.graph.constraints import check_constraints
+
+    docs = _docs(spark, sf_dir)
+    nodes = docs.select(
+        F.concat(F.lit("doc "), F.col("doc_id").cast("string")).alias("id")
+    )
+    return check_constraints(
+        _constraint_triples(spark, sf_dir),
+        functional_preds=["lang"],
+        entity_preds=["cites"],
+        nodes=nodes,
+        type_pred="is_a",
+        disjoint_pairs=[("Article", "Spam")],
+    )
+
+
+QUERIES["kg_constraint_violations"] = kg_constraint_violations
+
+ORACLES["kg_constraint_violations"] = """
+    WITH t AS (
+      SELECT 'doc ' || doc_id AS subj, 'lang' AS pred, lang AS obj
+      FROM documents
+      UNION ALL
+      SELECT 'doc ' || doc_id, 'lang', lang FROM documents
+      WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT 'doc ' || doc_id, 'lang', 'xx' FROM documents
+      WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT 'doc ' || doc_id, 'cites', 'doc ' || (doc_id * 3)
+      FROM documents
+      UNION ALL
+      SELECT 'doc ' || doc_id, 'is_a', 'Article' FROM documents
+      WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT 'doc ' || doc_id, 'is_a', 'Spam' FROM documents
+      WHERE doc_id % 4 = 0
+    ),
+    f AS (
+      SELECT subj, pred, 'functional' AS violation,
+             count(DISTINCT obj) AS n
+      FROM t WHERE pred = 'lang'
+      GROUP BY subj, pred HAVING count(DISTINCT obj) > 1
+    ),
+    d AS (
+      SELECT t.obj AS subj, t.pred, 'dangling' AS violation,
+             count(*) AS n
+      FROM t LEFT JOIN documents dd ON t.obj = 'doc ' || dd.doc_id
+      WHERE t.pred = 'cites' AND dd.doc_id IS NULL
+      GROUP BY t.obj, t.pred
+    ),
+    x AS (
+      SELECT DISTINCT a.subj,
+             'is_a:Article|Spam' AS pred,
+             'disjoint' AS violation,
+             1::BIGINT AS n
+      FROM t a JOIN t b ON a.subj = b.subj
+      WHERE a.pred = 'is_a' AND b.pred = 'is_a'
+        AND a.obj = 'Article' AND b.obj = 'Spam'
+    )
+    SELECT * FROM f
+    UNION ALL SELECT * FROM d
+    UNION ALL SELECT * FROM x
+"""
+
+
+# ---------------------------------------------------------------------------
+# Entity cards (graph/cards.py) — per-entity serving profile over the
+# gazetteer mention stream.
+# ---------------------------------------------------------------------------
+
+
+def kg_entity_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized per-entity cards (graph/cards.py::entity_cards):
+    type, mention/doc counts, sorted alias set, argmax document, and
+    distinct-neighbor count, all from one gazetteer mention scan. The
+    reference serves this join per node-detail request; here it is the
+    batch table that request would hit."""
+    from codebased_spark.graph.cards import entity_cards
+    from codebased_spark.graph.queries import _gaz_df, _tokens
+
+    m = (
+        _tokens(spark, sf_dir)
+        .join(F.broadcast(_gaz_df(spark)), F.col("word") == F.col("surface_form"))
+        .select("doc_id", "surface_form", "canonical_id", "entity_type")
+    )
+    return entity_cards(m)
+
+
+QUERIES["kg_entity_cards"] = kg_entity_cards
+
+ORACLES["kg_entity_cards"] = f"""
+    WITH gaz(surface_form, canonical_id, entity_type)
+           AS (VALUES {GAZ_SQL_VALUES}),
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, word AS surface_form, canonical_id, entity_type
+      FROM toks JOIN gaz ON word = surface_form AND word <> ''
+    ),
+    base AS (
+      SELECT canonical_id,
+             min(entity_type) AS entity_type,
+             count(*) AS n_mentions,
+             count(DISTINCT doc_id) AS n_docs,
+             array_to_string(list_sort(list(DISTINCT surface_form)), ',')
+               AS aliases
+      FROM m GROUP BY canonical_id
+    ),
+    pd AS (
+      SELECT canonical_id, doc_id, count(*) AS c
+      FROM m GROUP BY canonical_id, doc_id
+    ),
+    td AS (
+      SELECT canonical_id, doc_id AS top_doc FROM (
+        SELECT canonical_id, doc_id,
+               row_number() OVER (PARTITION BY canonical_id
+                                  ORDER BY c DESC, doc_id ASC) AS rn
+        FROM pd) WHERE rn = 1
+    ),
+    de AS (SELECT DISTINCT doc_id, canonical_id FROM m),
+    nb AS (
+      SELECT a.canonical_id, count(DISTINCT b.canonical_id) AS n_neighbors
+      FROM de a JOIN de b
+        ON a.doc_id = b.doc_id AND a.canonical_id <> b.canonical_id
+      GROUP BY a.canonical_id
+    )
+    SELECT base.canonical_id, entity_type, n_mentions, n_docs, aliases,
+           top_doc, coalesce(n_neighbors, 0) AS n_neighbors
+    FROM base
+    LEFT JOIN td ON td.canonical_id = base.canonical_id
+    LEFT JOIN nb ON nb.canonical_id = base.canonical_id
+"""
