@@ -109,6 +109,7 @@ _RECEIPT_PRIORITY = [
     "kg_microdata",
     # new in r4 continuation session
     "kg_taxonomy_reduction", "kg_constraint_violations", "kg_entity_cards",
+    "kg_schema_graph", "kg_predicate_synonyms", "kg_fact_fusion",
     "g_link_prediction", "g_ppr", "kg_quotes", "kg_numeric_facts",
     "kg_geo", "kg_type_inference", "dd_dust_rules", "kg_aliases",
     "kg_coref", "kg_bootstrap",

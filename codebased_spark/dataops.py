@@ -5077,3 +5077,212 @@ ORACLES["kg_entity_cards"] = f"""
     LEFT JOIN td ON td.canonical_id = base.canonical_id
     LEFT JOIN nb ON nb.canonical_id = base.canonical_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Ontology induction (graph/schema.py): type-level schema graph and
+# PARIS-style extensional predicate-synonym discovery; plus Knowledge-
+# Vault-style reliability-weighted fact fusion (graph/confidence.py).
+# ---------------------------------------------------------------------------
+
+
+def kg_schema_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-level rollup (graph/schema.py::schema_graph) of the
+    constraint fixture's instance triples: is_a rows become the typing
+    relation, lang/cites rows roll up to (subj_type, pred, obj_type, n)
+    with literal/unknown endpoints in the 'untyped' bucket and
+    multi-typed subjects (Article+Spam on d % 4 == 0) counting once per
+    type combination."""
+    from codebased_spark.graph.schema import schema_graph
+
+    t = _constraint_triples(spark, sf_dir)
+    types = t.where(F.col("pred") == "is_a").select(
+        F.col("subj").alias("id"), F.col("obj").alias("cls")
+    )
+    rel = t.where(F.col("pred") != "is_a")
+    return schema_graph(rel, types)
+
+
+QUERIES["kg_schema_graph"] = kg_schema_graph
+
+ORACLES["kg_schema_graph"] = """
+    WITH t AS (
+      SELECT 'doc ' || doc_id AS subj, 'lang' AS pred, lang AS obj
+      FROM documents
+      UNION ALL
+      SELECT 'doc ' || doc_id, 'lang', lang FROM documents
+      WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT 'doc ' || doc_id, 'lang', 'xx' FROM documents
+      WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT 'doc ' || doc_id, 'cites', 'doc ' || (doc_id * 3)
+      FROM documents
+      UNION ALL
+      SELECT 'doc ' || doc_id, 'is_a', 'Article' FROM documents
+      WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT 'doc ' || doc_id, 'is_a', 'Spam' FROM documents
+      WHERE doc_id % 4 = 0
+    ),
+    ty AS (
+      SELECT DISTINCT subj AS id, obj AS cls FROM t WHERE pred = 'is_a'
+    ),
+    rel AS (SELECT subj, pred, obj FROM t WHERE pred <> 'is_a')
+    SELECT coalesce(s.cls, 'untyped') AS subj_type, rel.pred,
+           coalesce(o.cls, 'untyped') AS obj_type, count(*) AS n
+    FROM rel
+    LEFT JOIN ty s ON s.id = rel.subj
+    LEFT JOIN ty o ON o.id = rel.obj
+    GROUP BY 1, 2, 3
+"""
+
+
+def _synonym_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four planted predicate extensions over entity ids e0..e49:
+
+    - population:     (e(d%50), (d%50)*1000) for every doc — 50 pairs
+    - population_of:  same pairs, docs with d % 10 != 0 — 45 pairs,
+      100% contained in population -> synonym
+    - residents:      same subj, obj matches population only below
+      residue 25 — 50 pairs, 25 shared -> 50% < 80%, NOT a synonym
+    - area:           (e(d%50), (d%50)*7) — overlaps population on the
+      single residue-0 pair, dropped by min_support=2
+    """
+    docs = _docs(spark, sf_dir)
+    r = F.col("doc_id") % 50
+    subj = F.concat(F.lit("e"), r.cast("string"))
+    pop = (r * 1000).cast("string")
+    p1 = docs.select(subj.alias("subj"), F.lit("population").alias("pred"),
+                     pop.alias("obj"))
+    p2 = docs.where(F.col("doc_id") % 10 != 0).select(
+        subj.alias("subj"), F.lit("population_of").alias("pred"),
+        pop.alias("obj"))
+    p3 = docs.select(
+        subj.alias("subj"), F.lit("residents").alias("pred"),
+        F.when(r < 25, pop).otherwise((r * 999).cast("string")).alias("obj"))
+    p4 = docs.select(subj.alias("subj"), F.lit("area").alias("pred"),
+                     (r * 7).cast("string").alias("obj"))
+    out = p1
+    for p in (p2, p3, p4):
+        out = out.unionByName(p)
+    return out
+
+
+def kg_predicate_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extensional predicate alignment
+    (graph/schema.py::predicate_synonyms): distinct shared (subj, obj)
+    pairs per predicate pair with the integer-exact 80%-containment
+    synonym flag — population_of aligns with population, residents
+    (half-overlapping) does not, area's single coincidental shared pair
+    falls under min_support."""
+    from codebased_spark.graph.schema import predicate_synonyms
+
+    return predicate_synonyms(_synonym_triples(spark, sf_dir))
+
+
+QUERIES["kg_predicate_synonyms"] = kg_predicate_synonyms
+
+ORACLES["kg_predicate_synonyms"] = """
+    WITH t AS (
+      SELECT 'e' || (doc_id % 50) AS subj, 'population' AS pred,
+             ((doc_id % 50) * 1000)::VARCHAR AS obj
+      FROM documents
+      UNION ALL
+      SELECT 'e' || (doc_id % 50), 'population_of',
+             ((doc_id % 50) * 1000)::VARCHAR
+      FROM documents WHERE doc_id % 10 <> 0
+      UNION ALL
+      SELECT 'e' || (doc_id % 50), 'residents',
+             CASE WHEN doc_id % 50 < 25
+                  THEN ((doc_id % 50) * 1000)::VARCHAR
+                  ELSE ((doc_id % 50) * 999)::VARCHAR END
+      FROM documents
+      UNION ALL
+      SELECT 'e' || (doc_id % 50), 'area',
+             ((doc_id % 50) * 7)::VARCHAR
+      FROM documents
+    ),
+    pairs AS (SELECT DISTINCT subj, pred, obj FROM t),
+    sizes AS (SELECT pred, count(*) AS n_pairs FROM pairs GROUP BY pred),
+    shared AS (
+      SELECT a.pred AS pred_a, b.pred AS pred_b, count(*) AS n_shared
+      FROM pairs a JOIN pairs b
+        ON a.subj = b.subj AND a.obj = b.obj AND a.pred < b.pred
+      GROUP BY a.pred, b.pred
+      HAVING count(*) >= 2
+    )
+    SELECT pred_a, pred_b, n_shared,
+           na.n_pairs AS n_a, nb.n_pairs AS n_b,
+           CASE WHEN n_shared * 100 >= 80 * least(na.n_pairs, nb.n_pairs)
+                THEN 1 ELSE 0 END AS synonym
+    FROM shared
+    JOIN sizes na ON na.pred = shared.pred_a
+    JOIN sizes nb ON nb.pred = shared.pred_b
+"""
+
+
+def kg_fact_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Knowledge-Vault-style fact fusion
+    (graph/confidence.py::weighted_triple_support): each doc asserts
+    fact f(doc_id % 17) from its source host (re-asserted on evens —
+    spam repetition must NOT raise the score); the reliability prior is
+    host-suffix + 1 with src19 deliberately absent to exercise the
+    default weight. weighted_support = sum of DISTINCT supporting
+    hosts' weights, integer-exact."""
+    from codebased_spark.graph.confidence import weighted_triple_support
+
+    docs = _docs(spark, sf_dir)
+    k = (F.col("doc_id") % 17).cast("string")
+    obs = docs.select(
+        F.concat(F.lit("f"), k).alias("subj"),
+        F.lit("stated").alias("pred"),
+        F.concat(F.lit("v"), k).alias("obj"),
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+        F.col("source").alias("host"),
+    )
+    obs = obs.unionByName(
+        docs.where(F.col("doc_id") % 2 == 0).select(
+            F.concat(F.lit("f"), k).alias("subj"),
+            F.lit("stated").alias("pred"),
+            F.concat(F.lit("v"), k).alias("obj"),
+            F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+            F.col("source").alias("host"),
+        )
+    )
+    hw = (
+        docs.select(F.col("source").alias("host")).distinct()
+        .where(F.col("host") != "src19")
+        .select(
+            "host",
+            (F.substring("host", 4, 10).cast("int") + 1).alias("weight"),
+        )
+    )
+    return weighted_triple_support(obs, hw)
+
+
+QUERIES["kg_fact_fusion"] = kg_fact_fusion
+
+ORACLES["kg_fact_fusion"] = """
+    WITH obs AS (
+      SELECT 'f' || (doc_id % 17) AS subj, 'stated' AS pred,
+             'v' || (doc_id % 17) AS obj, 'u' || doc_id AS url,
+             source AS host
+      FROM documents
+      UNION ALL
+      SELECT 'f' || (doc_id % 17), 'stated', 'v' || (doc_id % 17),
+             'u' || doc_id, source
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    hw AS (
+      SELECT DISTINCT source AS host,
+             substring(source, 4)::INT + 1 AS weight
+      FROM documents WHERE source <> 'src19'
+    ),
+    ph AS (SELECT DISTINCT subj, pred, obj, host FROM obs)
+    SELECT ph.subj, ph.pred, ph.obj,
+           count(*) AS n_hosts,
+           sum(coalesce(hw.weight, 1)) AS weighted_support
+    FROM ph LEFT JOIN hw ON hw.host = ph.host
+    GROUP BY ph.subj, ph.pred, ph.obj
+"""

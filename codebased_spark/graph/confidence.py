@@ -101,3 +101,47 @@ def takedown_cascade(
         )
     )
     return out
+
+
+def weighted_triple_support(
+    obs: DataFrame,
+    host_weights: DataFrame,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    host_col: str = "host",
+    default_weight: int = 1,
+) -> DataFrame:
+    """Knowledge-Vault-style fact fusion: support weighted by source
+    reliability instead of raw host count.
+
+    host_weights: (host, weight) — an integer reliability prior per
+    host (e.g. the scaled kg_host_quality score). Each DISTINCT
+    supporting host contributes its weight ONCE per triple (a spammy
+    host repeating a fact on 10k pages gains nothing); hosts missing
+    from the prior get `default_weight`. Returns per-triple n_hosts and
+    the integer-exact `weighted_support` = sum of distinct-host weights
+    — the fusion score a serving layer thresholds.
+
+    Scale shape: one distinct over (triple, host) — the same key the
+    plain support aggregate already shuffles on — then a broadcast join
+    against the host-vocabulary-sized prior and one final triple-keyed
+    sum with map-side combine. No new shuffle family vs triple_support.
+    """
+    hw = F.broadcast(
+        host_weights.select(
+            F.col(host_weights.columns[0]).alias(host_col),
+            F.col(host_weights.columns[1]).alias("_w"),
+        )
+    )
+    per_host = (
+        obs.select(subj_col, pred_col, obj_col, host_col)
+        .distinct()
+        .join(hw, host_col, "left")
+    )
+    return per_host.groupBy(subj_col, pred_col, obj_col).agg(
+        F.count(F.lit(1)).alias("n_hosts"),
+        F.sum(F.coalesce(F.col("_w"), F.lit(default_weight))).alias(
+            "weighted_support"
+        ),
+    )
