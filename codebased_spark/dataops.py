@@ -1262,6 +1262,45 @@ def _doc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e1.unionByName(e2).distinct()
 
 
+def _bowtie_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ring-slice graph engineered so every bow-tie class is non-empty:
+    cell 0's 6-ring is always complete (the guaranteed largest-by-tiebreak
+    SCC), other cells keep the deterministic n_chars%3 breaks, and two
+    fixed bridges 9->0 (into the core) and 3->12 (out of the core) plant
+    IN and OUT members at every sf. Closure stays bounded (<= 18 nodes
+    per origin) because the bridges do not chain."""
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    ring_dst = (F.floor(F.col("doc_id") / 6) * 6 + (F.col("doc_id") % 6 + 1) % 6)
+    core_ring = docs.where(F.col("doc_id") < 6).select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") + 1) % 6).alias("dst"),
+    )
+    rest = (
+        docs.where((F.col("doc_id") >= 6) & (F.col("n_chars") % 3 != 0))
+        .select(F.col("doc_id").alias("src"), ring_dst.alias("dst"))
+        .where(F.col("dst") < n)
+    )
+    edges = core_ring.unionByName(rest)
+    if n >= 18:
+        bridges = spark.createDataFrame([(9, 0), (3, 12)], "src long, dst long")
+        edges = edges.unionByName(bridges)
+    return edges.distinct()
+
+
+def g_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder bow-tie decomposition (graph/bowtie.py) over the bridged
+    ring subgraph: CORE = largest SCC (cell 0's always-complete ring by
+    the min-id tie-break), IN via the 9->0 bridge, OUT via 3->12, every
+    other ring/chain node OTHER. Oracle: recursive-CTE closure, SCC via
+    closure-transpose intersect, identical argmax + class cascade."""
+    from codebased_spark.graph.bowtie import bowtie_decomposition
+
+    return bowtie_decomposition(_bowtie_edges(spark, sf_dir)).select(
+        F.col("node").alias("doc_id"), "cls"
+    )
+
+
 def g_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nodes reachable within 3 hops per origin (Q4 bounded path)."""
     reach = k_hop_reach(_doc_edges(spark, sf_dir), k=3)
@@ -2135,6 +2174,7 @@ QUERIES = {
     "g_khop_reach": g_khop_reach,
     "g_closure": g_closure,
     "g_scc": g_scc,
+    "g_bowtie": g_bowtie,
     "g_kcore": g_kcore,
     "g_harmonic": g_harmonic,
     "g_node_features": g_node_features,
@@ -3976,6 +4016,57 @@ ORACLES = {
           SELECT u, v FROM m UNION ALL SELECT u, u FROM nodes
         )
         SELECT u AS doc_id, min(v) AS scc_id FROM p GROUP BY u
+    """,
+    # bridged-ring closure + transpose-intersect SCC + the identical
+    # (size desc, id asc) core argmax and CORE/IN/OUT/OTHER cascade
+    "g_bowtie": """
+        WITH RECURSIVE cnt AS (SELECT count(*) AS n FROM documents),
+        e AS (
+          SELECT doc_id AS src, (doc_id + 1) % 6 AS dst
+          FROM documents WHERE doc_id < 6
+          UNION
+          SELECT doc_id, (doc_id // 6) * 6 + (doc_id % 6 + 1) % 6
+          FROM documents, cnt
+          WHERE doc_id >= 6 AND n_chars % 3 <> 0
+            AND (doc_id // 6) * 6 + (doc_id % 6 + 1) % 6 < n
+          UNION SELECT 9, 0 FROM cnt WHERE n >= 18
+          UNION SELECT 3, 12 FROM cnt WHERE n >= 18
+        ),
+        r AS (
+          SELECT src AS origin, dst AS node FROM e
+          UNION
+          SELECT r.origin, e.dst FROM r JOIN e ON r.node = e.src
+        ),
+        m AS (
+          SELECT a.origin AS u, a.node AS v
+          FROM r a JOIN r b ON a.origin = b.node AND a.node = b.origin
+        ),
+        allnodes AS (
+          SELECT DISTINCT u
+          FROM (SELECT src AS u FROM e UNION ALL SELECT dst FROM e)
+        ),
+        p AS (SELECT u, v FROM m UNION ALL SELECT u, u FROM allnodes),
+        scc AS (SELECT u, min(v) AS scc_id FROM p GROUP BY u),
+        pick AS (
+          SELECT scc_id FROM (
+            SELECT scc_id, count(*) AS sz FROM scc GROUP BY 1
+          ) ORDER BY sz DESC, scc_id ASC LIMIT 1
+        ),
+        core AS (SELECT u FROM scc WHERE scc_id = (SELECT scc_id FROM pick)),
+        to_core AS (
+          SELECT DISTINCT origin AS u FROM r
+          WHERE node IN (SELECT u FROM core)
+        ),
+        from_core AS (
+          SELECT DISTINCT node AS u FROM r
+          WHERE origin IN (SELECT u FROM core)
+        )
+        SELECT an.u AS doc_id,
+               CASE WHEN an.u IN (SELECT u FROM core) THEN 'CORE'
+                    WHEN an.u IN (SELECT u FROM to_core) THEN 'IN'
+                    WHEN an.u IN (SELECT u FROM from_core) THEN 'OUT'
+                    ELSE 'OTHER' END AS cls
+        FROM allnodes an
     """,
     # the SAME 3 synchronous peel rounds as graph/kcore.py, unrolled
     "g_kcore": f"""

@@ -1,0 +1,108 @@
+"""Bow-tie decomposition of a directed web graph (Broder et al., WWW 2000).
+
+KG use: the canonical macro-structure census of a crawl — which URLs sit
+in the mutually-reachable CORE, which only feed INto it (new/leaf pages
+linking at established hubs), which are only reachable OUT of it
+(archives, downstream mirrors), and which are disconnected from it
+entirely. Production crawl planners use the class sizes to budget
+frontier expansion (IN pages are discovery sources; OUT-only growth
+signals a trapped frontier). Reference analog: the component/cycle
+queries (SURVEY Q4, reference endpoints.py:433-438) generalized from
+"is this node on a cycle" to the whole-graph reachability partition.
+
+Classes emitted (a faithful 4-way coarsening of Broder's 6):
+- CORE:  member of the largest SCC (ties broken by min SCC id)
+- IN:    reaches the core but is not in it
+- OUT:   reachable from the core but not in it (disjoint from IN by
+         construction: a node that both reaches the core and is reached
+         from it is mutually reachable with it, i.e. CORE)
+- OTHER: tendrils, tubes, and disconnected components
+
+Scale shape: one SCC pass + one closure pass (both path-doubling with a
+frontier budget, graph/paths.py), a 2-row driver reduce for the core id
+(size + min-id argmax — an aggregate over the SCC label table, never
+the corpus), then two semi-joins against the broadcast-small core
+member set. Like scc.py, the closure is O(sum reach-set sizes): the
+production caller runs it per-candidate-subgraph (host-local graphs,
+degree-pruned cores), and the budget fail-fasts a runaway closure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from codebased_spark.graph.paths import transitive_closure
+from codebased_spark.graph.scc import strongly_connected_components
+
+
+def bowtie_decomposition(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 30,
+    max_rows: int = 0,
+) -> DataFrame:
+    """(node, cls) for every node appearing in `edges`, cls in
+    {CORE, IN, OUT, OTHER} relative to the largest SCC."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    scc = strongly_connected_components(
+        e, max_rounds=max_rounds, max_rows=max_rows
+    )
+    # largest SCC, ties by min id: a tiny agg over labels, 1-row collect
+    top = (
+        scc.groupBy("scc_id")
+        .agg(F.count("*").alias("sz"))
+        .orderBy(F.desc("sz"), F.asc("scc_id"))
+        .limit(1)
+        .collect()
+    )
+    if not top:
+        return nodes.select("node", F.lit("OTHER").alias("cls"))
+    core_id = top[0]["scc_id"]
+    core = scc.where(F.col("scc_id") == F.lit(core_id)).select("node")
+    reach = transitive_closure(
+        e, max_rounds=max_rounds, max_rows=max_rows, checkpoint=True
+    )
+    # IN: reaches any core member; OUT: reached from any core member.
+    # Core sets are small (one SCC) -> broadcast semi/anti joins.
+    reaches_core = (
+        reach.join(
+            F.broadcast(core.withColumnRenamed("node", "dst_node")),
+            reach["node"] == F.col("dst_node"),
+            "left_semi",
+        )
+        .select(F.col("origin").alias("node"))
+        .distinct()
+    )
+    reached_from_core = (
+        reach.join(
+            F.broadcast(core.withColumnRenamed("node", "origin_node")),
+            reach["origin"] == F.col("origin_node"),
+            "left_semi",
+        )
+        .select("node")
+        .distinct()
+    )
+    return (
+        nodes.join(
+            F.broadcast(core.withColumn("is_core", F.lit(1))), "node", "left"
+        )
+        .join(reaches_core.withColumn("to_core", F.lit(1)), "node", "left")
+        .join(reached_from_core.withColumn("from_core", F.lit(1)), "node", "left")
+        .select(
+            "node",
+            F.when(F.col("is_core") == 1, F.lit("CORE"))
+            .when(F.col("to_core") == 1, F.lit("IN"))
+            .when(F.col("from_core") == 1, F.lit("OUT"))
+            .otherwise(F.lit("OTHER"))
+            .alias("cls"),
+        )
+    )
