@@ -57,6 +57,34 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs_prefix(_docs(spark, sf_dir), n=3, threshold=NGRAM_T)
 
 
+def _docs_with_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ planted excerpt docs: every doc_id % 17 == 0 source
+    contributes its 40-token prefix as a new doc (id + 1000000) — a
+    syndicated-quote fixture that makes the containment join non-vacuous
+    at every sf (a prefix's shingles are a subset of the source's, so
+    containment(excerpt -> source) = 1.0 by construction)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    toks = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    quotes = docs.where(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, 40)).alias("text"),
+    )
+    return docs.unionByName(quotes)
+
+
+def dd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment join (dedup/containment.py): small docs
+    living inside big ones — the duplication shape Jaccard resemblance
+    misses (a 40-token quote in a 4000-token page is Jaccard ~0.01 but
+    containment 1.0). Exact inverted-index counting join; planted
+    excerpts keep the fixture non-vacuous."""
+    from codebased_spark.dedup.containment import containment_pairs
+
+    return containment_pairs(
+        _docs_with_quotes(spark, sf_dir), n=3, threshold=0.9
+    )
+
+
 def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dupes(_docs(spark, sf_dir), n=3, threshold=NEARDUP_T)
 
@@ -2104,6 +2132,7 @@ def kg_canonical_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "dd_exact": dd_exact,
     "dd_ngram_jaccard": dd_ngram_jaccard,
+    "dd_containment": dd_containment,
     "dd_minhash_lsh": dd_minhash_lsh,
     "dd_simhash": dd_simhash,
     "dd_clusters": dd_clusters,
@@ -2699,6 +2728,37 @@ ORACLES = {
         FROM documents GROUP BY sha256(text)
     """,
     "dd_ngram_jaccard": _jaccard_pairs_sql(NGRAM_T),
+    # planted-excerpt corpus, brute-force ordered containment pairs
+    "dd_containment": """
+        WITH base AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000,
+                 array_to_string(
+                   list_filter(string_split(text, ' '), w -> w <> '')[1:40],
+                   ' ')
+          FROM documents WHERE doc_id % 17 = 0
+        ),
+        t AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), w -> w <> '') AS toks
+          FROM base
+        ),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct([array_to_string(toks[i:i+2], ' ')
+                                for i in generate_series(1, len(toks)-2)]) AS s
+          FROM t WHERE len(toks) >= 3
+        ),
+        p AS (
+          SELECT a.doc_id AS doc_inner, b.doc_id AS doc_outer,
+                 len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS la
+          FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+        )
+        SELECT doc_inner, doc_outer,
+               floor((inter::DOUBLE / la) * 10000 + 0.5) / 10000 AS containment
+        FROM p WHERE inter::DOUBLE / la >= 0.9
+    """,
     "dd_minhash_lsh": _jaccard_pairs_sql(NEARDUP_T),
     "dd_simhash": _simhash_pairs_sql(max_hamming=3, min_jaccard=0.5),
     "dd_clusters": _clusters_sql(NEARDUP_T),
