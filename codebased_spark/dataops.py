@@ -490,6 +490,20 @@ def tx_hashing_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed_tf(_docs(spark, sf_dir), dim=1024)
 
 
+def tx_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (textops/dsir.py): hashed-bigram
+    likelihood-ratio scores of every doc against the target slice
+    (doc_id % 31 == 0 — the deterministic curated-corpus stand-in).
+    Gate columns are the exact integer masses + one IEEE division;
+    the paper's log form ships as the ungated log_weight (PMI
+    discipline)."""
+    from codebased_spark.textops.dsir import dsir_weights
+
+    return dsir_weights(
+        _docs(spark, sf_dir), is_target=F.col("doc_id") % 31 == 0, dim=1024
+    ).drop("log_weight")
+
+
 def tx_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-LM quality proxy (textops/lmscore.py): known-bigram
     fraction at min_df=30 — the exactly-checkable CCNet-perplexity
@@ -2155,6 +2169,7 @@ QUERIES = {
     "tx_sentences": tx_sentences,
     "dd_sentence_dups": dd_sentence_dups,
     "tx_lm_score": tx_lm_score,
+    "tx_dsir": tx_dsir,
     "tx_hashing_tf": tx_hashing_tf,
     "tx_nfc": tx_nfc,
     "kg_host_quality": kg_host_quality,
@@ -2910,6 +2925,32 @@ ORACLES = {
         FROM p
     """,
     # same md5-hex bucket parse on both engines (conv <-> '0x'||...::BIGINT)
+    # identical md5-bucket bigram occurrences, target/raw bucket counts,
+    # add-one masses, one IEEE division
+    "tx_dsir": f"""
+        WITH {_TOKS},
+        b AS (
+          SELECT doc_id,
+                 unnest([toks[i] || ' ' || toks[i + 1]
+                         for i in generate_series(1, len(toks) - 1)]) AS bg
+          FROM t WHERE len(toks) >= 2
+        ),
+        o AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(bg), 1, 8))::BIGINT % 1024 AS bucket
+          FROM b
+        ),
+        tc AS (
+          SELECT bucket, count(*) AS ct FROM o WHERE doc_id % 31 = 0 GROUP BY 1
+        ),
+        rc AS (SELECT bucket, count(*) AS cr FROM o GROUP BY 1)
+        SELECT o.doc_id, count(*) AS n_feats,
+               sum(coalesce(ct, 0) + 1) AS target_mass,
+               sum(cr + 1) AS raw_mass,
+               sum(coalesce(ct, 0) + 1)::DOUBLE / sum(cr + 1) AS score
+        FROM o LEFT JOIN tc USING (bucket) JOIN rc USING (bucket)
+        GROUP BY o.doc_id
+    """,
     "tx_hashing_tf": f"""
         WITH {_TOKS},
         x AS (SELECT doc_id, unnest(toks) AS tok FROM t)
