@@ -1739,6 +1739,22 @@ def kg_pagination_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagination_chains(pages_with_pagination_spark(_docs(spark, sf_dir)))
 
 
+def kg_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta-refresh chain resolution (extract/redirects.py): real regex
+    extraction over planted 2-hop chains (lowercase absolute + the
+    adversarial uppercase content-first RELATIVE form) resolved by
+    pointer doubling; planted 2-cycles must surface is_resolved = 0.
+    Oracle restates the planted declarations."""
+    from codebased_spark.extract.redirects import (
+        redirect_edges,
+        resolve_redirect_chains,
+    )
+    from codebased_spark.synth.pages import pages_with_redirects_spark
+
+    pages = pages_with_redirects_spark(_docs(spark, sf_dir))
+    return resolve_redirect_chains(redirect_edges(pages))
+
+
 def kg_definition_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Definition-list (infobox-style) key/value extraction
     (extract/tables.py::definition_pairs) over planted <dl> markup incl.
@@ -2147,6 +2163,7 @@ QUERIES = {
     "dd_exact": dd_exact,
     "dd_ngram_jaccard": dd_ngram_jaccard,
     "dd_containment": dd_containment,
+    "kg_redirects": kg_redirects,
     "dd_minhash_lsh": dd_minhash_lsh,
     "dd_simhash": dd_simhash,
     "dd_clusters": dd_clusters,
@@ -2743,6 +2760,24 @@ ORACLES = {
         FROM documents GROUP BY sha256(text)
     """,
     "dd_ngram_jaccard": _jaccard_pairs_sql(NGRAM_T),
+    # restates the planted chains: r0/r1 land on r2 resolved; the %29
+    # 2-cycles return to themselves after 16 (even) hops, unresolved
+    "kg_redirects": """
+        WITH stem AS (
+          SELECT doc_id,
+                 'https://' || source || '.example.org/' || lang ||
+                 '/doc/' || doc_id AS s
+          FROM documents
+        )
+        SELECT s || '/r0' AS src_url, s || '/r2' AS final_url,
+               1 AS is_resolved FROM stem
+        UNION ALL
+        SELECT s || '/r1', s || '/r2', 1 FROM stem
+        UNION ALL
+        SELECT s || '/la', s || '/la', 0 FROM stem WHERE doc_id % 29 = 0
+        UNION ALL
+        SELECT s || '/lb', s || '/lb', 0 FROM stem WHERE doc_id % 29 = 0
+    """,
     # planted-excerpt corpus, brute-force ordered containment pairs
     "dd_containment": """
         WITH base AS (

@@ -841,3 +841,48 @@ def pages_with_dates_spark(docs):
         .otherwise(F.lit(""))
     )
     return pages_from_documents_spark(docs, body_extra=extra)
+
+
+def pages_with_redirects_spark(docs):
+    """Meta-refresh redirect fixture: each doc yields a 3-page chain
+    /r0 -> /r1 -> /r2 (r0 canonical lowercase absolute url, r1 the
+    adversarial uppercase single-quote content-first form with a
+    RELATIVE target, r2 terminal with a url-less refresh decoy), and
+    every doc_id % 29 == 0 adds the 2-cycle /la <-> /lb that must
+    surface as is_resolved = 0."""
+    from pyspark.sql import functions as F
+
+    stem = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.org/"),
+        F.col("lang"), F.lit("/doc/"), F.col("doc_id").cast("string"),
+    )
+
+    def page(suffix, body, where=None):
+        d = docs if where is None else docs.where(where)
+        return d.select(
+            F.concat(stem, F.lit(suffix)).alias("url"),
+            F.encode(
+                F.concat(F.lit("<html><head>"), body,
+                         F.lit("</head><body>x</body></html>")),
+                "UTF-8",
+            ).alias("html"),
+        )
+
+    r0 = page("/r0", F.concat(
+        F.lit('<meta http-equiv="refresh" content="0; url='),
+        stem, F.lit('/r1">'),
+    ))
+    r1 = page("/r1", F.lit(
+        "<META CONTENT='5;URL=r2' HTTP-EQUIV='Refresh'>"
+    ))
+    r2 = page("/r2", F.lit('<meta http-equiv="refresh" content="30">'))
+    cyc = F.col("doc_id") % 29 == 0
+    la = page("/la", F.concat(
+        F.lit('<meta http-equiv="refresh" content="0; url='),
+        stem, F.lit('/lb">'),
+    ), cyc)
+    lb = page("/lb", F.concat(
+        F.lit('<meta http-equiv="refresh" content="0; url='),
+        stem, F.lit('/la">'),
+    ), cyc)
+    return r0.unionByName(r1).unionByName(r2).unionByName(la).unionByName(lb)
