@@ -1739,6 +1739,20 @@ def kg_pagination_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagination_chains(pages_with_pagination_spark(_docs(spark, sf_dir)))
 
 
+def tx_query_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-to-target retrieval pairs (textops/retrieval_pairs.py):
+    real anchor extraction (incl. the adversarial markup forms) joined
+    on the page-url key; single-token boilerplate anchors and self-links
+    dropped. The fixture links each doc at target (id*6+3) % n via the
+    target's REAL url, so every reachable target collects exactly two
+    linkers (gcd(6,n)=2). Oracle restates the link layout via the same
+    documents self-join."""
+    from codebased_spark.synth.pages import pages_with_doc_links_spark
+    from codebased_spark.textops.retrieval_pairs import query_doc_pairs
+
+    return query_doc_pairs(pages_with_doc_links_spark(_docs(spark, sf_dir)))
+
+
 def kg_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Meta-refresh chain resolution (extract/redirects.py): real regex
     extraction over planted 2-hop chains (lowercase absolute + the
@@ -2164,6 +2178,7 @@ QUERIES = {
     "dd_ngram_jaccard": dd_ngram_jaccard,
     "dd_containment": dd_containment,
     "kg_redirects": kg_redirects,
+    "tx_query_doc_pairs": tx_query_doc_pairs,
     "dd_minhash_lsh": dd_minhash_lsh,
     "dd_simhash": dd_simhash,
     "dd_clusters": dd_clusters,
@@ -2760,6 +2775,26 @@ ORACLES = {
         FROM documents GROUP BY sha256(text)
     """,
     "dd_ngram_jaccard": _jaccard_pairs_sql(NGRAM_T),
+    # restates the planted link layout: linker x -> target (6x+3) % n
+    # via the target's real url; self-links excluded (vacuously at the
+    # fixture counts: 5x = -3 mod n has no solution when 5 | n)
+    "tx_query_doc_pairs": """
+        WITH cnt AS (SELECT count(*) AS n FROM documents),
+        l AS (
+          SELECT d.doc_id AS src_id, (d.doc_id * 6 + 3) % n AS tid
+          FROM documents d, cnt
+        ),
+        j AS (
+          SELECT 'about ' || t.source || ' doc ' || t.doc_id AS query,
+                 'https://' || t.source || '.example.org/' || t.lang ||
+                 '/doc/' || t.doc_id AS target_url,
+                 substr(t.text, 1, 160) AS passage
+          FROM l JOIN documents t ON t.doc_id = l.tid
+          WHERE t.doc_id <> l.src_id
+        )
+        SELECT query, target_url, count(*) AS n_srcs, passage
+        FROM j GROUP BY query, target_url, passage
+    """,
     # restates the planted chains: r0/r1 land on r2 resolved; the %29
     # 2-cycles return to themselves after 16 (even) hops, unresolved
     "kg_redirects": """

@@ -886,3 +886,43 @@ def pages_with_redirects_spark(docs):
         stem, F.lit('/la">'),
     ), cyc)
     return r0.unionByName(r1).unionByName(r2).unionByName(la).unionByName(lb)
+
+
+def pages_with_doc_links_spark(docs):
+    """Query-doc pair fixture: each doc links at the REAL page url of
+    target doc (doc_id * 6 + 3) % n (one equi-join on the doc_id key —
+    the href must carry the target's own source/lang, which are data,
+    not functions of the linker's row). gcd(6, n) = 2 for the fixture
+    row counts, so every reachable target collects exactly two linkers
+    and the pair miner's n_srcs aggregation is exercised. Anchor text =
+    'about {source} doc {id}' (multi-token, passes the query gate);
+    odd linkers use the adversarial uppercase/single-quote/attr-first
+    form."""
+    from pyspark.sql import functions as F
+
+    n = docs.count()
+    t = docs.select(
+        F.col("doc_id").alias("_tid"),
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.org/"),
+            F.col("lang"), F.lit("/doc/"), F.col("doc_id").cast("string"),
+        ).alias("_turl"),
+        F.concat(
+            F.lit("about "), F.col("source"), F.lit(" doc "),
+            F.col("doc_id").cast("string"),
+        ).alias("_tquery"),
+    )
+    linked = docs.withColumn("_tid", (F.col("doc_id") * 6 + 3) % n).join(t, "_tid")
+    anchor = F.when(
+        F.col("doc_id") % 2 == 1,
+        F.concat(
+            F.lit("<A CLASS='ref' HREF='"), F.col("_turl"), F.lit("'>"),
+            F.col("_tquery"), F.lit("</A>"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit('<a href="'), F.col("_turl"), F.lit('">'),
+            F.col("_tquery"), F.lit("</a>"),
+        )
+    )
+    return pages_from_documents_spark(linked, body_extra=anchor)
