@@ -1997,6 +1997,36 @@ def kg_triple_lifespan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fact_lifespans(obs, ts_col="ts", captures=caps)
 
 
+ASOF_T = 1735689600 + 250  # mid-range: urls split across capture epochs
+
+
+def kg_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel reconstruction (graph/temporal.py::snapshot_asof):
+    the (url, entity) facts asserted by each url's newest capture at or
+    before ASOF_T, over the same recrawl fixture as kg_triple_lifespan.
+    As-of semantics: facts observed earlier but absent from that capture
+    were already retracted at T."""
+    from codebased_spark.graph.queries import _gaz_df
+    from codebased_spark.graph.temporal import snapshot_asof
+
+    gaz = F.broadcast(_gaz_df(spark))
+    caps = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("https://recrawl.example.org/page/"),
+            (F.col("doc_id") % 100).cast("string"),
+        ).alias("url"),
+        (F.lit(1735689600) + F.col("doc_id")).alias("ts"),
+        F.col("text"),
+    )
+    obs = (
+        caps.select("url", "ts", F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .join(gaz, F.col("word") == gaz.surface_form)
+        .select("url", "ts", F.col("canonical_id").alias("entity_id"))
+    )
+    return snapshot_asof(obs, ASOF_T, ts_col="ts", captures=caps)
+
+
 def kg_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental crawl delta (sources/delta.py): diff last week's
     committed snapshot against this week's and classify every url as
@@ -2272,6 +2302,7 @@ QUERIES = {
     "kg_crawl_pacing": kg_crawl_pacing,
     "kg_canonical_collapse": kg_canonical_collapse,
     "kg_triple_lifespan": kg_triple_lifespan,
+    "kg_asof_snapshot": kg_asof_snapshot,
     "g_hits": g_hits,
     "kg_html_tables": kg_html_tables,
     "kg_table_triples": kg_table_triples,
@@ -4555,6 +4586,26 @@ ORACLES = {
                CASE WHEN max(m.ts) = any_value(l.latest_ts) THEN 1 ELSE 0 END AS is_current
         FROM m JOIN latest l ON m.url = l.url
         GROUP BY m.url, m.entity_id
+    """,
+    # same recrawl construction; state at T = facts of the newest
+    # capture <= T per url (as-of, not observed-window)
+    "kg_asof_snapshot": f"""
+        WITH caps AS (
+          SELECT 'https://recrawl.example.org/page/' || (doc_id % 100) AS url,
+                 1735689600 + doc_id AS ts, text
+          FROM documents
+        ),
+        gaz(surface_form, canonical_id, entity_type) AS (VALUES {GAZ_SQL_VALUES}),
+        latest AS (
+          SELECT url, max(ts) AS ts FROM caps
+          WHERE ts <= {ASOF_T} GROUP BY url
+        ),
+        tok AS (
+          SELECT c.url, c.ts, unnest(string_split(c.text, ' ')) AS word
+          FROM caps c JOIN latest l ON c.url = l.url AND c.ts = l.ts
+        )
+        SELECT DISTINCT t.url, g.canonical_id AS entity_id
+        FROM tok t JOIN gaz g ON t.word = g.surface_form
     """,
     # planted canonical declarations (pages_with_canonical_spark):
     # doc_id%4==0 declares none (self group, singleton); others declare

@@ -62,3 +62,38 @@ def fact_lifespans(
         )
         .drop("_latest_ts")
     )
+
+
+def snapshot_asof(
+    obs: DataFrame,
+    asof_ts,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    fact_cols: Sequence[str] = ("entity_id",),
+    captures: DataFrame | None = None,
+) -> DataFrame:
+    """The KG as it stood at `asof_ts`: one row per (url, fact) asserted
+    by the url's NEWEST capture at or before that time.
+
+    As-of semantics, not observed-window semantics: the state at T is
+    the content of the latest capture <= T — a fact observed earlier but
+    absent from that capture had already been retracted by T, and a url
+    whose latest capture <= T asserts nothing contributes nothing (the
+    same retraction-by-silence rule as fact_lifespans, which is why
+    `captures` should again be the FULL capture table). The time-travel
+    query an auditable KG serves: "what did we believe on date X?".
+
+    Scale shape: one filtered (url -> max ts) aggregate and one
+    (url, ts)-keyed equi-join back to the observation table; nothing
+    corpus-global."""
+    latest_src = captures.select(url_col, ts_col) if captures is not None else obs
+    latest = (
+        latest_src.where(F.col(ts_col) <= F.lit(asof_ts))
+        .groupBy(url_col)
+        .agg(F.max(ts_col).alias(ts_col))
+    )
+    return (
+        obs.join(latest, [url_col, ts_col])
+        .select(url_col, *fact_cols)
+        .distinct()
+    )
