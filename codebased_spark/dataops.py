@@ -504,6 +504,17 @@ def tx_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("log_weight")
 
 
+def tx_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-candidate census (textops/bpe.py): top-20 frequency-
+    weighted within-word character pairs — round 1 of tokenizer
+    training, stated exactly by the oracle. The iterative trainer's
+    merge table is pinned against a pure-Python executable spec in
+    tests/test_bpe.py."""
+    from codebased_spark.textops.bpe import top_merge_candidates
+
+    return top_merge_candidates(_docs(spark, sf_dir), k=20)
+
+
 def tx_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-LM quality proxy (textops/lmscore.py): known-bigram
     fraction at min_df=30 — the exactly-checkable CCNet-perplexity
@@ -2231,6 +2242,7 @@ QUERIES = {
     "tx_sentences": tx_sentences,
     "dd_sentence_dups": dd_sentence_dups,
     "tx_lm_score": tx_lm_score,
+    "tx_bpe_pairs": tx_bpe_pairs,
     "tx_dsir": tx_dsir,
     "tx_hashing_tf": tx_hashing_tf,
     "tx_nfc": tx_nfc,
@@ -3026,6 +3038,22 @@ ORACLES = {
         FROM p
     """,
     # same md5-hex bucket parse on both engines (conv <-> '0x'||...::BIGINT)
+    # same (word, freq) vocabulary, char pairs weighted by freq,
+    # (cnt desc, pair asc) deterministic top-20
+    "tx_bpe_pairs": f"""
+        WITH {_TOKS},
+        w AS (SELECT unnest(toks) AS word FROM t),
+        v AS (SELECT word, count(*) AS freq FROM w GROUP BY 1),
+        c AS (SELECT freq, string_split(word, '') AS ch FROM v),
+        p AS (
+          SELECT freq,
+                 unnest([ch[i] || ' ' || ch[i + 1]
+                         for i in generate_series(1, len(ch) - 1)]) AS pair
+          FROM c
+        )
+        SELECT pair, sum(freq) AS cnt FROM p
+        GROUP BY 1 ORDER BY cnt DESC, pair ASC LIMIT 20
+    """,
     # identical md5-bucket bigram occurrences, target/raw bucket counts,
     # add-one masses, one IEEE division
     "tx_dsir": f"""
