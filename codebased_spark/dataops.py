@@ -251,6 +251,23 @@ def dd_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )  # n_bits=16, n_tables=8, multiprobe=1 defaults
 
 
+def dd_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (dedup/semdedup.py): portable k-means clusters the
+    embeddings (planted twins included, so in-cluster matches exist),
+    then cosine pruning runs WITHIN cells only — the N^2 -> sum(cell^2)
+    reduction. Oracle unrolls the identical fit trajectory and survivor
+    rule."""
+    from codebased_spark.dedup.semdedup import semdedup
+
+    return semdedup(
+        _emb_with_planted_twins(spark, sf_dir),
+        threshold=EMB_LSH_T,
+        n_cells=8,
+        max_iter=ANN_KMEANS_ITERS,
+        driver_threshold=KMEANS_DRIVER_THRESHOLD,
+    )
+
+
 def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_bruteforce_topk(_emb(spark, sf_dir), query_id=0, k=10)
 
@@ -2229,6 +2246,7 @@ QUERIES = {
     "tx_training_mix": tx_training_mix,
     "dd_embedding_exact": dd_embedding_exact,
     "dd_embedding_lsh": dd_embedding_lsh,
+    "dd_semdedup": dd_semdedup,
     "ann_topk": ann_topk,
     "ann_ivf": ann_ivf,
     "ann_ivf_kmeans": ann_ivf_kmeans,
@@ -2552,6 +2570,88 @@ def _ivf_kmeans_sql(
         FROM afin JOIN e USING (vec_id), q
         WHERE afin.cl IN (SELECT idx FROM pr) AND e.vec_id <> {query_id}
         ORDER BY cos_sim DESC, e.vec_id ASC LIMIT {k}
+    """
+
+
+def _semdedup_sql(
+    threshold: float,
+    n_cells: int = 8,
+    n_iter: int = 4,
+    seed: int = 11,
+    dim: int = 64,
+) -> str:
+    """SemDeDup oracle: the planted-twin table, the SAME portable k-means
+    unroll as _ivf_kmeans_sql (md5 init, rounded means, fixed rounds,
+    low-index ties), then in-cluster cosine pairs and the min-id
+    survivor rule."""
+    sqd = (
+        "list_sum([(e.v[i] - c.v[i]) * (e.v[i] - c.v[i])"
+        f" for i in generate_series(1, {dim})])"
+    )
+    iters = []
+    for t in range(1, n_iter + 1):
+        iters.append(f"""
+        d{t} AS (
+          SELECT e.vec_id, c.idx,
+                 row_number() OVER (PARTITION BY e.vec_id
+                                    ORDER BY {sqd}, c.idx) AS rn
+          FROM e, c{t-1} c
+        ),
+        a{t} AS (SELECT vec_id, idx AS cl FROM d{t} WHERE rn = 1),
+        m{t} AS (
+          SELECT a.cl AS idx, g.i,
+                 floor(avg(e.v[g.i]) * 1000000 + 0.5) / 1000000 AS mv
+          FROM a{t} a JOIN e ON a.vec_id = e.vec_id,
+               generate_series(1, {dim}) AS g(i)
+          GROUP BY a.cl, g.i
+        ),
+        mv{t} AS (SELECT idx, list(mv ORDER BY i) AS v FROM m{t} GROUP BY idx),
+        c{t} AS (
+          SELECT c.idx, coalesce(mv.v, c.v) AS v
+          FROM c{t-1} c LEFT JOIN mv{t} mv ON c.idx = mv.idx
+        )""")
+    return f"""
+        WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        tw AS (
+          SELECT vec_id + 10000000 AS vec_id,
+                 [v[i] * (1 + 0.15 * (((vec_id*64 + i - 1) % 5) - 2))
+                  for i in generate_series(1, {dim})] AS v
+          FROM base WHERE vec_id % 20 = 0
+        ),
+        e AS (SELECT * FROM base UNION ALL SELECT * FROM tw),
+        c0 AS (
+          SELECT idx, v FROM (
+            SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR || ':{seed}'),
+                                      vec_id) - 1 AS idx, v
+            FROM e
+          ) WHERE idx < {n_cells}
+        ),
+        {",".join(iters)},
+        dfin AS (
+          SELECT e.vec_id, c.idx,
+                 row_number() OVER (PARTITION BY e.vec_id
+                                    ORDER BY {sqd}, c.idx) AS rn
+          FROM e, c{n_iter} c
+        ),
+        afin AS (SELECT vec_id, idx AS cl FROM dfin WHERE rn = 1),
+        n AS (
+          SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM e
+        ),
+        dups AS (
+          SELECT DISTINCT nb.vec_id
+          FROM afin fa JOIN afin fb
+               ON fa.cl = fb.cl AND fa.vec_id < fb.vec_id
+          JOIN n na ON na.vec_id = fa.vec_id
+          JOIN n nb ON nb.vec_id = fb.vec_id
+          WHERE na.nrm > 0 AND nb.nrm > 0
+            AND list_sum([na.v[i] * nb.v[i]
+                          for i in generate_series(1, {dim})])
+                / (na.nrm * nb.nrm) >= {threshold}
+        )
+        SELECT afin.vec_id, afin.cl AS cluster,
+               CASE WHEN afin.vec_id IN (SELECT vec_id FROM dups)
+                    THEN 0 ELSE 1 END AS is_survivor
+        FROM afin
     """
 
 
@@ -2894,6 +2994,7 @@ ORACLES = {
         EMB_PAIR_T, sample_sql=f"WHERE vec_id % 4 = 0 AND vec_id < {EMB_SAMPLE_CAP}"
     ),
     "dd_embedding_lsh": _emb_pairs_planted_sql(EMB_LSH_T),
+    "dd_semdedup": _semdedup_sql(EMB_LSH_T, n_cells=8, n_iter=ANN_KMEANS_ITERS),
     "ann_ivf_kmeans": _ivf_kmeans_sql(
         k=10, n_cells=8, n_probe=2, n_iter=ANN_KMEANS_ITERS, seed=11
     ),
