@@ -521,6 +521,16 @@ def tx_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("log_weight")
 
 
+def tx_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-seen bigram novelty (textops/novelty.py): per doc, the
+    fraction of its distinct bigrams whose corpus-wide first occurrence
+    (min doc_id) is this doc — the order-aware re-emission signal
+    (tx_lm_score is frequency-aware, this is position-aware)."""
+    from codebased_spark.textops.novelty import novelty_profile
+
+    return novelty_profile(_docs(spark, sf_dir), n=2)
+
+
 def tx_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE merge-candidate census (textops/bpe.py): top-20 frequency-
     weighted within-word character pairs — round 1 of tokenizer
@@ -2261,6 +2271,7 @@ QUERIES = {
     "dd_sentence_dups": dd_sentence_dups,
     "tx_lm_score": tx_lm_score,
     "tx_bpe_pairs": tx_bpe_pairs,
+    "tx_novelty": tx_novelty,
     "tx_dsir": tx_dsir,
     "tx_hashing_tf": tx_hashing_tf,
     "tx_nfc": tx_nfc,
@@ -3139,6 +3150,23 @@ ORACLES = {
         FROM p
     """,
     # same md5-hex bucket parse on both engines (conv <-> '0x'||...::BIGINT)
+    # same distinct-bigram explode, (bigram -> min doc_id) first-seen,
+    # integer counts + one IEEE division
+    "tx_novelty": f"""
+        WITH {_TOKS},
+        b AS (
+          SELECT doc_id,
+                 unnest(list_distinct([toks[i] || ' ' || toks[i + 1]
+                         for i in generate_series(1, len(toks) - 1)])) AS g
+          FROM t WHERE len(toks) >= 2
+        ),
+        f AS (SELECT g, min(doc_id) AS first_doc FROM b GROUP BY 1)
+        SELECT b.doc_id, count(*) AS n_grams,
+               sum(CASE WHEN f.first_doc = b.doc_id THEN 1 ELSE 0 END) AS n_novel,
+               sum(CASE WHEN f.first_doc = b.doc_id THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*) AS novelty
+        FROM b JOIN f USING (g) GROUP BY b.doc_id
+    """,
     # same (word, freq) vocabulary, char pairs weighted by freq,
     # (cnt desc, pair asc) deterministic top-20
     "tx_bpe_pairs": f"""

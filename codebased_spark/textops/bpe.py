@@ -91,6 +91,61 @@ def _apply_merge(syms: Column, a: str, b: str) -> Column:
     ).otherwise(F.concat(step["out"], F.array(step["pend"])))
 
 
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]] | list[tuple[str, str, int]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, tokens array<string>, n_tokens): the corpus-encode pass.
+
+    Applies the learned merge list in training order per word — the rank
+    -ordered replay every BPE tokenizer does at inference. This is the
+    one Python stage in the module, and it is the APPROVED slow path: an
+    Arrow-batched pandas UDF with the (tiny) merge table closed over as
+    a broadcast-sized literal — applying 8+ merges as composed JVM folds
+    hangs Catalyst's expression expansion (bpe_train's lesson), and a
+    per-word WORD CACHE inside the batch makes the Python cost
+    proportional to distinct words, not tokens."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    rules = [(a, b) for a, b, *_ in merges]
+
+    # NOTE: no type hints — `from __future__ import annotations`
+    # stringifies them and pandas_udf's signature inspection rejects
+    # unresolvable strings; the returnType argument carries the schema.
+    @pandas_udf("array<string>")
+    def encode(texts):
+        cache: dict[str, list[str]] = {}
+
+        def enc_word(w: str) -> list[str]:
+            got = cache.get(w)
+            if got is None:
+                syms = list(w)
+                for a, b in rules:
+                    out, i = [], 0
+                    while i < len(syms):
+                        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                            out.append(a + b)
+                            i += 2
+                        else:
+                            out.append(syms[i])
+                            i += 1
+                    syms = out
+                got = cache[w] = syms
+            return got
+
+        return texts.map(
+            lambda t: [s for w in (t or "").split() if w for s in enc_word(w)]
+        )
+
+    return docs.select(
+        F.col(id_col),
+        encode(F.col(text_col)).alias("tokens"),
+    ).withColumn("n_tokens", F.size("tokens"))
+
+
 def bpe_train(
     docs: DataFrame, n_merges: int, text_col: str = "text"
 ) -> list[tuple[str, str, int]]:

@@ -73,3 +73,33 @@ def test_census_is_merge_zero(spark):
     texts = ["ab ab cd"]
     rows = top_merge_candidates(_docs(spark, texts), k=2).collect()
     assert [(r.pair, r.cnt) for r in rows] == [("a b", 2), ("c d", 1)]
+
+
+def test_encode_roundtrip_matches_reference(spark):
+    from codebased_spark.textops.bpe import bpe_encode
+
+    texts = ["low lower lowest low low", "new newer newest new newer"]
+    merges = _ref_bpe(texts, 5)
+    got = {
+        r.doc_id: (r.tokens, r.n_tokens)
+        for r in bpe_encode(_docs(spark, texts), merges).collect()
+    }
+    # reference encode: replay merges per word in rank order
+    def ref_enc(t):
+        out = []
+        for w in t.split():
+            syms = list(w)
+            for a, b, _ in merges:
+                nxt, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        nxt.append(a + b); i += 2
+                    else:
+                        nxt.append(syms[i]); i += 1
+                syms = nxt
+            out.extend(syms)
+        return out
+
+    for i, t in enumerate(texts):
+        exp = ref_enc(t)
+        assert got[i] == (exp, len(exp))
