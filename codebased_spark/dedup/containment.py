@@ -45,11 +45,92 @@ def containment_pairs(
     """Ordered pairs (doc_inner, doc_outer, containment) with
     containment(inner -> outer) >= threshold, inner != outer.
 
-    Exact: every candidate's intersection is counted over the full
-    distinct-shingle sets. Containment rounded to 4 decimals with the
-    engine-stable floor(x*1e4+0.5) both the oracle replicates bit-for-bit
-    (IEEE division of the same two longs is identical in JVM and DuckDB).
+    The scale path: ONE-SIDED prefix filter. For containment >= t the
+    inner doc can afford at most |A| - ceil(t*|A|) misses, so its first
+    |A| - ceil(t*|A|) + 1 shingles in the global rare-first order must
+    hit the outer doc somewhere — candidates join inner PREFIXES against
+    the full inverted index (cost sum(df_prefix * df), vs the counting
+    join's sum(df^2) which stop-shingles blow up: 13.9s -> this path at
+    sf0.1). The lossless one-sided length filter |B| >= ceil(t*|A|) is
+    pushed into the join condition. Every candidate verifies over the
+    full shingle arrays, so the output equals brute force exactly; the
+    counting-join twin below stays as the pytest cross-check.
     """
+    _EPS = 1e-9
+    sh = (
+        with_shingles(docs, text_col=text_col, n=n)
+        .select(F.col(id_col).alias("doc"), "shingles")
+        .where(F.size("shingles") > 0)
+    )
+    exploded = sh.select("doc", F.explode("shingles").alias("sh"))
+    df_counts = exploded.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        exploded.join(df_counts, "sh")
+        .groupBy("doc")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "sh"))).alias("ordered"))
+    )
+    prefix_len = (
+        F.size("ordered")
+        - F.ceil(F.lit(threshold) * F.size("ordered") - F.lit(_EPS))
+        + 1
+    ).cast("int")
+    prefix = ranked.select(
+        "doc",
+        F.size("ordered").alias("sz"),
+        F.explode(
+            F.transform(
+                F.slice("ordered", F.lit(1), prefix_len), lambda s: s["sh"]
+            )
+        ).alias("sh"),
+    )
+    full = exploded.join(
+        sh.select("doc", F.size("shingles").alias("sz")), "doc"
+    )
+    cand = (
+        prefix.alias("a")
+        .join(
+            full.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc") != F.col("b.doc"))
+            & (
+                F.col("b.sz")
+                >= F.ceil(F.lit(threshold) * F.col("a.sz") - F.lit(_EPS))
+            ),
+        )
+        .select(
+            F.col("a.doc").alias("doc_inner"), F.col("b.doc").alias("doc_outer")
+        )
+        .distinct()
+    )
+    sh_in = sh.select(F.col("doc").alias("doc_inner"), F.col("shingles").alias("s_in"))
+    sh_out = sh.select(F.col("doc").alias("doc_outer"), F.col("shingles").alias("s_out"))
+    return (
+        cand.join(sh_in, "doc_inner")
+        .join(sh_out, "doc_outer")
+        .withColumn(
+            "containment",
+            F.size(F.array_intersect("s_in", "s_out"))
+            / F.size("s_in").cast("double"),
+        )
+        .where(F.col("containment") >= threshold)
+        .select(
+            "doc_inner",
+            "doc_outer",
+            round_stable(F.col("containment")).alias("containment"),
+        )
+    )
+
+
+def containment_pairs_counting(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Counting-join twin (exact, no prefix filter) — the pytest
+    cross-check for containment_pairs, same contract. Cost sum(df^2):
+    fine on fixtures, stop-shingle-bound at corpus scale."""
     sh = (
         with_shingles(docs, text_col=text_col, n=n)
         .select(F.col(id_col).alias("doc"), "shingles")

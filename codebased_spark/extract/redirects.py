@@ -83,6 +83,11 @@ def resolve_redirect_chains(
         m = (
             m.join(nxt, m["dst"] == nxt["_s"], "left")
             .select(m["src"], F.coalesce(nxt["_d"], m["dst"]).alias("dst"))
+            # each round references m TWICE; without materialization the
+            # lazy plan doubles per round (2^rounds scans — measured 23s
+            # at sf0.1 for a 15k-row mapping). The mapping is redirect-
+            # stub-sized, so a per-round checkpoint is noise.
+            .localCheckpoint(eager=True)
         )
     srcs = edges.select(F.col("src_url").alias("dst")).distinct()
     return (

@@ -33,7 +33,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from codebased_spark.graph.paths import transitive_closure
-from codebased_spark.graph.scc import strongly_connected_components
 
 
 def bowtie_decomposition(
@@ -53,8 +52,24 @@ def bowtie_decomposition(
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    scc = strongly_connected_components(
-        e, max_rounds=max_rounds, max_rows=max_rows
+    # ONE closure serves both the SCC labels (reach ∩ transpose) and the
+    # IN/OUT classification — calling strongly_connected_components here
+    # would recompute the same closure a second time (measured 44s -> 22s
+    # at sf0.1, fixed job overhead dominating the tiny fixture graph)
+    reach = transitive_closure(
+        e, max_rounds=max_rounds, max_rows=max_rows, checkpoint=True
+    ).localCheckpoint(eager=True)
+    transpose = reach.select(
+        F.col("node").alias("origin"), F.col("origin").alias("node")
+    )
+    mutual = reach.intersect(transpose)
+    pairs = mutual.unionByName(
+        nodes.select(F.col("node").alias("origin"), F.col("node").alias("node"))
+    )
+    scc = (
+        pairs.groupBy("origin")
+        .agg(F.min("node").alias("scc_id"))
+        .withColumnRenamed("origin", "node")
     )
     # largest SCC, ties by min id: a tiny agg over labels, 1-row collect
     top = (
@@ -68,9 +83,6 @@ def bowtie_decomposition(
         return nodes.select("node", F.lit("OTHER").alias("cls"))
     core_id = top[0]["scc_id"]
     core = scc.where(F.col("scc_id") == F.lit(core_id)).select("node")
-    reach = transitive_closure(
-        e, max_rounds=max_rounds, max_rows=max_rows, checkpoint=True
-    )
     # IN: reaches any core member; OUT: reached from any core member.
     # Core sets are small (one SCC) -> broadcast semi/anti joins.
     reaches_core = (
