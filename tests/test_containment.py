@@ -48,3 +48,21 @@ def test_threshold_excludes_partial_overlap(spark):
     assert got == {}
     got = _pairs(spark, [(1, a), (2, b)], threshold=0.5)
     assert got[(1, 2)] == 0.5 and got[(2, 1)] == 0.5
+
+
+def test_prefix_filter_equals_counting_twin(spark):
+    from codebased_spark.dedup.containment import containment_pairs_counting
+
+    docs = [
+        (1, "w1 w2 w3 w4 w5 w6 w7 w8"),
+        (2, "w1 w2 w3 w4 w5"),          # prefix of 1
+        (3, "w4 w5 w6 w7 w8 zz yy"),     # partial overlap
+        (4, "a1 a2 a3 a4"),              # disjoint
+        (5, "w1 w2 w3 w4 w5 w6 w7 w8"),  # exact dup of 1
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    for t in (0.5, 0.8, 1.0):
+        a = sorted(map(tuple, containment_pairs(df, threshold=t).collect()))
+        b = sorted(map(tuple, containment_pairs_counting(df, threshold=t).collect()))
+        assert a == b, f"threshold {t}"
+        assert a, f"threshold {t} vacuous"
