@@ -110,7 +110,7 @@ _RECEIPT_PRIORITY = [
     # new in this session
     "g_bowtie", "dd_containment", "tx_dsir", "kg_redirects",
     "tx_query_doc_pairs", "kg_asof_snapshot", "tx_bpe_pairs", "dd_semdedup",
-    "tx_novelty",
+    "tx_novelty", "dd_incremental",
     # new in r4 continuation session
     "kg_taxonomy_reduction", "kg_constraint_violations", "kg_entity_cards",
     "kg_schema_graph", "kg_predicate_synonyms", "kg_fact_fusion",

@@ -57,6 +57,24 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs_prefix(_docs(spark, sf_dir), n=3, threshold=NGRAM_T)
 
 
+def dd_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental batch-vs-index near-dup probe (dedup/incremental.py):
+    even doc_ids are the standing corpus, odd ones plus planted
+    re-emissions of every doc_id % 12 == 0 text are the incoming batch;
+    the batch probes the persisted bucket table and only candidates
+    verify. Oracle brute-forces cross-side Jaccard."""
+    from codebased_spark.dedup.incremental import incremental_minhash_dupes
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1).unionByName(
+        docs.where(F.col("doc_id") % 12 == 0).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+        )
+    )
+    return incremental_minhash_dupes(new, old, threshold=NEARDUP_T)
+
+
 def _docs_with_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ planted excerpt docs: every doc_id % 17 == 0 source
     contributes its 40-token prefix as a new doc (id + 1000000) — a
@@ -2257,6 +2275,7 @@ QUERIES = {
     "dd_embedding_exact": dd_embedding_exact,
     "dd_embedding_lsh": dd_embedding_lsh,
     "dd_semdedup": dd_semdedup,
+    "dd_incremental": dd_incremental,
     "ann_topk": ann_topk,
     "ann_ivf": ann_ivf,
     "ann_ivf_kmeans": ann_ivf_kmeans,
@@ -2966,6 +2985,37 @@ ORACLES = {
         SELECT s || '/la', s || '/la', 0 FROM stem WHERE doc_id % 29 = 0
         UNION ALL
         SELECT s || '/lb', s || '/lb', 0 FROM stem WHERE doc_id % 29 = 0
+    """,
+    # brute-force cross-side Jaccard: even ids = index, odd + planted
+    # %12 re-emissions = batch
+    "dd_incremental": f"""
+        WITH oldd AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+        newd AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+          UNION ALL
+          SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 12 = 0
+        ),
+        tn AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks FROM newd),
+        toz AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks FROM oldd),
+        shn AS (
+          SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+                 for i in generate_series(1, len(toks)-2)]) AS s
+          FROM tn WHERE len(toks) >= 3
+        ),
+        sho AS (
+          SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+                 for i in generate_series(1, len(toks)-2)]) AS s
+          FROM toz WHERE len(toks) >= 3
+        ),
+        p AS (
+          SELECT n.doc_id AS doc_new, o.doc_id AS doc_old,
+                 len(list_intersect(n.s, o.s)) AS inter,
+                 len(n.s) AS ln, len(o.s) AS lo
+          FROM shn n JOIN sho o ON true
+        )
+        SELECT doc_new, doc_old,
+               floor((inter::DOUBLE / (ln + lo - inter)) * 10000 + 0.5) / 10000 AS jaccard
+        FROM p WHERE inter::DOUBLE / (ln + lo - inter) >= {NEARDUP_T}
     """,
     # planted-excerpt corpus, brute-force ordered containment pairs
     "dd_containment": """
