@@ -5806,3 +5806,125 @@ ORACLES["kg_fact_fusion"] = """
     FROM ph LEFT JOIN hw ON hw.host = ph.host
     GROUP BY ph.subj, ph.pred, ph.obj
 """
+
+
+# ---------------------------------------------------------------------------
+# Probabilistic sketches (sketches.py): bloom prefilter, HLL, Count-Min.
+# All three emit EXACT-integer sketch state/results — the DuckDB oracles
+# recompute the identical md5-derived positions/registers/counters.
+# ---------------------------------------------------------------------------
+
+_SKETCH_TOKS = (
+    "t AS (SELECT unnest(list_filter(string_split(text, ' '), w -> w <> ''))"
+    " AS item FROM documents)"
+)
+
+
+def dd_bloom_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered takedown-blocklist membership over corpus urls
+    (sketches.py::bloom_prefilter). The blocklist (doc_id % 97 == 0 —
+    a legal-takedown analog of kg_takedown) packs into a broadcast
+    literal bitmap; every corpus key is tested map-side in codegen and
+    only bloom survivors pay the exact semi-join. False positives
+    surface honestly as is_true_positive = false."""
+    from codebased_spark.sketches import bloom_prefilter
+
+    docs = _docs(spark, sf_dir)
+    key = F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("key")
+    keys = docs.select(key)
+    block = docs.where(F.col("doc_id") % 97 == 0).select(key)
+    return bloom_prefilter(keys, block, key_col="key")
+
+
+def tx_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register table over the corpus token stream
+    (sketches.py::hll_registers): the distinct-token-count sketch whose
+    shuffle is <= 2^p rows per partition regardless of corpus size.
+    Registers are exact integers — the oracle rebuilds them bit-for-bit
+    from the same md5 hash."""
+    from codebased_spark.sketches import hll_registers
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("item")
+    ).where(F.col("item") != "")
+    return hll_registers(toks, item_col="item")
+
+
+_CM_PROBES = ["spark", "join", "the", "data", "zzzz_absent"]
+
+
+def tx_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy-hitter estimates for a fixed probe vocabulary over
+    the corpus token stream (sketches.py::countmin_counters/estimate).
+    The d×w counter table is fixed-size (broadcast to the probe join);
+    estimates are exact integers >= true counts, with the absent-token
+    probe exercising the collision floor."""
+    from codebased_spark.sketches import countmin_counters, countmin_estimate
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("item")
+    ).where(F.col("item") != "")
+    counters = countmin_counters(toks, item_col="item")
+    probes = spark.createDataFrame([(p,) for p in _CM_PROBES], "item string")
+    return countmin_estimate(counters, probes, item_col="item")
+
+
+QUERIES["dd_bloom_blocklist"] = dd_bloom_blocklist
+QUERIES["tx_hll_registers"] = tx_hll_registers
+QUERIES["tx_countmin"] = tx_countmin
+
+ORACLES["dd_bloom_blocklist"] = """
+    WITH keys AS (SELECT 'u' || doc_id AS key FROM documents),
+    block AS (SELECT 'u' || doc_id AS key FROM documents WHERE doc_id % 97 = 0),
+    bits AS (
+      SELECT DISTINCT
+             ('0x' || substr(md5(b.key || ':bloom' || j), 1, 15))::BIGINT % 8192 AS pos
+      FROM block b CROSS JOIN range(4) r(j)
+    ),
+    probes AS (
+      SELECT k.key,
+             ('0x' || substr(md5(k.key || ':bloom' || j), 1, 15))::BIGINT % 8192 AS pos
+      FROM keys k CROSS JOIN range(4) r(j)
+    ),
+    hits AS (
+      SELECT key FROM probes
+      GROUP BY key
+      HAVING sum(CASE WHEN pos IN (SELECT pos FROM bits) THEN 1 ELSE 0 END) = 4
+    )
+    SELECT h.key, h.key IN (SELECT key FROM block) AS is_true_positive
+    FROM hits h
+"""
+
+ORACLES["tx_hll_registers"] = f"""
+    WITH {_SKETCH_TOKS},
+    h AS (SELECT ('0x' || substr(md5(item), 1, 15))::BIGINT AS h FROM t),
+    reg AS (SELECT h % 256 AS register, h // 256 AS w FROM h)
+    SELECT register,
+           max(CASE WHEN w = 0 THEN 53 ELSE 52 - length(bin(w)) + 1 END) AS max_rank
+    FROM reg GROUP BY register
+"""
+
+ORACLES["tx_countmin"] = f"""
+    WITH {_SKETCH_TOKS},
+    pairs AS (
+      SELECT j AS cm_row,
+             ('0x' || substr(md5(item || ':cm' || j), 1, 15))::BIGINT % 1024 AS bucket
+      FROM t CROSS JOIN range(4) r(j)
+    ),
+    counters AS (
+      SELECT cm_row, bucket, count(*) AS cnt FROM pairs GROUP BY cm_row, bucket
+    ),
+    probes AS (
+      SELECT unnest(['spark', 'join', 'the', 'data', 'zzzz_absent']) AS item
+    ),
+    pb AS (
+      SELECT p.item, j AS cm_row,
+             ('0x' || substr(md5(p.item || ':cm' || j), 1, 15))::BIGINT % 1024 AS bucket
+      FROM probes p CROSS JOIN range(4) r(j)
+    )
+    SELECT pb.item, min(coalesce(c.cnt, 0)) AS est_count
+    FROM pb LEFT JOIN counters c USING (cm_row, bucket)
+    GROUP BY pb.item
+"""
