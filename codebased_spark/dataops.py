@@ -2804,7 +2804,7 @@ def _pagerank_sql(
     """
 
 
-def _ppr_sql(n_iter: int = 5, damping: float = 0.85) -> str:
+def _ppr_sql(n_iter: int = 5, damping: float = 0.85, seed_mod: int = 17) -> str:
     """The SAME fixed personalized-PageRank iterations as
     graph/pagerank.py::personalized_pagerank, unrolled as chained CTEs:
     seed vector s = 1/|S| on doc_id % 17 == 0, sink-bearing edge set
@@ -2838,7 +2838,7 @@ def _ppr_sql(n_iter: int = 5, damping: float = 0.85) -> str:
         WITH {_EDGES_SQL},
         eds AS (SELECT src, dst FROM edges WHERE src % 7 <> 0),
         deg AS (SELECT src, count(*) AS d FROM eds GROUP BY src),
-        sd AS (SELECT doc_id AS v FROM documents WHERE doc_id % 17 = 0),
+        sd AS (SELECT doc_id AS v FROM documents WHERE doc_id % {seed_mod} = 0),
         nsd AS (SELECT count(*) AS c FROM sd),
         sv AS MATERIALIZED (
           SELECT d.doc_id AS v,
@@ -5927,4 +5927,42 @@ ORACLES["tx_countmin"] = f"""
     SELECT pb.item, min(coalesce(c.cnt, 0)) AS est_count
     FROM pb LEFT JOIN counters c USING (cm_row, bucket)
     GROUP BY pb.item
+"""
+
+
+def g_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank + relative spam mass
+    (graph/pagerank.py::trustrank_spam_mass) over the sink-bearing doc
+    graph (src % 7 != 0 — the g_pagerank_dangling fixture), trusted seed
+    set doc_id % 23 == 0 (a distinct family from g_ppr's % 17 so both
+    restart vectors stay independently exercised). The oracle composes
+    the dangling-pagerank and seeded-PPR CTE unrolls and derives
+    spam_mass from the identical rounded columns."""
+    from codebased_spark.graph.pagerank import trustrank_spam_mass
+
+    docs = _docs(spark, sf_dir)
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    trusted = docs.where(F.col("doc_id") % 23 == 0).select(
+        F.col("doc_id").alias("node")
+    )
+    edges = _doc_edges(spark, sf_dir).where(F.col("src") % 7 != 0)
+    return trustrank_spam_mass(
+        nodes, edges, trusted, n_iter=5, out_decimals=6
+    ).withColumnRenamed("node", "doc_id")
+
+
+QUERIES["g_trustrank"] = g_trustrank
+
+ORACLES["g_trustrank"] = f"""
+    WITH prt AS MATERIALIZED (SELECT doc_id, pr FROM (
+      {_pagerank_sql(n_iter=5, damping=0.85, dangling=True)}
+    )),
+    trt AS MATERIALIZED (SELECT doc_id, ppr AS tr FROM (
+      {_ppr_sql(n_iter=5, damping=0.85, seed_mod=23)}
+    ))
+    SELECT prt.doc_id, prt.pr, trt.tr,
+           CASE WHEN prt.pr > 0
+                THEN floor((prt.pr - trt.tr) / prt.pr * 10000 + 0.5) / 10000
+           END AS spam_mass
+    FROM prt JOIN trt USING (doc_id)
 """

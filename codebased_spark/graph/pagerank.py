@@ -321,3 +321,53 @@ def personalized_pagerank(
         prev_cached.unpersist()
     sv.unpersist()
     return out
+
+
+def trustrank_spam_mass(
+    nodes: DataFrame,
+    edges: DataFrame,
+    trusted: DataFrame,
+    n_iter: int = 5,
+    damping: float = 0.85,
+    node_col: str = "node",
+    src: str = "src",
+    dst: str = "dst",
+    out_decimals: int = 6,
+    driver_threshold: int = 200_000,
+) -> DataFrame:
+    """TrustRank + relative spam mass (Gyongyi, Garcia-Molina, Pedersen,
+    VLDB 2004): trust flows from a hand-vetted seed set via personalized
+    PageRank; a page whose PageRank far exceeds its TrustRank earned that
+    rank from untrusted (spam-like) neighborhoods.
+
+    Returns (node, pr, tr, spam_mass) with spam_mass = (pr - tr) / pr.
+    The ratio is derived from the ALREADY-ROUNDED pr/tr columns so both
+    engines divide identical doubles (the kg_entity_pmi determinism
+    lesson: never round a transcendental/accumulated float on two engines
+    independently when the inputs can be pinned first); trusted pages can
+    legitimately go negative (tr > pr) — kept as-is, it is the standard
+    relative-mass definition.
+
+    Scale shape: two independent fixed-k power loops over the SAME edge
+    partitioning plus one node-keyed join — no new shuffle family beyond
+    what pagerank/personalized_pagerank already pay.
+    """
+    pr = pagerank(
+        nodes, edges, n_iter=n_iter, damping=damping, node_col=node_col,
+        src=src, dst=dst, out_decimals=out_decimals,
+        driver_threshold=driver_threshold,
+    )
+    tr = personalized_pagerank(
+        nodes, edges, trusted, n_iter=n_iter, damping=damping,
+        node_col=node_col, src=src, dst=dst, out_decimals=out_decimals,
+        driver_threshold=driver_threshold,
+    ).withColumnRenamed("ppr", "tr")
+    return pr.join(tr, node_col).select(
+        node_col,
+        "pr",
+        "tr",
+        F.when(
+            F.col("pr") > 0,
+            round_stable((F.col("pr") - F.col("tr")) / F.col("pr"), 4),
+        ).alias("spam_mass"),
+    )
