@@ -5966,3 +5966,57 @@ ORACLES["g_trustrank"] = f"""
            END AS spam_mass
     FROM prt JOIN trt USING (doc_id)
 """
+
+
+def tx_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-quantized multinomial Naive Bayes lang classifier
+    (textops/classify.py): train on doc_id % 5 != 0, predict the held-out
+    fifth. Every likelihood is an exact-integer bit length, so the
+    (doc_id, pred_label, best_score) rows are bit-identical to the
+    DuckDB restatement — an NB whose score column survives a
+    cross-engine value gate."""
+    from codebased_spark.textops.classify import nb_classify
+
+    docs = _docs(spark, sf_dir)
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    test = docs.where(F.col("doc_id") % 5 == 0)
+    return nb_classify(train, test, label_col="lang", text_col="text")
+
+
+QUERIES["tx_nb_classifier"] = tx_nb_classifier
+
+ORACLES["tx_nb_classifier"] = """
+    WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+    test AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+    trt AS (SELECT lang AS label,
+                   unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+            FROM train),
+    cnt AS (SELECT label, w, count(*) AS cnt FROM trt GROUP BY label, w),
+    tot AS (SELECT label, sum(cnt) AS tot FROM cnt GROUP BY label),
+    nd AS (SELECT lang AS label, count(*) AS ndocs FROM train GROUP BY lang),
+    v AS (SELECT count(DISTINCT w) AS vocab FROM trt),
+    ntr AS (SELECT count(*) AS n FROM train),
+    tet AS (SELECT doc_id,
+                   unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+            FROM test),
+    twc AS (SELECT doc_id, w, count(*) AS n_w FROM tet GROUP BY doc_id, w),
+    classes AS (SELECT tot.label, tot.tot, nd.ndocs FROM tot JOIN nd USING (label)),
+    scored AS (
+      SELECT twc.doc_id, c.label,
+             sum(twc.n_w * (length(bin(coalesce(cnt.cnt, 0) + 1))
+                            - length(bin(c.tot + (SELECT vocab FROM v)))))
+             + length(bin(any_value(c.ndocs)))
+             - length(bin((SELECT n FROM ntr))) AS score
+      FROM twc CROSS JOIN classes c
+      LEFT JOIN cnt ON cnt.label = c.label AND cnt.w = twc.w
+      GROUP BY twc.doc_id, c.label
+    ),
+    ranked AS (
+      SELECT doc_id, label, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, label ASC) AS rn
+      FROM scored
+    )
+    SELECT doc_id, label AS pred_label, score AS best_score
+    FROM ranked WHERE rn = 1
+"""
