@@ -6020,3 +6020,38 @@ ORACLES["tx_nb_classifier"] = """
     SELECT doc_id, label AS pred_label, score AS best_score
     FROM ranked WHERE rn = 1
 """
+
+
+def g_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded weighted shortest paths (graph/sssp.py::weighted_sssp):
+    Bellman-Ford with frontier pruning from the doc_id % 29 == 0 seed
+    set over the doc graph with deterministic integer edge weights
+    w = src % 7 + dst % 5 + 1. Exact-integer distances; the oracle is
+    the <= 6-edge min-weight path via a bounded recursive CTE."""
+    from codebased_spark.graph.sssp import weighted_sssp
+
+    docs = _docs(spark, sf_dir)
+    seeds = docs.where(F.col("doc_id") % 29 == 0).select(
+        F.col("doc_id").alias("node")
+    )
+    edges = _doc_edges(spark, sf_dir).select(
+        "src", "dst", (F.col("src") % 7 + F.col("dst") % 5 + 1).alias("w")
+    )
+    return weighted_sssp(seeds, edges, k=6).withColumnRenamed("node", "doc_id")
+
+
+QUERIES["g_sssp"] = g_sssp
+
+ORACLES["g_sssp"] = f"""
+    WITH RECURSIVE {_EDGES_SQL},
+    we AS (SELECT src, dst, src % 7 + dst % 5 + 1 AS w FROM edges),
+    walk AS (
+      SELECT doc_id AS node, 0::BIGINT AS dist, 0 AS hops
+      FROM documents WHERE doc_id % 29 = 0
+      UNION ALL
+      SELECT e.dst, walk.dist + e.w, walk.hops + 1
+      FROM walk JOIN we e ON e.src = walk.node
+      WHERE walk.hops < 6
+    )
+    SELECT node AS doc_id, min(dist) AS dist FROM walk GROUP BY node
+"""
