@@ -6055,3 +6055,52 @@ ORACLES["g_sssp"] = f"""
     )
     SELECT node AS doc_id, min(dist) AS dist FROM walk GROUP BY node
 """
+
+
+def dd_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality eval (dedup/lsh_eval.py::lsh_blocking_eval):
+    portable-hash MinHash banding (k=16, b=4, r=4) vs exact all-pairs
+    Jaccard at t=0.6 on the ABSOLUTE-bounded doc_id < 500 labeled
+    sample. Per-pair confusion labels — the b/r tuning table a
+    production dedup pipeline reads its recall off of. The deliberately
+    lossy banding (P(candidate | s=0.6) ≈ 0.43) makes false negatives
+    real, so the eval is non-vacuous."""
+    from codebased_spark.dedup.lsh_eval import lsh_blocking_eval
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 500)
+    return lsh_blocking_eval(docs, threshold=NGRAM_T)
+
+
+QUERIES["dd_lsh_eval"] = dd_lsh_eval
+
+ORACLES["dd_lsh_eval"] = """
+    WITH samp AS (SELECT * FROM documents WHERE doc_id < 500),
+    t AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '')
+                 AS toks FROM samp),
+    sh AS (SELECT doc_id,
+                  list_distinct([array_to_string(toks[i:i+2], ' ')
+                                 for i in generate_series(1, len(toks)-2)]) AS s
+           FROM t WHERE len(toks) >= 3),
+    ex AS (SELECT doc_id, unnest(s) AS s FROM sh),
+    hx AS (SELECT doc_id, i,
+                  min(('0x' || substr(md5(s || ':mh' || i), 1, 15))::BIGINT) AS m
+           FROM ex CROSS JOIN range(16) r(i) GROUP BY doc_id, i),
+    bh AS (SELECT doc_id, i // 4 AS band_idx,
+                  ('0x' || substr(md5(string_agg(m::VARCHAR, ',' ORDER BY i)),
+                                  1, 15))::BIGINT AS band_hash
+           FROM hx GROUP BY doc_id, i // 4),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bh a JOIN bh b USING (band_idx, band_hash)
+             WHERE a.doc_id < b.doc_id),
+    jac AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   len(list_intersect(a.s, b.s))::DOUBLE
+                   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+    SELECT j.doc_a, j.doc_b,
+           coalesce(c.is_c, FALSE) AS is_candidate,
+           j.j >= 0.6 AS is_true_pair,
+           floor(j.j * 10000 + 0.5) / 10000 AS jaccard
+    FROM jac j LEFT JOIN (SELECT doc_a, doc_b, TRUE AS is_c FROM cand) c
+      USING (doc_a, doc_b)
+    WHERE j.j >= 0.6 OR c.is_c IS NOT NULL
+"""
