@@ -6104,3 +6104,123 @@ ORACLES["dd_lsh_eval"] = """
       USING (doc_a, doc_b)
     WHERE j.j >= 0.6 OR c.is_c IS NOT NULL
 """
+
+
+def kg_entity_neighbors_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order (distributional) entity similarity: Jaccard over
+    CO-MENTION NEIGHBOR SETS. Two entities are similar when they keep the
+    same company — even if they are NEVER co-mentioned directly (the
+    substitutability signal kg_entity_pmi, which scores only direct
+    pairs, cannot see). is_comention marks which similar pairs also
+    co-occur, so the interesting rows are is_comention = false.
+
+    Scale shape: pairs are generated by a bucket join on the shared
+    neighbor z (never all-pairs); the join input is sum over z of
+    deg(z)^2, so hub intermediates (deg > max_deg, here 256) would
+    dominate — the same degree cap as kg_cocitation applies; the
+    gazetteer fixture stays far under it, so the cap does not change
+    this result, only the 100x one. All counts exact integers; jaccard
+    is an integer ratio."""
+    from codebased_spark.graph.queries import _gaz_df, _tokens
+
+    max_deg = 256
+    gaz = F.broadcast(_gaz_df(spark))
+    m = (
+        _tokens(spark, sf_dir)
+        .join(gaz, F.col("word") == gaz.surface_form)
+        .select("doc_id", "canonical_id")
+        .distinct()
+    )
+    a, b = m.alias("a"), m.alias("b")
+    # symmetric neighbor edges (x, z): co-mentioned in >= 1 doc, x != z
+    nb = (
+        a.join(b, "doc_id")
+        .where(F.col("a.canonical_id") != F.col("b.canonical_id"))
+        .select(
+            F.col("a.canonical_id").alias("x"),
+            F.col("b.canonical_id").alias("z"),
+        )
+        .distinct()
+    )
+    deg = nb.groupBy("x").agg(F.count(F.lit(1)).alias("deg"))
+    nb_capped = nb.join(
+        deg.where(F.col("deg") <= max_deg).select(F.col("x").alias("z")),
+        "z",
+        "left_semi",
+    )
+    l, r = nb_capped.alias("l"), nb_capped.alias("r")
+    shared = (
+        l.join(r, "z")
+        .where(F.col("l.x") < F.col("r.x"))
+        .groupBy(F.col("l.x").alias("ent_a"), F.col("r.x").alias("ent_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    da = deg.select(F.col("x").alias("ent_a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("x").alias("ent_b"), F.col("deg").alias("deg_b"))
+    direct = nb.where(F.col("x") < F.col("z")).select(
+        F.col("x").alias("ent_a"), F.col("z").alias("ent_b"),
+        F.lit(True).alias("_direct"),
+    )
+    return (
+        shared.join(da, "ent_a")
+        .join(db, "ent_b")
+        .join(direct, ["ent_a", "ent_b"], "left")
+        .select(
+            "ent_a",
+            "ent_b",
+            "n_shared",
+            "deg_a",
+            "deg_b",
+            round_stable_col(
+                F.col("n_shared")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("n_shared")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+            F.coalesce(F.col("_direct"), F.lit(False)).alias("is_comention"),
+        )
+    )
+
+
+QUERIES["kg_entity_neighbors_sim"] = kg_entity_neighbors_sim
+
+ORACLES["kg_entity_neighbors_sim"] = f"""
+    WITH gaz(surface_form, canonical_id, entity_type) AS (
+      VALUES {GAZ_SQL_VALUES}
+    ),
+    toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                        w -> w <> '')) AS word
+      FROM documents
+    ),
+    m AS (
+      SELECT DISTINCT doc_id, canonical_id
+      FROM toks JOIN gaz ON word = surface_form
+    ),
+    nb AS (
+      SELECT DISTINCT a.canonical_id AS x, b.canonical_id AS z
+      FROM m a JOIN m b ON a.doc_id = b.doc_id
+      WHERE a.canonical_id <> b.canonical_id
+    ),
+    deg AS (SELECT x, count(*) AS deg FROM nb GROUP BY x),
+    nbc AS (
+      SELECT nb.x, nb.z FROM nb
+      JOIN deg dz ON dz.x = nb.z
+      WHERE dz.deg <= 256
+    ),
+    shared AS (
+      SELECT l.x AS ent_a, r.x AS ent_b, count(*) AS n_shared
+      FROM nbc l JOIN nbc r ON l.z = r.z
+      WHERE l.x < r.x
+      GROUP BY l.x, r.x
+    )
+    SELECT s.ent_a, s.ent_b, s.n_shared,
+           da.deg AS deg_a, db.deg AS deg_b,
+           floor(s.n_shared::DOUBLE / (da.deg + db.deg - s.n_shared)
+                 * 10000 + 0.5) / 10000 AS jaccard,
+           EXISTS (SELECT 1 FROM nb
+                   WHERE nb.x = s.ent_a AND nb.z = s.ent_b) AS is_comention
+    FROM shared s
+    JOIN deg da ON da.x = s.ent_a
+    JOIN deg db ON db.x = s.ent_b
+"""
