@@ -6224,3 +6224,51 @@ ORACLES["kg_entity_neighbors_sim"] = f"""
     JOIN deg da ON da.x = s.ent_a
     JOIN deg db ON db.x = s.ent_b
 """
+
+
+# mojibake sample built by the exact damage process (UTF-8 bytes decoded
+# as Latin-1), so the repair transform's inverse property is literal
+_MOJI_SAMPLE = " " + "café — naïve ’s".encode("utf-8").decode("latin-1")
+
+
+def tx_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake detection (textops/mojibake.py::detect_mojibake): every
+    doc_id % 9 == 0 row gets the deterministic double-encoded sample
+    appended (4 marker sequences), the rest stay clean ASCII — so the
+    detector must fire on exactly the planted ninth. Map-only codegen
+    regexp count; repair is pytest-gated (DuckDB lacks charset codecs)."""
+    from codebased_spark.textops.mojibake import detect_mojibake
+
+    docs = _docs(spark, sf_dir)
+    corrupted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 9 == 0,
+            F.concat(F.col("text"), F.lit(_MOJI_SAMPLE)),
+        ).otherwise(F.col("text")),
+    )
+    return detect_mojibake(corrupted)
+
+
+QUERIES["tx_mojibake"] = tx_mojibake
+
+
+def _moji_oracle() -> str:
+    from codebased_spark.textops.mojibake import MOJIBAKE_PATTERN
+
+    return f"""
+    WITH c AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 9 = 0 THEN text || '{_MOJI_SAMPLE}'
+                  ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{MOJIBAKE_PATTERN}')) AS n_markers,
+           len(regexp_extract_all(text, '{MOJIBAKE_PATTERN}')) >= 2
+             AS is_mojibake
+    FROM c
+"""
+
+
+ORACLES["tx_mojibake"] = _moji_oracle()
