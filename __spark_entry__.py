@@ -110,7 +110,7 @@ _RECEIPT_PRIORITY = [
     # new in this session
     "dd_bloom_blocklist", "tx_hll_registers", "tx_countmin", "g_trustrank",
     "tx_nb_classifier", "g_sssp", "dd_lsh_eval", "kg_entity_neighbors_sim",
-    "tx_mojibake",
+    "tx_mojibake", "g_ktruss",
     "g_bowtie", "dd_containment", "tx_dsir", "kg_redirects",
     "tx_query_doc_pairs", "kg_asof_snapshot", "tx_bpe_pairs", "dd_semdedup",
     "tx_novelty", "dd_incremental",

@@ -6272,3 +6272,46 @@ def _moji_oracle() -> str:
 
 
 ORACLES["tx_mojibake"] = _moji_oracle()
+
+
+def g_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded 3-truss peeling (graph/truss.py::k_truss_edges): edges of
+    the undirected doc graph embedded in >= 1 live triangle after 3
+    synchronous support-peel rounds. Oracle unrolls the identical rounds
+    as wedge-join CTEs."""
+    from codebased_spark.graph.truss import k_truss_edges
+
+    return k_truss_edges(_doc_edges(spark, sf_dir), k=3, rounds=3)
+
+
+QUERIES["g_ktruss"] = g_ktruss
+
+
+def _ktruss_sql(k: int = 3, rounds: int = 3) -> str:
+    need = k - 2
+    parts = []
+    for i in range(1, rounds + 1):
+        parts.append(f"""
+        adj{i - 1} AS (SELECT a, b FROM l{i - 1}
+                       UNION ALL SELECT b, a FROM l{i - 1}),
+        s{i} AS (
+          SELECT e.a, e.b, count(*) AS support
+          FROM l{i - 1} e
+          JOIN adj{i - 1} x ON x.a = e.a
+          JOIN adj{i - 1} y ON y.a = e.b AND y.b = x.b
+          GROUP BY e.a, e.b
+        ),
+        l{i} AS (SELECT a, b FROM s{i} WHERE support >= {need})""")
+    return f"""
+        WITH {_EDGES_SQL},
+        l0 AS (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM edges WHERE src <> dst
+        ),
+        {",".join(parts)}
+        SELECT a AS src, b AS dst, support
+        FROM s{rounds} WHERE support >= {need}
+    """
+
+
+ORACLES["g_ktruss"] = _ktruss_sql()
