@@ -6141,6 +6141,10 @@ def kg_entity_neighbors_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.canonical_id").alias("z"),
         )
         .distinct()
+        # read 4x below (deg, cap semi-join, both bucket sides via
+        # nb_capped, direct flag); vocabulary-sized, so materialize once
+        # instead of re-running the corpus-sized mention join per read
+        .localCheckpoint(eager=True)
     )
     deg = nb.groupBy("x").agg(F.count(F.lit(1)).alias("deg"))
     nb_capped = nb.join(
