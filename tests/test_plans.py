@@ -144,3 +144,33 @@ def test_filter_decisions_no_python(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     p = plan(filter_decisions(docs))
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_hll_sketch_is_one_exchange_with_partial_agg(spark):
+    from codebased_spark.dataops import tx_hll_registers
+
+    p = plan(tx_hll_registers(spark, SF))
+    # partial + final HashAggregate around exactly one register exchange:
+    # the sketch's whole point is that map-side combine bounds the shuffle
+    assert p.count("HashAggregate") == 2
+    assert p.count("Exchange") == 1
+    assert "BatchEvalPython" not in p
+
+
+def test_bloom_filter_is_codegen_not_join(spark):
+    from codebased_spark.dataops import dd_bloom_blocklist
+
+    p = plan(dd_bloom_blocklist(spark, SF))
+    # the bitmap test is a literal-array Filter; only the exact verify
+    # joins (broadcast), and nothing sort-merges
+    assert "SortMergeJoin" not in p
+    assert "shiftrightunsigned" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_nb_classifier_stays_jvm(spark):
+    from codebased_spark.dataops import tx_nb_classifier
+
+    p = plan(tx_nb_classifier(spark, SF))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "SortMergeJoin" not in p  # model joins broadcast at this scale
