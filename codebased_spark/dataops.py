@@ -6319,3 +6319,103 @@ def _ktruss_sql(k: int = 3, rounds: int = 3) -> str:
 
 
 ORACLES["g_ktruss"] = _ktruss_sql()
+
+
+def g_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity of the undirected doc graph
+    (graph/motifs.py::degree_assortativity): exact BIGINT sufficient
+    statistics plus the floor-rounded coefficient, one row."""
+    from codebased_spark.graph.motifs import degree_assortativity
+
+    return degree_assortativity(_doc_edges(spark, sf_dir))
+
+
+QUERIES["g_assortativity"] = g_assortativity
+
+ORACLES["g_assortativity"] = f"""
+    WITH {_EDGES_SQL},
+    und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM edges WHERE src <> dst
+    ),
+    deg AS (
+      SELECT node, count(*) AS degree
+      FROM (SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und)
+      GROUP BY node
+    ),
+    pe AS (
+      SELECT da.degree AS ja, db.degree AS jb
+      FROM und
+      JOIN deg da ON und.a = da.node
+      JOIN deg db ON und.b = db.node
+    ),
+    s AS (
+      SELECT 2 * count(*) AS m_ordered,
+             2 * sum(ja * jb) AS sum_jk,
+             sum(ja + jb) AS sum_j,
+             sum(ja * ja + jb * jb) AS sum_j2
+      FROM pe
+    )
+    SELECT m_ordered, sum_jk, sum_j, sum_j2,
+           CASE WHEN m_ordered * sum_j2 - sum_j * sum_j <> 0 THEN
+             floor(CAST(m_ordered * sum_jk - sum_j * sum_j AS DOUBLE)
+                   / CAST(m_ordered * sum_j2 - sum_j * sum_j AS DOUBLE)
+                   * 10000 + 0.5) / 10000
+           END AS assortativity
+    FROM s
+"""
+
+
+def g_triad_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holland-Leinhardt dyad census + the two directed-triangle motif
+    counts (graph/motifs.py::triad_census) over the doc digraph, hub
+    wedge-centers capped at degree 64."""
+    from codebased_spark.graph.motifs import triad_census
+
+    docs = _docs(spark, sf_dir)
+    return triad_census(_doc_edges(spark, sf_dir), n_nodes=docs.count())
+
+
+QUERIES["g_triad_census"] = g_triad_census
+
+ORACLES["g_triad_census"] = f"""
+    WITH {_EDGES_SQL},
+    e AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+    nn AS (SELECT count(*) AS n_nodes FROM documents),
+    bidir AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+    pd AS (
+      SELECT src AS a, dst AS b, count(*) AS n_dirs
+      FROM bidir WHERE src < dst GROUP BY src, dst
+    ),
+    dy AS (
+      SELECT coalesce(sum(CASE WHEN n_dirs = 2 THEN 1 ELSE 0 END), 0) AS n_mutual,
+             coalesce(sum(CASE WHEN n_dirs = 1 THEN 1 ELSE 0 END), 0) AS n_asym
+      FROM pd
+    ),
+    deg AS (SELECT src AS center FROM bidir GROUP BY src HAVING count(*) <= 64),
+    wedge AS (
+      SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+      FROM e ab
+      JOIN deg ON ab.dst = deg.center
+      JOIN e bc ON bc.src = ab.dst
+      WHERE bc.dst <> ab.src
+    ),
+    cyc AS (
+      SELECT count(*) AS n_cyc FROM wedge
+      JOIN e ON e.src = wedge.c AND e.dst = wedge.a
+    ),
+    tra AS (
+      SELECT count(*) AS n_tra FROM wedge
+      JOIN e ON e.src = wedge.a AND e.dst = wedge.c
+    )
+    SELECT nn.n_nodes AS n_nodes,
+           (SELECT count(*) FROM e) AS n_edges,
+           dy.n_mutual AS n_mutual_dyads,
+           dy.n_asym AS n_asym_dyads,
+           nn.n_nodes * (nn.n_nodes - 1) // 2 - dy.n_mutual - dy.n_asym
+             AS n_null_dyads,
+           cyc.n_cyc AS n_cycle_triples,
+           tra.n_tra AS n_transitive_triples,
+           64 AS max_degree
+    FROM nn, dy, cyc, tra
+"""
