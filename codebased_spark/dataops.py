@@ -6419,3 +6419,51 @@ ORACLES["g_triad_census"] = f"""
            64 AS max_degree
     FROM nn, dy, cyc, tra
 """
+
+
+_CYR_SAMPLE = " данные веб архив поиск"
+_HAN_SAMPLE = " 数据 网页 档案 搜索"
+_ARA_SAMPLE = " بيانات شبكة أرشيف"
+
+
+def _docs_multiscript(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with deterministic non-Latin plants: every 7th doc gets a
+    Cyrillic (%7==1), Han (%7==3), or Arabic (%7==5) snippet appended, so
+    the census must fire per-script on exactly those residues."""
+    docs = _docs(spark, sf_dir)
+    return docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 1, F.concat(F.col("text"), F.lit(_CYR_SAMPLE)))
+        .when(F.col("doc_id") % 7 == 3, F.concat(F.col("text"), F.lit(_HAN_SAMPLE)))
+        .when(F.col("doc_id") % 7 == 5, F.concat(F.col("text"), F.lit(_ARA_SAMPLE)))
+        .otherwise(F.col("text")),
+    )
+
+
+def tx_scripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script census (textops/scripts.py::script_census) over the
+    multiscript-planted corpus: per-script char counts, dominant script,
+    mixed-script flag — map-only codegen, zero shuffle."""
+    from codebased_spark.textops.scripts import script_census
+
+    return script_census(_docs_multiscript(spark, sf_dir))
+
+
+QUERIES["tx_scripts"] = tx_scripts
+
+
+def _scripts_oracle() -> str:
+    from codebased_spark.textops.scripts import script_census_sql
+
+    src = f"""
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 1 THEN text || '{_CYR_SAMPLE}'
+                  WHEN doc_id % 7 = 3 THEN text || '{_HAN_SAMPLE}'
+                  WHEN doc_id % 7 = 5 THEN text || '{_ARA_SAMPLE}'
+                  ELSE text END AS text
+      FROM documents
+    """
+    return script_census_sql(src)
+
+
+ORACLES["tx_scripts"] = _scripts_oracle()
