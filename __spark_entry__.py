@@ -108,7 +108,7 @@ _RECEIPT_PRIORITY = [
     "kg_cocitation", "kg_entity_pmi", "kg_feed_items", "kg_hreflang",
     "kg_microdata",
     # new in the r4 fourth continuation session
-    "g_assortativity", "g_triad_census", "tx_scripts",
+    "g_assortativity", "g_triad_census", "tx_scripts", "kg_nofollow",
     # new in this session
     "dd_bloom_blocklist", "tx_hll_registers", "tx_countmin", "g_trustrank",
     "tx_nb_classifier", "g_sssp", "dd_lsh_eval", "kg_entity_neighbors_sim",

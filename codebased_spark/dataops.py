@@ -6467,3 +6467,47 @@ def _scripts_oracle() -> str:
 
 
 ORACLES["tx_scripts"] = _scripts_oracle()
+
+
+def kg_nofollow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Endorsement-edge census (extract/anchors.py::nofollow_edges): per
+    anchor, the rel nofollow/sponsored/ugc bit plus the page-level
+    <meta name=robots> noindex/nofollow override, and the composed
+    `followed` bit that PageRank/crawl scheduling consume. Fixture
+    plants meta robots on every 17th doc in alternating attribute
+    orders; external anchors carry rel=nofollow in both orders."""
+    from codebased_spark.extract.anchors import nofollow_edges
+    from codebased_spark.synth.pages import pages_with_nofollow_spark
+
+    return nofollow_edges(pages_with_nofollow_spark(_docs(spark, sf_dir)))
+
+
+QUERIES["kg_nofollow"] = kg_nofollow
+
+ORACLES["kg_nofollow"] = """
+    WITH pages AS (
+      SELECT doc_id, source, lang,
+             'https://' || source || '.example.org/' || lang || '/doc/'
+               || doc_id AS url
+      FROM documents
+    ),
+    a AS (
+      SELECT doc_id, url AS src_url,
+             'https://' || source || '.example.org/' || lang || '/doc/'
+               || (doc_id % 97) AS target,
+             '' AS rel, FALSE AS anchor_nofollow
+      FROM pages
+      UNION ALL
+      SELECT doc_id, url,
+             'https://cdn.example.net/asset/' || (doc_id % 13),
+             'nofollow', TRUE
+      FROM pages
+      UNION ALL
+      SELECT doc_id, url, 'https://t.example.net/p', '', FALSE FROM pages
+    )
+    SELECT src_url, target, rel, anchor_nofollow,
+           doc_id % 17 = 0 AS page_noindex,
+           doc_id % 17 = 0 AS page_nofollow,
+           NOT anchor_nofollow AND NOT (doc_id % 17 = 0) AS followed
+    FROM a
+"""

@@ -240,3 +240,66 @@ def anchor_dictionary(pages: DataFrame, html_col: str = "html") -> DataFrame:
         )
         .withColumn("rnk", F.row_number().over(w_rank))
     )
+
+
+# rel attribute inside an already-captured anchor tag (any case/quotes,
+# any position relative to href)
+_REL_RE = "(?is)[\\s\"']rel\\s*=\\s*[\"']([^\"']*)[\"']"
+# rel tokens that negate endorsement (Google's nofollow family)
+_NOFOLLOW_TOKENS = "(?i)\\b(nofollow|sponsored|ugc)\\b"
+
+
+def anchor_rel_entries_col(html_col: Column) -> Column:
+    """array<struct<href,text,rel>> — anchor_entries_col plus the
+    lowercased rel attribute ('' when absent), still one regexp scan."""
+    h = html_col.cast("string")
+    tags = F.regexp_extract_all(h, F.lit(_ANCHOR_RE), 0)
+    return F.transform(
+        tags,
+        lambda t: F.struct(
+            F.regexp_extract(t, _ANCHOR_RE, 1).alias("href"),
+            F.trim(
+                F.regexp_replace(F.regexp_extract(t, _ANCHOR_RE, 2), "\\s+", " ")
+            ).alias("text"),
+            F.lower(F.regexp_extract(t, _REL_RE, 1)).alias("rel"),
+        ),
+    )
+
+
+def nofollow_edges(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """(src_url, target, rel, anchor_nofollow, page_noindex,
+    page_nofollow, followed) — one row per anchor, where `followed` is
+    the endorsement bit link-analysis consumes: PageRank/HITS and crawl
+    schedulers weight ONLY followed edges, and the index build drops
+    noindex pages. anchor_nofollow covers the rel nofollow/sponsored/ugc
+    family; page_nofollow is the <meta name=robots> page-wide override.
+
+    Map-only per page (two regexp passes: anchors, robots meta) followed
+    by one explode — no shuffle; the census of 10^12 pages stays
+    embarrassingly parallel and downstream consumers filter on
+    `followed` BEFORE their own keyed shuffles, shrinking those by the
+    nofollow fraction for free.
+    """
+    from codebased_spark.extract.metadata import robots_meta_col
+
+    h = F.col(html_col).cast("string")
+    meta = robots_meta_col(h)
+    return (
+        pages.select(
+            F.col("url").alias("src_url"),
+            F.explode(anchor_rel_entries_col(F.col(html_col))).alias("a"),
+            meta.rlike("\\bnoindex\\b").alias("page_noindex"),
+            meta.rlike("\\bnofollow\\b").alias("page_nofollow"),
+        )
+        .select(
+            "src_url",
+            F.col("a.href").alias("target"),
+            F.col("a.rel").alias("rel"),
+            F.col("a.rel").rlike(_NOFOLLOW_TOKENS).alias("anchor_nofollow"),
+            "page_noindex",
+            "page_nofollow",
+        )
+        .withColumn(
+            "followed", ~F.col("anchor_nofollow") & ~F.col("page_nofollow")
+        )
+    )

@@ -141,3 +141,22 @@ def markup_profile(pages: DataFrame, html_col: str = "html") -> DataFrame:
             "n_families"
         ),
     )
+
+
+# Real-web tolerant robots meta: name may precede or follow content,
+# any case, any quote style
+_ROBOTS_TAG_RE = "(?is)<meta\\b[^>]*\\bname\\s*=\\s*[\"']robots[\"'][^>]*>"
+_ROBOTS_VAL_RE = "(?is)\\bcontent\\s*=\\s*[\"']([^\"']*)[\"']"
+
+
+def robots_meta_col(html_str: Column) -> Column:
+    """Lowercased content of the first <meta name=robots> tag ('' when
+    absent). Page-level REP directives (noindex/nofollow) gate both the
+    index build and which anchors count as endorsement edges."""
+    tag = F.regexp_extract(html_str, _ROBOTS_TAG_RE, 0)
+    return F.lower(F.regexp_extract(tag, _ROBOTS_VAL_RE, 1))
+
+
+def robots_directive_col(html_str: Column, directive: str) -> Column:
+    """True when the robots meta content carries the directive token."""
+    return robots_meta_col(html_str).rlike(f"\\b{directive}\\b")

@@ -368,7 +368,7 @@ def write_fixture(out_dir: str, n_docs: int = 200, n_entities: int = 120, seed: 
     return c
 
 
-def pages_with_links_spark(docs):
+def pages_with_links_spark(docs, head_extra=None):
     """pages_from_documents_spark plus three planted anchors per page —
     deterministic functions of the documents columns so a SQL oracle can
     state the expected link/anchor-text output declaratively while the
@@ -436,7 +436,26 @@ def pages_with_links_spark(docs):
         ext_anchor,
         F.lit('<a href="https://t.example.net/p"> </a>'),
     )
-    return pages_from_documents_spark(docs, body_extra=anchors)
+    return pages_from_documents_spark(docs, head_extra=head_extra, body_extra=anchors)
+
+
+def pages_with_nofollow_spark(docs):
+    """pages_with_links_spark plus a page-level robots meta directive on
+    every 17th doc: <meta name=robots content='noindex, nofollow'> in an
+    adversarial form that alternates attribute ORDER (content before name
+    on odd doc_ids) and uppercase/single-quote markup — values identical
+    either way, so the SQL oracle states the directive declaratively
+    (doc_id % 17 == 0) while extraction must parse both shapes."""
+    from pyspark.sql import functions as F
+
+    robots = F.when(
+        (F.col("doc_id") % 17 == 0) & (F.col("doc_id") % 2 == 1),
+        F.lit("<META CONTENT='noindex, nofollow' NAME='ROBOTS'>"),
+    ).when(
+        F.col("doc_id") % 17 == 0,
+        F.lit('<meta name="robots" data-n="1" content="noindex, nofollow">'),
+    ).otherwise(F.lit(""))
+    return pages_with_links_spark(docs, head_extra=robots)
 
 
 def pages_with_relative_links_spark(docs):
