@@ -107,6 +107,8 @@ _RECEIPT_PRIORITY = [
     # VERDICT r3 "What's wrong #3"): always first
     "kg_cocitation", "kg_entity_pmi", "kg_feed_items", "kg_hreflang",
     "kg_microdata",
+    # new in the r4 fifth continuation session
+    "kg_trending_entities", "kg_crosslingual_align", "g_diameter_sweep",
     # new in the r4 fourth continuation session
     "g_assortativity", "g_triad_census", "tx_scripts", "kg_nofollow",
     # new in this session

@@ -6511,3 +6511,176 @@ ORACLES["kg_nofollow"] = """
            NOT anchor_nofollow AND NOT (doc_id % 17 = 0) AS followed
     FROM a
 """
+
+
+def kg_trending_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending-entity detection (graph/trends.py::entity_trends): per
+    entity, mention counts in the newest 120s capture bucket vs the one
+    before it, with a direction label — the attention curve a serving
+    layer reads for cache warming / review queues. Timestamps follow the
+    recrawl fixture convention (epoch + doc_id seconds) so bucket edges
+    are derivable; everything is an exact integer."""
+    from codebased_spark.graph.queries import _gaz_df
+    from codebased_spark.graph.trends import entity_trends
+
+    gaz = F.broadcast(_gaz_df(spark))
+    caps = _docs(spark, sf_dir).select(
+        (F.lit(1735689600) + F.col("doc_id")).alias("ts"), F.col("text")
+    )
+    obs = (
+        caps.select("ts", F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .join(gaz, F.col("word") == gaz.surface_form)
+        .select("ts", F.col("canonical_id").alias("entity_id"))
+    )
+    return entity_trends(obs, bucket_s=120)
+
+
+QUERIES["kg_trending_entities"] = kg_trending_entities
+
+ORACLES["kg_trending_entities"] = f"""
+    WITH gaz(surface_form, canonical_id, entity_type) AS (VALUES {GAZ_SQL_VALUES}),
+    obs AS (
+      SELECT (1735689600 + t.doc_id) // 120 AS bucket,
+             g.canonical_id AS entity_id
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents) t
+      JOIN gaz g ON t.word = g.surface_form
+      WHERE t.word <> ''
+    ),
+    counts AS (
+      SELECT entity_id, bucket, count(*) AS n FROM obs GROUP BY 1, 2
+    ),
+    mx AS (SELECT max(bucket) AS maxb FROM counts)
+    SELECT entity_id,
+           sum(CASE WHEN bucket = maxb THEN n ELSE 0 END) AS cur_n,
+           sum(CASE WHEN bucket = maxb - 1 THEN n ELSE 0 END) AS prev_n,
+           CASE
+             WHEN sum(CASE WHEN bucket = maxb - 1 THEN n ELSE 0 END) = 0
+               THEN 'new'
+             WHEN sum(CASE WHEN bucket = maxb THEN n ELSE 0 END) = 0
+               THEN 'gone'
+             WHEN sum(CASE WHEN bucket = maxb THEN n ELSE 0 END)
+                > sum(CASE WHEN bucket = maxb - 1 THEN n ELSE 0 END)
+               THEN 'rising'
+             WHEN sum(CASE WHEN bucket = maxb THEN n ELSE 0 END)
+                < sum(CASE WHEN bucket = maxb - 1 THEN n ELSE 0 END)
+               THEN 'falling'
+             ELSE 'flat'
+           END AS trend
+    FROM counts, mx
+    WHERE bucket >= maxb - 1
+    GROUP BY entity_id
+"""
+
+
+def kg_crosslingual_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-lingual entity alignment (link/xlingual.py) over hreflang
+    translation groups: per (translation cluster, entity), how many
+    languages attest the entity — n_langs = 2 is translation-confirmed,
+    1 is language-local. Cluster key = the group's declared x-default
+    hub, extracted from real (partly adversarial-form) markup by
+    sources/canonical.py::hreflang_alternates; the de variant's text is
+    the 40-token prefix so tail entities are en-only."""
+    from codebased_spark.graph.queries import _gaz_df
+    from codebased_spark.link.xlingual import crosslingual_entity_support
+    from codebased_spark.sources.canonical import hreflang_alternates
+    from codebased_spark.synth.pages import pages_with_xlingual_spark
+
+    pages = pages_with_xlingual_spark(_docs(spark, sf_dir))
+    hub = (
+        hreflang_alternates(pages.select("url", "html"))
+        .where(F.col("hreflang") == "x-default")
+        .select("url", F.col("alt_url").alias("cluster_id"))
+    )
+    members = pages.select("url", "lang").join(hub, "url")
+    gaz = F.broadcast(_gaz_df(spark))
+    mentions = (
+        pages.select("url", F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .join(gaz, F.col("word") == gaz.surface_form)
+        .select("url", F.col("canonical_id").alias("entity_id"))
+    )
+    return crosslingual_entity_support(members, mentions)
+
+
+QUERIES["kg_crosslingual_align"] = kg_crosslingual_align
+
+ORACLES["kg_crosslingual_align"] = f"""
+    WITH gaz(surface_form, canonical_id, entity_type) AS (VALUES {GAZ_SQL_VALUES}),
+    v AS (
+      SELECT 'https://' || source || '.example.org/en/doc/' || doc_id AS url,
+             'en' AS lang, text,
+             'https://' || source || '.example.org/en/doc/' || doc_id
+               AS cluster_id
+      FROM documents
+      UNION ALL
+      SELECT 'https://' || source || '.example.org/de/doc/' || doc_id,
+             'de',
+             array_to_string(
+               list_filter(string_split(text, ' '), w -> w <> '')[1:40], ' '),
+             'https://' || source || '.example.org/en/doc/' || doc_id
+      FROM documents
+    ),
+    w AS (
+      SELECT cluster_id, lang, url,
+             unnest(string_split(text, ' ')) AS word
+      FROM v
+    ),
+    m AS (
+      SELECT DISTINCT cluster_id, g.canonical_id AS entity_id, lang, url
+      FROM w JOIN gaz g ON w.word = g.surface_form
+      WHERE w.word <> ''
+    )
+    SELECT cluster_id, entity_id,
+           count(DISTINCT lang) AS n_langs,
+           count(DISTINCT url) AS n_pages,
+           array_to_string(list_sort(list_distinct(list(lang))), ',') AS langs
+    FROM m
+    GROUP BY cluster_id, entity_id
+"""
+
+
+def g_diameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate directed diameter via the double-sweep heuristic
+    (graph/diameter.py): BFS from the min-id pivot, re-BFS from the
+    farthest node found (ties to min id), report both eccentricities and
+    reach sizes. Both sweeps are the frontier-pruned Bellman-Ford with
+    unit weights; the oracle chains two bounded recursive-CTE BFS
+    passes. One exact-integer summary row."""
+    from codebased_spark.graph.diameter import double_sweep
+
+    docs = _docs(spark, sf_dir)
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    return double_sweep(nodes, _doc_edges(spark, sf_dir), k=12)
+
+
+QUERIES["g_diameter_sweep"] = g_diameter_sweep
+
+ORACLES["g_diameter_sweep"] = f"""
+    WITH RECURSIVE {{edges_sql}},
+    walk1 AS (
+      SELECT (SELECT min(doc_id) FROM documents) AS node,
+             0::BIGINT AS dist, 0 AS hops
+      UNION ALL
+      SELECT e.dst, walk1.dist + 1, walk1.hops + 1
+      FROM walk1 JOIN edges e ON e.src = walk1.node
+      WHERE walk1.hops < 12
+    ),
+    d1 AS (SELECT node, min(dist) AS dist FROM walk1 GROUP BY node),
+    far AS (SELECT node FROM d1 ORDER BY dist DESC, node ASC LIMIT 1),
+    walk2 AS (
+      SELECT (SELECT node FROM far) AS node, 0::BIGINT AS dist, 0 AS hops
+      UNION ALL
+      SELECT e.dst, walk2.dist + 1, walk2.hops + 1
+      FROM walk2 JOIN edges e ON e.src = walk2.node
+      WHERE walk2.hops < 12
+    ),
+    d2 AS (SELECT node, min(dist) AS dist FROM walk2 GROUP BY node)
+    SELECT (SELECT min(doc_id) FROM documents) AS pivot,
+           (SELECT node FROM far) AS peripheral,
+           (SELECT max(dist) FROM d1) AS ecc_pivot,
+           (SELECT max(dist) FROM d2) AS diameter_lb,
+           (SELECT count(*) FROM d1) AS n_reach1,
+           (SELECT count(*) FROM d2) AS n_reach2
+""".replace("{edges_sql}", _EDGES_SQL)

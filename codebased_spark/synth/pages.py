@@ -945,3 +945,43 @@ def pages_with_doc_links_spark(docs):
         )
     )
     return pages_from_documents_spark(linked, body_extra=anchor)
+
+
+def pages_with_xlingual_spark(docs):
+    """Two language variants per doc, each declaring the full hreflang
+    translation group (en + de + x-default -> the en form); the de tag
+    on the de variant uses the adversarial real-web form (uppercase,
+    single quotes, href before hreflang). The de BODY text is the en
+    text truncated to its first 40 tokens, so entities mentioned only in
+    the tail are en-attested-only — n_langs in the cross-lingual
+    alignment is non-vacuously 1 vs 2. Columns (url, lang, text, html):
+    html carries the head markup (binary, per the input-table shape),
+    text the mention-source body."""
+    from pyspark.sql import functions as F
+
+    host = F.concat(F.lit("https://"), F.col("source"), F.lit(".example.org"))
+    did = F.col("doc_id").cast("string")
+    en_url = F.concat(host, F.lit("/en/doc/"), did)
+    de_url = F.concat(host, F.lit("/de/doc/"), did)
+    links = F.concat(
+        F.lit('<link rel="alternate" hreflang="en" href="'), en_url, F.lit('"/>'),
+        F.lit("<LINK HREF='"), de_url, F.lit("' REL='alternate' HREFLANG='de'/>"),
+        F.lit('<link rel="alternate" hreflang="x-default" href="'), en_url,
+        F.lit('"/>'),
+    )
+    html = F.encode(
+        F.concat(
+            F.lit("<html><head>"), links, F.lit("</head><body></body></html>")
+        ),
+        "utf-8",
+    )
+    toks = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    en = docs.select(
+        en_url.alias("url"), F.lit("en").alias("lang"),
+        F.col("text"), html.alias("html"),
+    )
+    de = docs.select(
+        de_url.alias("url"), F.lit("de").alias("lang"),
+        F.concat_ws(" ", F.slice(toks, 1, 40)).alias("text"), html.alias("html"),
+    )
+    return en.unionByName(de)
