@@ -109,6 +109,7 @@ _RECEIPT_PRIORITY = [
     "kg_microdata",
     # new in the r4 fifth continuation session
     "kg_trending_entities", "kg_crosslingual_align", "g_diameter_sweep",
+    "dd_cascade", "tx_dedup_savings", "kg_triple_churn",
     # new in the r4 fourth continuation session
     "g_assortativity", "g_triad_census", "tx_scripts", "kg_nofollow",
     # new in this session

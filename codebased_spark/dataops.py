@@ -6684,3 +6684,188 @@ ORACLES["g_diameter_sweep"] = f"""
            (SELECT count(*) FROM d1) AS n_reach1,
            (SELECT count(*) FROM d2) AS n_reach2
 """.replace("{edges_sql}", _EDGES_SQL)
+
+
+def dd_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-cascade stage attribution (dedup/cascade.py): for every
+    duplicate pair, which tiers flag it (exact sha256 / MinHash-LSH /
+    portable SimHash) and which catches it first in cascade order — the
+    tuning table that prices each tier's marginal value. Byte-identical
+    clones planted on doc_id % 11 == 0 make the exact tier non-vacuous;
+    natural near-dup pairs exercise the other two."""
+    from codebased_spark.dedup.cascade import dedup_cascade
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    clones = docs.where(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+    return dedup_cascade(
+        docs.unionByName(clones),
+        n=3,
+        minhash_threshold=NEARDUP_T,
+        max_hamming=3,
+        min_jaccard=0.5,
+        portable_hash=True,
+    )
+
+
+QUERIES["dd_cascade"] = dd_cascade
+
+# component oracles are reused VERBATIM, retargeted at the clone-extended
+# corpus by CTE-name substitution (each references `FROM documents` exactly
+# once — pinned by tests/test_cascade.py::test_component_oracles_single_scan)
+_CASCADE_DOCS_SQL = """cdocs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, text FROM documents
+      WHERE doc_id % 11 = 0
+    )"""
+
+ORACLES["dd_cascade"] = f"""
+    WITH {_CASCADE_DOCS_SQL},
+    exp AS (
+      SELECT g.doc_a, c.doc_id AS doc_b
+      FROM cdocs c
+      JOIN (
+        SELECT sha256(text) AS h, min(doc_id) AS doc_a
+        FROM cdocs GROUP BY sha256(text)
+      ) g ON sha256(c.text) = g.h
+      WHERE c.doc_id <> g.doc_a
+    ),
+    mhp AS (
+      SELECT doc_a, doc_b
+      FROM ({ORACLES["dd_minhash_lsh"].replace("FROM documents", "FROM cdocs")})
+    ),
+    shp AS (
+      SELECT doc_a, doc_b
+      FROM ({ORACLES["dd_simhash"].replace("FROM documents", "FROM cdocs")})
+    ),
+    u AS (
+      SELECT doc_a, doc_b, 1 AS in_exact, 0 AS in_minhash, 0 AS in_simhash
+      FROM exp
+      UNION ALL
+      SELECT doc_a, doc_b, 0, 1, 0 FROM mhp
+      UNION ALL
+      SELECT doc_a, doc_b, 0, 0, 1 FROM shp
+    )
+    SELECT doc_a, doc_b,
+           max(in_exact) AS in_exact,
+           max(in_minhash) AS in_minhash,
+           max(in_simhash) AS in_simhash,
+           CASE WHEN max(in_exact) = 1 THEN 'exact'
+                WHEN max(in_minhash) = 1 THEN 'minhash'
+                ELSE 'simhash' END AS stage
+    FROM u
+    GROUP BY doc_a, doc_b
+"""
+
+
+def tx_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language dedup-savings audit (dedup/clusters.py::
+    dedup_savings): docs and tokens dropped by minhash keep-one dedup,
+    per lang — the headline number every curation run publishes. Exact
+    integers; the oracle embeds the dd_clusters component oracle
+    verbatim (the tx_filter_pipeline composition discipline)."""
+    from codebased_spark.dedup.clusters import dedup_clusters, dedup_savings
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_near_dupes(docs, n=3, threshold=NEARDUP_T)
+    clusters = dedup_clusters(docs, pairs)
+    return dedup_savings(docs, clusters, group_col="lang")
+
+
+QUERIES["tx_dedup_savings"] = tx_dedup_savings
+
+ORACLES["tx_dedup_savings"] = f"""
+    WITH c AS ({ORACLES["dd_clusters"]}),
+    t AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split(text, ' '), w -> w <> '')) AS nt
+      FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(CASE WHEN is_survivor = 0 THEN 1 ELSE 0 END) AS n_dropped,
+           sum(nt) AS tokens_total,
+           sum(CASE WHEN is_survivor = 0 THEN nt ELSE 0 END) AS tokens_dropped
+    FROM t JOIN c USING (doc_id)
+    GROUP BY lang
+"""
+
+
+def kg_triple_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-level snapshot diff (graph/temporal.py::fact_churn): per
+    (url, entity) assertion, whether the new crawl snapshot added,
+    retained, or vanished it vs the previous snapshot — the update
+    worklist a graph store applies on snapshot promotion (fact-granular
+    refinement of kg_snapshot_delta's url-level classes). Snapshots
+    follow the recrawl fixture: url = doc_id % 100; prev = latest
+    capture among doc_id % 3 != 0, curr = latest capture overall."""
+    from codebased_spark.graph.queries import _gaz_df
+    from codebased_spark.graph.temporal import fact_churn
+
+    gaz = F.broadcast(_gaz_df(spark))
+    caps = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("https://recrawl.example.org/page/"),
+            (F.col("doc_id") % 100).cast("string"),
+        ).alias("url"),
+        "doc_id",
+        "text",
+    )
+
+    def snapshot_facts(sel: DataFrame) -> DataFrame:
+        latest = sel.groupBy("url").agg(F.max("doc_id").alias("doc_id"))
+        txt = latest.join(caps, ["url", "doc_id"])
+        return (
+            txt.select("url", F.explode(F.split("text", " ")).alias("word"))
+            .where(F.col("word") != "")
+            .join(gaz, F.col("word") == gaz.surface_form)
+            .select("url", F.col("canonical_id").alias("entity_id"))
+        )
+
+    prev = snapshot_facts(caps.where(F.col("doc_id") % 3 != 0))
+    curr = snapshot_facts(caps)
+    return fact_churn(prev, curr)
+
+
+QUERIES["kg_triple_churn"] = kg_triple_churn
+
+ORACLES["kg_triple_churn"] = f"""
+    WITH gaz(surface_form, canonical_id, entity_type) AS (VALUES {GAZ_SQL_VALUES}),
+    caps AS (
+      SELECT 'https://recrawl.example.org/page/' || (doc_id % 100) AS url,
+             doc_id, text
+      FROM documents
+    ),
+    pl AS (
+      SELECT url, max(doc_id) AS doc_id FROM caps
+      WHERE doc_id % 3 <> 0 GROUP BY url
+    ),
+    cl AS (SELECT url, max(doc_id) AS doc_id FROM caps GROUP BY url),
+    pf AS (
+      SELECT DISTINCT t.url, g.canonical_id AS entity_id
+      FROM (
+        SELECT c.url, unnest(string_split(c.text, ' ')) AS word
+        FROM pl JOIN caps c ON c.url = pl.url AND c.doc_id = pl.doc_id
+      ) t
+      JOIN gaz g ON t.word = g.surface_form
+      WHERE t.word <> ''
+    ),
+    cf AS (
+      SELECT DISTINCT t.url, g.canonical_id AS entity_id
+      FROM (
+        SELECT c.url, unnest(string_split(c.text, ' ')) AS word
+        FROM cl JOIN caps c ON c.url = cl.url AND c.doc_id = cl.doc_id
+      ) t
+      JOIN gaz g ON t.word = g.surface_form
+      WHERE t.word <> ''
+    )
+    SELECT coalesce(p.url, c.url) AS url,
+           coalesce(p.entity_id, c.entity_id) AS entity_id,
+           CASE WHEN p.url IS NULL THEN 'added'
+                WHEN c.url IS NULL THEN 'vanished'
+                ELSE 'retained' END AS status
+    FROM pf p
+    FULL OUTER JOIN cf c ON p.url = c.url AND p.entity_id = c.entity_id
+"""

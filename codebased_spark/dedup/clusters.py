@@ -57,3 +57,36 @@ def surviving_docs(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") ->
     """The deduplicated corpus: one representative row per cluster."""
     keep = dedup_clusters(docs, pairs, id_col=id_col).where("is_survivor")
     return docs.join(keep.select(id_col), id_col, "left_semi")
+
+
+def dedup_savings(
+    docs: DataFrame,
+    clusters: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group dedup audit: what keep-one dedup saves.
+
+    Joins the corpus against a (doc_id, cluster_id, is_survivor) table
+    (dedup_clusters output) and reports, per `group_col`:
+    n_docs, n_dropped, tokens_total, tokens_dropped — the "dedup saved
+    X% of lang-Y tokens" report every corpus-curation run publishes.
+    Exact integers (token = whitespace-split non-empty), one equi-join
+    on the id plus one map-side-combinable aggregate.
+    """
+    n_tokens = F.size(
+        F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    )
+    j = docs.select(
+        F.col(id_col), F.col(group_col), n_tokens.alias("_nt")
+    ).join(clusters.select(id_col, "is_survivor"), id_col)
+    # is_survivor arrives boolean from dedup_clusters, int from the
+    # materialized registered table — normalize before the arithmetic
+    dropped = (F.col("is_survivor").cast("int") == 0).cast("long")
+    return j.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(dropped).alias("n_dropped"),
+        F.sum("_nt").alias("tokens_total"),
+        F.sum(F.col("_nt") * dropped).alias("tokens_dropped"),
+    )

@@ -97,3 +97,28 @@ def snapshot_asof(
         .select(url_col, *fact_cols)
         .distinct()
     )
+
+
+def fact_churn(
+    prev_facts: DataFrame,
+    curr_facts: DataFrame,
+    keys: Sequence[str] = ("url", "entity_id"),
+) -> DataFrame:
+    """Triple-level diff between two KG snapshots: one row per fact key
+    with status 'added' (curr only), 'retained' (both), or 'vanished'
+    (prev only) — the update worklist a graph store applies when a new
+    crawl snapshot lands (the fact-granular refinement of the url-level
+    snapshot delta in sources/delta.py).
+
+    Inputs are fact tables keyed by `keys` (duplicates fine — presence
+    is what matters). One distinct per side plus one full outer join on
+    the fact key; nothing corpus-global."""
+    p = prev_facts.select(*keys).distinct().withColumn("_in_prev", F.lit(1))
+    c = curr_facts.select(*keys).distinct().withColumn("_in_curr", F.lit(1))
+    joined = p.join(c, list(keys), "full_outer")
+    status = (
+        F.when(F.col("_in_prev").isNull(), F.lit("added"))
+        .when(F.col("_in_curr").isNull(), F.lit("vanished"))
+        .otherwise(F.lit("retained"))
+    )
+    return joined.select(*keys, status.alias("status"))
