@@ -110,6 +110,7 @@ _RECEIPT_PRIORITY = [
     # new in the r4 fifth continuation session
     "kg_trending_entities", "kg_crosslingual_align", "g_diameter_sweep",
     "dd_cascade", "tx_dedup_savings", "kg_triple_churn",
+    "kg_breadcrumbs", "tx_code_fraction", "kg_authors",
     # new in the r4 fourth continuation session
     "g_assortativity", "g_triad_census", "tx_scripts", "kg_nofollow",
     # new in this session

@@ -6869,3 +6869,97 @@ ORACLES["kg_triple_churn"] = f"""
     FROM pf p
     FULL OUTER JOIN cf c ON p.url = c.url AND p.entity_id = c.entity_id
 """
+
+
+def kg_breadcrumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Site-hierarchy edges from breadcrumb navigation
+    (extract/breadcrumbs.py): adjacent crumb pairs aggregated across
+    pages into (parent, child, n_pages) — navigation-declared taxonomy,
+    the structural sibling of the Hearst-pattern hypernyms. Odd docs
+    plant the adversarial markup form (uppercase, single quotes, id=,
+    unlinked SPAN leaf)."""
+    from codebased_spark.extract.breadcrumbs import (
+        breadcrumb_trails,
+        hierarchy_edges,
+    )
+    from codebased_spark.synth.pages import pages_with_breadcrumbs_spark
+
+    pages = pages_with_breadcrumbs_spark(_docs(spark, sf_dir))
+    return hierarchy_edges(breadcrumb_trails(pages))
+
+
+QUERIES["kg_breadcrumbs"] = kg_breadcrumbs
+
+ORACLES["kg_breadcrumbs"] = """
+    SELECT 'Home' AS parent, source AS child, count(*) AS n_pages
+    FROM documents GROUP BY source
+    UNION ALL
+    SELECT source, 'doc ' || doc_id, 1 FROM documents
+"""
+
+
+_CODE_CHARS_SQL = """(
+      CASE WHEN doc_id % 4 = 0
+           THEN length('def f(x): return x * ' || doc_id) ELSE 0 END
+      + CASE WHEN doc_id % 6 = 0
+             THEN length('x = ' || doc_id) ELSE 0 END
+    )"""
+
+
+def tx_code_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page code-content profile (textops/codedetect.py): <pre> /
+    inline-<code> counts, code character mass vs body-text mass, and an
+    integer-arithmetic code_heavy routing flag — the table a training
+    pipeline reads to route code vs prose. Planted blocks on
+    doc_id % 4 / % 6 (uppercase PRE on % 8) keep every column
+    derivable."""
+    from codebased_spark.synth.pages import pages_with_code_spark
+    from codebased_spark.textops.codedetect import code_profile
+
+    return code_profile(pages_with_code_spark(_docs(spark, sf_dir)))
+
+
+QUERIES["tx_code_fraction"] = tx_code_fraction
+
+ORACLES["tx_code_fraction"] = f"""
+    SELECT 'https://' || source || '.example.org/' || lang || '/doc/'
+             || doc_id AS url,
+           CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS n_pre,
+           CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END AS n_code_inline,
+           {_CODE_CHARS_SQL} AS code_chars,
+           length(text) AS text_chars,
+           CASE WHEN {_CODE_CHARS_SQL} * 5 > length(text)
+                THEN 1 ELSE 0 END AS code_heavy
+    FROM documents
+"""
+
+
+def kg_authors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Authorship extraction (extract/authors.py): machine-readable meta
+    author on every page (odd docs in the adversarial content-first
+    uppercase form) plus a visible 'By ...' byline on doc_id % 5 == 0 —
+    method kept as a column so downstream fusion can weigh agreement.
+    (url, author, method) fact rows."""
+    from codebased_spark.extract.authors import page_authors
+    from codebased_spark.synth.pages import pages_with_authors_spark
+
+    return page_authors(pages_with_authors_spark(_docs(spark, sf_dir)))
+
+
+QUERIES["kg_authors"] = kg_authors
+
+ORACLES["kg_authors"] = """
+    SELECT 'https://' || source || '.example.org/' || lang || '/doc/'
+             || doc_id AS url,
+           'Staff ' || source AS author,
+           'meta' AS method
+    FROM documents
+    UNION ALL
+    SELECT 'https://' || source || '.example.org/' || lang || '/doc/'
+             || doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'Ana Alpha'
+                           WHEN 1 THEN 'Bob Beta'
+                           ELSE 'Cara Gamma' END,
+           'byline'
+    FROM documents WHERE doc_id % 5 = 0
+"""

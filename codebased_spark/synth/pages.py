@@ -985,3 +985,75 @@ def pages_with_xlingual_spark(docs):
         F.concat_ws(" ", F.slice(toks, 1, 40)).alias("text"), html.alias("html"),
     )
     return en.unionByName(de)
+
+
+def pages_with_breadcrumbs_spark(docs):
+    """pages_from_documents_spark plus a planted breadcrumb trail
+    Home > {source} > doc {doc_id}; odd docs use the adversarial
+    real-web form (uppercase NAV/A, single quotes, id= instead of
+    class=, unlinked leaf in a SPAN)."""
+    from pyspark.sql import functions as F
+
+    leaf = F.concat(F.lit("doc "), F.col("doc_id").cast("string"))
+    canonical = F.concat(
+        F.lit('<nav class="breadcrumb"><a href="/">Home</a> &gt; <a href="/s/'),
+        F.col("source"), F.lit('">'), F.col("source"),
+        F.lit("</a> &gt; <span>"), leaf, F.lit("</span></nav>"),
+    )
+    adversarial = F.concat(
+        F.lit("<NAV ID='breadcrumbs'><A HREF='/'>Home</A><A HREF='/s'>"),
+        F.col("source"), F.lit("</A><SPAN CLASS='leaf'>"), leaf,
+        F.lit("</SPAN></NAV>"),
+    )
+    nav = F.when(F.col("doc_id") % 2 == 1, adversarial).otherwise(canonical)
+    return pages_from_documents_spark(docs, body_extra=nav)
+
+
+def pages_with_code_spark(docs):
+    """pages_from_documents_spark plus planted code markup: a <pre>
+    block on doc_id % 4 == 0 (uppercase PRE with attributes when
+    doc_id % 8 == 0) and an inline <code> on doc_id % 6 == 0 — both
+    content strings derivable from columns so char-mass oracles are
+    exact."""
+    from pyspark.sql import functions as F
+
+    did = F.col("doc_id").cast("string")
+    pre_body = F.concat(F.lit("def f(x): return x * "), did)
+    pre = F.when(
+        F.col("doc_id") % 8 == 0,
+        F.concat(F.lit("<PRE CLASS='hl'>"), pre_body, F.lit("</PRE>")),
+    ).otherwise(F.concat(F.lit("<pre>"), pre_body, F.lit("</pre>")))
+    code = F.concat(F.lit("<code>x = "), did, F.lit("</code>"))
+    extra = F.concat(
+        F.when(F.col("doc_id") % 4 == 0, pre).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 6 == 0, code).otherwise(F.lit("")),
+    )
+    return pages_from_documents_spark(docs, body_extra=extra)
+
+
+def pages_with_authors_spark(docs):
+    """pages_from_documents_spark plus authorship markup: every page a
+    meta author 'Staff {source}' (odd docs in the adversarial
+    content-before-name uppercase single-quote form), and on
+    doc_id % 5 == 0 a visible byline whose name rotates by doc_id % 3
+    — so meta and byline agree on NO page (method attribution stays
+    observable)."""
+    from pyspark.sql import functions as F
+
+    staff = F.concat(F.lit("Staff "), F.col("source"))
+    meta = F.when(
+        F.col("doc_id") % 2 == 1,
+        F.concat(F.lit("<META CONTENT='"), staff, F.lit("' NAME='author'>")),
+    ).otherwise(
+        F.concat(F.lit('<meta name="author" content="'), staff, F.lit('"/>'))
+    )
+    name = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("Ana Alpha"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("Bob Beta"))
+        .otherwise(F.lit("Cara Gamma"))
+    )
+    byline = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.lit("<p>By "), name, F.lit("</p>")),
+    ).otherwise(F.lit(""))
+    return pages_from_documents_spark(docs, head_extra=meta, body_extra=byline)
