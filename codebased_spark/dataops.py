@@ -6587,7 +6587,12 @@ def kg_crosslingual_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     from codebased_spark.sources.canonical import hreflang_alternates
     from codebased_spark.synth.pages import pages_with_xlingual_spark
 
-    pages = pages_with_xlingual_spark(_docs(spark, sf_dir))
+    # pages feeds THREE subtrees (hub html-parse, members, mention
+    # tokenize) and each variant-union leg scans docs again — 6 parquet
+    # scans + 6 syntheses without a persist. MEMORY_AND_DISK so a
+    # 100-TB corpus spills instead of OOMing; the alternative (no
+    # persist) re-reads the corpus per subtree, which is strictly worse.
+    pages = pages_with_xlingual_spark(_docs(spark, sf_dir)).persist()
     hub = (
         hreflang_alternates(pages.select("url", "html"))
         .where(F.col("hreflang") == "x-default")

@@ -45,23 +45,36 @@ def page_authors(
     pages: DataFrame, html_col: str = "html", url_col: str = "url"
 ) -> DataFrame:
     """(url, author, method) — method in ('meta', 'byline'); one row per
-    distinct (url, author, method)."""
+    distinct (url, author, method).
+
+    Both extractors run in ONE projection over ONE scan (an
+    array-of-structs explode, the registry.dispatch single-scan
+    discipline) — a union of per-method selects would re-read the
+    corpus once per method at 100 TB."""
     html = F.col(html_col).cast("string")
     meta_author = F.coalesce(
         F.nullif(F.regexp_extract(html, _META_NAME_FIRST_RE, 1), F.lit("")),
         F.nullif(F.regexp_extract(html, _META_CONTENT_FIRST_RE, 1), F.lit("")),
     )
-    meta = pages.select(
-        F.col(url_col).alias("url"),
-        F.trim(meta_author).alias("author"),
-        F.lit("meta").alias("method"),
-    ).where(F.col("author").isNotNull() & (F.col("author") != ""))
-    byline = pages.select(
-        F.col(url_col).alias("url"),
-        F.trim(F.regexp_extract(html, _BYLINE_RE, 1)).alias("author"),
-        F.lit("byline").alias("method"),
-    ).where(F.col("author") != "")
-    return meta.unionByName(byline).distinct()
+    candidates = F.array(
+        F.struct(
+            F.trim(F.coalesce(meta_author, F.lit(""))).alias("author"),
+            F.lit("meta").alias("method"),
+        ),
+        F.struct(
+            F.trim(F.regexp_extract(html, _BYLINE_RE, 1)).alias("author"),
+            F.lit("byline").alias("method"),
+        ),
+    )
+    return (
+        pages.select(
+            F.col(url_col).alias("url"), F.explode(candidates).alias("_c")
+        )
+        .select("url", F.col("_c.author").alias("author"),
+                F.col("_c.method").alias("method"))
+        .where(F.col("author") != "")
+        .distinct()
+    )
 
 
 def author_pages(authors: DataFrame) -> DataFrame:

@@ -30,6 +30,7 @@ def entity_trends(
     entity_col: str = "entity_id",
     ts_col: str = "ts",
     bucket_s: int = 120,
+    persist_counts: bool = True,
 ) -> DataFrame:
     """(entity_id, cur_n, prev_n, trend) over the two newest buckets.
 
@@ -47,6 +48,13 @@ def entity_trends(
         .groupBy("entity_id", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    if persist_counts:
+        # counts feeds BOTH the global-max aggregate and the windowed
+        # scan below; without a persist each subtree re-derives it from
+        # the raw observations — two corpus passes at 100 TB for a
+        # table that is only |entities| x |buckets| rows. The broadcast
+        # side computes first, so the cache is warm for the probe side.
+        counts = counts.persist()
     latest = counts.agg(F.max("bucket").alias("_maxb"))
     windowed = counts.join(F.broadcast(latest)).where(
         F.col("bucket") >= F.col("_maxb") - 1
