@@ -107,6 +107,8 @@ _RECEIPT_PRIORITY = [
     # VERDICT r3 "What's wrong #3"): always first
     "kg_cocitation", "kg_entity_pmi", "kg_feed_items", "kg_hreflang",
     "kg_microdata",
+    # new in the r4 sixth continuation session
+    "g_anf", "kg_identity_closure", "tx_trigram_diversity",
     # new in the r4 fifth continuation session
     "kg_trending_entities", "kg_crosslingual_align", "g_diameter_sweep",
     "dd_cascade", "tx_dedup_savings", "kg_triple_churn",

@@ -6968,3 +6968,191 @@ ORACLES["kg_authors"] = """
            'byline'
     FROM documents WHERE doc_id % 5 = 0
 """
+
+
+def g_anf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANF / HyperBall (graph/anf.py): per-node HLL sketch of the 4-hop
+    out-ball over the doc graph — register-max merge per round, rows
+    <= 16|V| at all times (the web-scale substitute for the exact
+    all-sources closure). Gate = exact-integer sketch state (n_filled,
+    harmonic numerator); the oracle builds the identical registers from
+    the bounded recursive-CTE reach set, which equals the iterated
+    merge because HLL union is an idempotent max."""
+    from codebased_spark.graph.anf import anf_registers, anf_summary
+
+    docs = _docs(spark, sf_dir)
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    regs = anf_registers(nodes, _doc_edges(spark, sf_dir), k=4)
+    return anf_summary(regs).select(
+        F.col("node").alias("doc_id"), "n_filled", "harm_num"
+    )
+
+
+QUERIES["g_anf"] = g_anf
+
+ORACLES["g_anf"] = f"""
+    WITH RECURSIVE {_EDGES_SQL},
+    r AS (
+      SELECT doc_id AS origin, doc_id AS node, 0 AS depth FROM documents
+      UNION
+      SELECT r.origin, e.dst, r.depth + 1
+      FROM r JOIN edges e ON r.node = e.src WHERE r.depth < 4
+    ),
+    d AS (SELECT DISTINCT origin, node FROM r),
+    h AS (
+      SELECT origin,
+             ('0x' || substr(md5(node::VARCHAR), 1, 15))::BIGINT AS h
+      FROM d
+    ),
+    reg AS (
+      SELECT origin, h % 16 AS register,
+             CASE WHEN h // 16 = 0 THEN 57
+                  ELSE 56 - length(bin(h // 16)) + 1 END AS rk
+      FROM h
+    ),
+    mr AS (
+      SELECT origin, register, max(rk) AS max_rank
+      FROM reg GROUP BY 1, 2
+    )
+    SELECT origin AS doc_id, count(*) AS n_filled,
+           CAST(sum(1::BIGINT << (57 - max_rank))
+                + (16 - count(*)) * (1::BIGINT << 57) AS BIGINT) AS harm_num
+    FROM mr GROUP BY origin
+"""
+
+
+def kg_identity_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """owl:sameAs-style page-identity fusion (graph/identity.py): the
+    closure over the UNION of redirect and canonical declarations, with
+    per-family provenance counts. No single declaration connects a /v0
+    stub to its hub — only the cross-family closure does. Both
+    extractors run in ONE projection over ONE page scan (array-of-
+    structs explode); markup is partly the adversarial real-web form.
+    Oracle restates the planted declarations and labels components via
+    a recursive min-label CTE."""
+    from codebased_spark.extract.redirects import redirect_target_col
+    from codebased_spark.graph.identity import identity_closure
+    from codebased_spark.sources.canonical import canonical_url_col
+    from codebased_spark.synth.pages import pages_with_identity_spark
+
+    pages = pages_with_identity_spark(_docs(spark, sf_dir))
+    cand = F.array(
+        F.struct(
+            redirect_target_col(F.col("url"), F.col("html")).alias("dst"),
+            F.lit("redirect").alias("family"),
+        ),
+        F.struct(
+            canonical_url_col(F.col("html")).alias("dst"),
+            F.lit("canonical").alias("family"),
+        ),
+    )
+    edges = (
+        pages.select(F.col("url").alias("src"), F.explode(cand).alias("_c"))
+        .select("src", F.col("_c.dst").alias("dst"), F.col("_c.family").alias("family"))
+        .where(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+    )
+    return identity_closure(edges)
+
+
+QUERIES["kg_identity_closure"] = kg_identity_closure
+
+ORACLES["kg_identity_closure"] = """
+    WITH RECURSIVE v AS (
+      SELECT 'https://' || source || '.example.org/' || lang || '/doc/'
+               || doc_id AS stem,
+             doc_id
+      FROM documents
+    ),
+    e AS (
+      SELECT stem || '/v0' AS src, stem || '/v1' AS dst,
+             'redirect' AS family
+      FROM v
+      UNION ALL
+      SELECT stem || '/v1',
+             'https://hub.example.org/c/' || (doc_id % 50),
+             'canonical'
+      FROM v
+    ),
+    sym AS (
+      SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e
+    ),
+    n AS (SELECT DISTINCT a FROM sym),
+    r AS (
+      SELECT a AS start, a AS node FROM n
+      UNION
+      SELECT r.start, s.b FROM r JOIN sym s ON r.node = s.a
+    ),
+    lab AS (SELECT start AS url, min(node) AS identity_id FROM r GROUP BY start),
+    st AS (
+      SELECT l.identity_id,
+             CAST(sum(CASE WHEN e.family = 'redirect' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_redirect,
+             CAST(sum(CASE WHEN e.family = 'canonical' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_canonical
+      FROM e JOIN lab l ON e.src = l.url GROUP BY 1
+    ),
+    sz AS (SELECT identity_id, count(*) AS n_urls FROM lab GROUP BY 1)
+    SELECT lab.url, lab.identity_id, sz.n_urls,
+           coalesce(st.n_redirect, 0) AS n_redirect,
+           coalesce(st.n_canonical, 0) AS n_canonical
+    FROM lab
+    JOIN sz USING (identity_id)
+    LEFT JOIN st USING (identity_id)
+"""
+
+
+def tx_trigram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical diversity (textops/corpus_stats.py::
+    trigram_diversity): exact volume counters + per-group HLL sketch of
+    the distinct-trigram count — the shuffle carries <= |sources| * 256
+    register rows no matter the corpus size, replacing the one
+    aggregate (exact distinct on a near-unique key) that cannot be
+    asked of 100 TB. Exact-integer sketch state in the gate."""
+    from codebased_spark.textops.corpus_stats import trigram_diversity
+
+    return trigram_diversity(_docs(spark, sf_dir))
+
+
+QUERIES["tx_trigram_diversity"] = tx_trigram_diversity
+
+ORACLES["tx_trigram_diversity"] = """
+    WITH t AS (
+      SELECT source, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT source,
+             unnest([array_to_string(toks[i:i+2], ' ')
+                     for i in generate_series(1, len(toks) - 2)]) AS g
+      FROM t WHERE len(toks) >= 3
+    ),
+    h AS (
+      SELECT source, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h FROM g
+    ),
+    reg AS (SELECT source, h % 256 AS register, h // 256 AS w FROM h),
+    mr AS (
+      SELECT source, register,
+             max(CASE WHEN w = 0 THEN 53 ELSE 52 - length(bin(w)) + 1 END)
+               AS max_rank,
+             count(*) AS cnt
+      FROM reg GROUP BY 1, 2
+    ),
+    sk AS (
+      SELECT source,
+             CAST(sum(cnt) AS BIGINT) AS n_trigrams,
+             count(*) AS n_filled,
+             CAST(sum(1::BIGINT << (53 - max_rank))
+                  + (256 - count(*)) * (1::BIGINT << 53) AS BIGINT) AS harm_num
+      FROM mr GROUP BY 1
+    ),
+    vol AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+      FROM t GROUP BY 1
+    )
+    SELECT v.source, v.n_docs, v.n_tokens,
+           coalesce(sk.n_trigrams, 0) AS n_trigrams,
+           coalesce(sk.n_filled, 0) AS n_filled,
+           coalesce(sk.harm_num, 256 * (1::BIGINT << 53)) AS harm_num
+    FROM vol v LEFT JOIN sk USING (source)
+"""

@@ -45,11 +45,12 @@ _CONTENT_RE = "(?i)\\bcontent\\s*=\\s*[\"']([^\"']*)[\"']"
 _URL_IN_CONTENT_RE = "(?i)url\\s*=\\s*([^\\s\"']+)"
 
 
-def redirect_edges(pages: DataFrame, html_col: str = "html") -> DataFrame:
-    """(src_url, target): one row per page declaring a meta refresh with
-    a url= payload (first declaration wins), target RFC-resolved against
-    the page url. Map-only regexps, pure JVM."""
-    h = F.col(html_col).cast("string")
+def redirect_target_col(url_col, html_col) -> "F.Column":
+    """Declared meta-refresh target as a Column (NULL when none):
+    the extraction expression alone, so callers composing several
+    extractor families can run them in ONE projection over ONE scan
+    (the registry.dispatch single-scan discipline)."""
+    h = html_col.cast("string")
     # attribute order free: match http-equiv-first, else content-first
     tag = F.regexp_extract(h, _META_REFRESH_RE, 0)
     tag = F.when(tag != "", tag).otherwise(
@@ -57,12 +58,19 @@ def redirect_edges(pages: DataFrame, html_col: str = "html") -> DataFrame:
     )
     content = F.regexp_extract(tag, _CONTENT_RE, 1)
     raw = F.regexp_extract(content, _URL_IN_CONTENT_RE, 1)
+    return F.when(raw == "", F.lit(None)).otherwise(
+        resolve_url_col(url_col, raw)
+    )
+
+
+def redirect_edges(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """(src_url, target): one row per page declaring a meta refresh with
+    a url= payload (first declaration wins), target RFC-resolved against
+    the page url. Map-only regexps, pure JVM."""
     return (
         pages.select(
             F.col("url").alias("src_url"),
-            F.when(raw == "", F.lit(None)).otherwise(
-                resolve_url_col(F.col("url"), raw)
-            ).alias("target"),
+            redirect_target_col(F.col("url"), F.col(html_col)).alias("target"),
         )
         .where(F.col("target").isNotNull() & (F.col("target") != F.col("src_url")))
     )

@@ -862,6 +862,50 @@ def pages_with_dates_spark(docs):
     return pages_from_documents_spark(docs, body_extra=extra)
 
 
+def pages_with_identity_spark(docs):
+    """Cross-family identity fixture: each doc yields /v0 (meta-refresh
+    -> /v1; odd doc_ids the adversarial uppercase single-quote RELATIVE
+    form) and /v1 (<link rel="canonical"> -> the shared hub
+    https://hub.example.org/c/(doc_id % 50); odd rel-first uppercase
+    single-quote, even href-first lowercase). No single declaration
+    connects /v0 to the hub — only the closure over BOTH families does,
+    which is exactly what kg_identity_closure must recover."""
+    from pyspark.sql import functions as F
+
+    stem = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.org/"),
+        F.col("lang"), F.lit("/doc/"), F.col("doc_id").cast("string"),
+    )
+    hub = F.concat(
+        F.lit("https://hub.example.org/c/"), (F.col("doc_id") % 50).cast("string")
+    )
+    odd = F.col("doc_id") % 2 == 1
+
+    def page(suffix, body):
+        return docs.select(
+            F.concat(stem, F.lit(suffix)).alias("url"),
+            F.encode(
+                F.concat(F.lit("<html><head>"), body,
+                         F.lit("</head><body>x</body></html>")),
+                "UTF-8",
+            ).alias("html"),
+        )
+
+    v0 = page("/v0", F.when(
+        odd, F.lit("<META CONTENT='3;URL=v1' HTTP-EQUIV='Refresh'>")
+    ).otherwise(F.concat(
+        F.lit('<meta http-equiv="refresh" content="0; url='),
+        stem, F.lit('/v1">'),
+    )))
+    v1 = page("/v1", F.when(
+        odd,
+        F.concat(F.lit("<LINK REL='canonical' HREF='"), hub, F.lit("'/>")),
+    ).otherwise(
+        F.concat(F.lit('<link href="'), hub, F.lit('" rel="canonical"/>')),
+    ))
+    return v0.unionByName(v1)
+
+
 def pages_with_redirects_spark(docs):
     """Meta-refresh redirect fixture: each doc yields a 3-page chain
     /r0 -> /r1 -> /r2 (r0 canonical lowercase absolute url, r1 the

@@ -107,3 +107,78 @@ def learned_stopword_fraction(
             round_stable(F.col("n_stop") / F.col("n_words"), 4).alias("stop_frac"),
         )
     )
+
+
+def trigram_diversity(
+    docs: DataFrame,
+    p: int = 8,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source lexical-diversity census: exact volume counters plus a
+    fixed-size HLL sketch of the DISTINCT word-trigram count.
+
+    The distinct-n-gram/total-n-gram ratio is the standard corpus
+    diversity diagnostic (low ratio = templated/boilerplate-heavy
+    source; a training-mix builder weighs sources by it) — but an EXACT
+    distinct-trigram count per source is a corpus-sized shuffle on a
+    near-unique key, the single most expensive aggregate one can ask of
+    a 100-TB corpus. This computes the exact cheap parts (n_docs,
+    n_tokens, n_trigram occurrences: all map-side combinable per
+    source) and sketches the expensive part with per-group HyperLogLog
+    (sketches.py machinery): the shuffle carries at most
+    |sources| * 2^p register rows regardless of corpus size.
+
+    Determinism contract (sketches.py): md5_hash60 registers, so the
+    DuckDB oracle recomputes identical state; emitted sketch columns
+    are the exact integers (n_filled, harm_num with empty registers
+    counting 2^RMAX, RMAX = 60 - p + 1); the float cardinality estimate
+    stays driver-side.
+    """
+    from codebased_spark.dedup.shingles import ngrams_col, tokens_col
+    from codebased_spark.dedup.simhash import md5_hash60
+
+    m = 1 << p
+    rem_bits = 60 - p
+    rmax = rem_bits + 1
+    toks = tokens_col(F.col(text_col))
+    grams = docs.select(
+        F.col(source_col).alias("source"),
+        F.explode(ngrams_col(toks, 3)).alias("g"),
+    )
+    h = md5_hash60(F.col("g"))
+    w = F.shiftright(h, p)
+    rank = F.when(w == 0, F.lit(rmax)).otherwise(
+        F.lit(rem_bits) - F.length(F.bin(w)) + 1
+    )
+    regs = (
+        grams.select("source", (h % m).alias("register"), rank.alias("r"))
+        .groupBy("source", "register")
+        .agg(F.max("r").alias("max_rank"), F.count(F.lit(1)).alias("cnt"))
+    )
+    sketch = regs.groupBy("source").agg(
+        F.sum("cnt").alias("n_trigrams"),
+        F.count(F.lit(1)).alias("n_filled"),
+        # SQL form: pyspark's shiftleft only takes a literal int numBits
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {rmax} - max_rank)")
+        ).alias("_filled_sum"),
+    )
+    vol = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks)).alias("n_tokens"),
+    )
+    empty = (F.lit(m) - F.col("n_filled")).cast("long") * F.shiftleft(
+        F.lit(1).cast("long"), rmax
+    )
+    return vol.join(sketch, "source", "left").select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.coalesce("n_trigrams", F.lit(0)).alias("n_trigrams"),
+        F.coalesce("n_filled", F.lit(0)).alias("n_filled"),
+        F.coalesce(
+            F.col("_filled_sum") + empty,
+            F.lit(m).cast("long") * F.shiftleft(F.lit(1).cast("long"), rmax),
+        ).alias("harm_num"),
+    )
