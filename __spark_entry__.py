@@ -109,6 +109,7 @@ _RECEIPT_PRIORITY = [
     "kg_microdata",
     # new in the r4 sixth continuation session
     "g_anf", "kg_identity_closure", "tx_trigram_diversity",
+    "g_anf_curve", "kg_er_blocking",
     # new in the r4 fifth continuation session
     "kg_trending_entities", "kg_crosslingual_align", "g_diameter_sweep",
     "dd_cascade", "tx_dedup_savings", "kg_triple_churn",

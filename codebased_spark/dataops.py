@@ -7156,3 +7156,160 @@ ORACLES["tx_trigram_diversity"] = """
            coalesce(sk.harm_num, 256 * (1::BIGINT << 53)) AS harm_num
     FROM vol v LEFT JOIN sk USING (source)
 """
+
+
+def g_anf_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global neighborhood function NF(k) for k = 0..4 (graph/anf.py::
+    anf_curve): per-round exact-integer totals of every node's ball
+    sketch — the curve whose 90% crossing is the effective diameter.
+    The harmonic total rides as an exact (hi, lo) int64 pair split at
+    2^30 (the plain sum overflows int64). 5 rows."""
+    from codebased_spark.graph.anf import anf_curve
+
+    docs = _docs(spark, sf_dir)
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    return anf_curve(nodes, _doc_edges(spark, sf_dir), k=4)
+
+
+QUERIES["g_anf_curve"] = g_anf_curve
+
+ORACLES["g_anf_curve"] = f"""
+    WITH RECURSIVE {_EDGES_SQL},
+    r AS (
+      SELECT doc_id AS origin, doc_id AS node, 0 AS depth FROM documents
+      UNION
+      SELECT r.origin, e.dst, r.depth + 1
+      FROM r JOIN edges e ON r.node = e.src WHERE r.depth < 4
+    ),
+    md AS (SELECT origin, node, min(depth) AS d FROM r GROUP BY 1, 2),
+    ks AS (SELECT k FROM range(5) t(k)),
+    reach AS (
+      SELECT ks.k, md.origin, md.node FROM ks JOIN md ON md.d <= ks.k
+    ),
+    h AS (
+      SELECT k, origin,
+             ('0x' || substr(md5(node::VARCHAR), 1, 15))::BIGINT AS h
+      FROM reach
+    ),
+    reg AS (
+      SELECT k, origin, h % 16 AS register,
+             CASE WHEN h // 16 = 0 THEN 57
+                  ELSE 56 - length(bin(h // 16)) + 1 END AS rk
+      FROM h
+    ),
+    mr AS (
+      SELECT k, origin, register, max(rk) AS max_rank
+      FROM reg GROUP BY 1, 2, 3
+    ),
+    per AS (
+      SELECT k, origin, count(*) AS n_filled,
+             CAST(sum(1::BIGINT << (57 - max_rank))
+                  + (16 - count(*)) * (1::BIGINT << 57) AS BIGINT) AS harm
+      FROM mr GROUP BY 1, 2
+    )
+    SELECT CAST(k AS INT) AS k,
+           CAST(sum(n_filled) AS BIGINT) AS sum_filled,
+           CAST(sum(harm >> 30) AS BIGINT) AS harm_hi,
+           CAST(sum(harm & 1073741823) AS BIGINT) AS harm_lo
+    FROM per GROUP BY k
+"""
+
+
+def kg_er_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-catalog entity-record resolution (link/er.py::blocked_er):
+    capped token blocking + integer-Jaccard best-match with margin
+    flag. Catalog A = one record per doc (rare 'acmeN' token + source
+    + a text word + 'corp'); catalog B = true variants for even docs
+    ('acmeN source llc', Jaccard 2/5 = match) and near-miss distractors
+    for doc_id % 5 == 0 ('acme(N+1) holdings', Jaccard 1/5 = no match).
+    The rare per-record token carries the linkage; frequent tokens are
+    either shared-source noise or df-capped away — the production
+    blocking trade, exercised end to end."""
+    from codebased_spark.link.er import blocked_er
+
+    docs = _docs(spark, sf_dir)
+    w1 = F.element_at(F.filter(F.split("text", " "), lambda w: w != ""), 1)
+    a = docs.select(
+        F.col("doc_id").alias("rec_id"),
+        F.concat_ws(
+            " ",
+            F.concat(F.lit("acme"), F.col("doc_id").cast("string")),
+            F.col("source"),
+            w1,
+            F.lit("corp"),
+        ).alias("name"),
+    )
+    b_true = docs.where(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("rec_id"),
+        F.concat_ws(
+            " ",
+            F.concat(F.lit("acme"), F.col("doc_id").cast("string")),
+            F.col("source"),
+            F.lit("llc"),
+        ).alias("name"),
+    )
+    b_noise = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("rec_id"),
+        F.concat_ws(
+            " ",
+            F.concat(F.lit("acme"), (F.col("doc_id") + 1).cast("string")),
+            F.lit("holdings"),
+        ).alias("name"),
+    )
+    return blocked_er(a, b_true.unionByName(b_noise))
+
+
+QUERIES["kg_er_blocking"] = kg_er_blocking
+
+ORACLES["kg_er_blocking"] = """
+    WITH docs AS (
+      SELECT doc_id, source,
+             list_filter(string_split(text, ' '), w -> w <> '') AS toks
+      FROM documents
+    ),
+    a AS (
+      SELECT doc_id AS a_id,
+             list_distinct(list_filter(string_split(
+               concat_ws(' ', 'acme' || doc_id, source, toks[1], 'corp'),
+               ' '), w -> w <> '')) AS a_toks
+      FROM docs
+    ),
+    b AS (
+      SELECT doc_id AS b_id,
+             list_distinct(string_split(
+               concat_ws(' ', 'acme' || doc_id, source, 'llc'), ' ')) AS b_toks
+      FROM docs WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id + 1000000,
+             list_distinct(string_split(
+               concat_ws(' ', 'acme' || (doc_id + 1), 'holdings'), ' '))
+      FROM docs WHERE doc_id % 5 = 0
+    ),
+    b_tok AS (SELECT b_id, unnest(b_toks) AS tok FROM b),
+    rare AS (SELECT tok FROM b_tok GROUP BY tok HAVING count(*) <= 20),
+    a_tok AS (SELECT a_id, unnest(a_toks) AS tok FROM a),
+    cand AS (
+      SELECT DISTINCT a_id, b_id
+      FROM a_tok JOIN (SELECT b_id, tok FROM b_tok JOIN rare USING (tok)) bk
+        USING (tok)
+    ),
+    scored AS (
+      SELECT c.a_id, c.b_id,
+             len(list_intersect(a.a_toks, b.b_toks)) AS inter,
+             len(a.a_toks) + len(b.b_toks)
+               - len(list_intersect(a.a_toks, b.b_toks)) AS union_sz
+      FROM cand c JOIN a USING (a_id) JOIN b USING (b_id)
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY a_id
+               ORDER BY (inter::DOUBLE / union_sz) DESC, b_id ASC
+             ) AS rn
+      FROM scored
+    )
+    SELECT a_id, b_id, CAST(inter AS INT) AS inter,
+           CAST(union_sz AS INT) AS union_sz,
+           CAST(CASE WHEN inter * 10 >= union_sz * 3 THEN 1 ELSE 0 END AS INT)
+             AS is_match
+    FROM ranked WHERE rn = 1
+"""

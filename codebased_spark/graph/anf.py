@@ -98,6 +98,61 @@ def anf_registers(
     return regs.select("node", "register", F.col("r").alias("max_rank"))
 
 
+def anf_curve(
+    nodes: DataFrame,
+    edges: DataFrame,
+    k: int = 4,
+    node_col: str = "node",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Global neighborhood-function curve: (k, sum_filled, sum_harm).
+
+    NF(k) = sum over v of |B_k(v)| is the curve whose 90% crossing is
+    the effective diameter (ANF's headline output). Per round this
+    emits the exact-integer totals of every node's sketch state — sum
+    of filled registers, and the sum of harmonic numerators carried as
+    a (high, low) pair split at 2^30 because the plain sum (N * up to
+    2^61) overflows int64 while the gate's value canon is exact only
+    for int64: total = harm_hi * 2^30 + harm_lo, both components exact
+    in both engines. k+1 rows; the float NF estimate derives
+    driver-side.
+    """
+    reg, rank = _node_register(F.col(node_col))
+    regs = (
+        nodes.select(F.col(node_col).alias("node"), reg, rank)
+        .groupBy("node", "register")
+        .agg(F.max("r").alias("r"))
+        .localCheckpoint(eager=True)
+    )
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst")).distinct()
+
+    def _totals(r_df, kk):
+        s = anf_summary(r_df.select("node", "register", F.col("r").alias("max_rank")))
+        return s.agg(
+            F.lit(kk).alias("k"),
+            F.sum("n_filled").alias("sum_filled"),
+            F.sum(F.shiftright("harm_num", 30)).alias("harm_hi"),
+            F.sum(F.col("harm_num").bitwiseAND(F.lit((1 << 30) - 1))).alias(
+                "harm_lo"
+            ),
+        )
+
+    out = _totals(regs, 0)
+    for kk in range(1, k + 1):
+        pulled = e.join(regs, e["_dst"] == regs["node"]).select(
+            F.col("_src").alias("node"), "register", "r"
+        )
+        regs = (
+            regs.unionByName(pulled)
+            .groupBy("node", "register")
+            .agg(F.max("r").alias("r"))
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionByName(_totals(regs, kk))
+    return out
+
+
 def anf_summary(regs: DataFrame) -> DataFrame:
     """(node, n_filled, harm_num) exact-integer sketch summary.
 

@@ -147,3 +147,70 @@ def test_trigram_diversity_exact_and_sketch(spark):
     # empty sketch: all 256 registers empty
     assert (out["s2"]["n_trigrams"], out["s2"]["n_filled"]) == (0, 0)
     assert out["s2"]["harm_num"] == 256 * (1 << 53)
+
+
+def test_anf_curve_monotone_and_k0_is_self(spark):
+    from codebased_spark.graph.anf import anf_curve
+
+    n = 12
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["node"])
+    e = _edges(spark, [(i, (i + 1) % n) for i in range(n)])
+    rows = {r["k"]: r for r in anf_curve(nodes, e, k=3).collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    # k=0: each node sketches exactly itself -> 1 filled register each
+    assert rows[0]["sum_filled"] == n
+    exp0 = sum(_hll_state([str(i)], ANF_P)[1] for i in range(n))
+    assert rows[0]["harm_hi"] * (1 << 30) + rows[0]["harm_lo"] == exp0
+    # filled registers never decrease with k (balls only grow)
+    assert (rows[0]["sum_filled"] <= rows[1]["sum_filled"]
+            <= rows[2]["sum_filled"] <= rows[3]["sum_filled"])
+    # k=3 on a ring: ball = 4 consecutive nodes, checked exactly
+    exp3 = [
+        _hll_state([str((i + d) % n) for d in range(4)], ANF_P)
+        for i in range(n)
+    ]
+    assert rows[3]["sum_filled"] == sum(f for f, _ in exp3)
+    assert (rows[3]["harm_hi"] * (1 << 30) + rows[3]["harm_lo"]
+            == sum(h for _, h in exp3))
+
+
+def _recs(spark, rows):
+    return spark.createDataFrame(rows, ["rec_id", "name"])
+
+
+def test_blocked_er_best_match_and_threshold(spark):
+    from codebased_spark.link.er import blocked_er
+
+    a = _recs(spark, [(1, "zeta widgets corp"), (2, "omega gadgets corp"),
+                      (3, "nothing shared here")])
+    b = _recs(spark, [
+        (10, "zeta widgets llc"),      # vs 1: inter 2, union 4 -> 0.5 match
+        (11, "zeta holdings"),         # vs 1: inter 1, union 4 -> 0.25
+        (20, "omega supplies"),        # vs 2: inter 1, union 4 -> 0.25
+    ])
+    out = {r["a_id"]: r for r in blocked_er(a, b).collect()}
+    assert out[1]["b_id"] == 10 and out[1]["is_match"] == 1
+    assert (out[1]["inter"], out[1]["union_sz"]) == (2, 4)
+    assert out[2]["b_id"] == 20 and out[2]["is_match"] == 0
+    assert 3 not in out  # no shared blocking token -> no candidates
+
+
+def test_blocked_er_df_cap_prunes_frequent_tokens(spark):
+    from codebased_spark.link.er import blocked_er
+
+    # 'inc' appears in every B record; with df_cap=2 it cannot block,
+    # so only the rare token 'kappa' generates candidates
+    a = _recs(spark, [(1, "kappa inc"), (2, "lambda inc")])
+    b = _recs(spark, [(10, "kappa inc"), (11, "mu inc"), (12, "nu inc")])
+    out = {r["a_id"]: r for r in blocked_er(a, b, df_cap=2).collect()}
+    assert set(out) == {1}
+    assert out[1]["b_id"] == 10 and out[1]["is_match"] == 1
+
+
+def test_blocked_er_tie_breaks_by_b_id(spark):
+    from codebased_spark.link.er import blocked_er
+
+    a = _recs(spark, [(1, "rho sigma")])
+    b = _recs(spark, [(21, "rho sigma"), (20, "sigma rho")])  # same Jaccard
+    out = blocked_er(a, b).collect()
+    assert len(out) == 1 and out[0]["b_id"] == 20
