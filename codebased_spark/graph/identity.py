@@ -45,6 +45,12 @@ def identity_closure(edges: DataFrame) -> DataFrame:
     DuckDB for ascii urls) and the n_* columns are the class's edge
     counts per family.
     """
+    # edges feed BOTH the component computation and the provenance
+    # aggregate below; deriving them means running the markup
+    # extractors, so materialize the declaration-sized edge table once
+    # instead of re-extracting per consumer (the expensive part at
+    # real scale is the regex pass over HTML, not these rows)
+    edges = edges.localCheckpoint(eager=True)
     labels = connected_components(edges, src="src", dst="dst").select(
         F.col("id").alias("url"), F.col("comp").alias("identity_id")
     )
