@@ -1526,6 +1526,45 @@ def g_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def g_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer Newman modularity of the 2-round LPA communities
+    (graph/lpa.py community_modularity): per community, node count,
+    internal edges, degree mass, and the BIGINT numerator
+    q_num = 4*m*e_c - d_c^2 over the shared denominator 4*m^2 — the
+    community-quality audit a link-farm / topic-cluster pass reports.
+    Bit-exact on both engines (no float ratio ever materializes)."""
+    from codebased_spark.graph.lpa import community_modularity
+
+    return community_modularity(_doc_edges(spark, sf_dir), rounds=2)
+
+
+def g_walk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context, freq) training pairs from the
+    deterministic walk corpus (graph/walks.py skipgram_pairs), window 2 —
+    the word2vec-style table a DeepWalk/node2vec embedding trainer
+    consumes; bounded (length+1)^2 fan-out per walk, never degree-bound."""
+    from codebased_spark.graph.walks import skipgram_pairs
+
+    return skipgram_pairs(_doc_edges(spark, sf_dir), length=4, window=2)
+
+
+_BM25_QUERIES = {
+    "q_exec": ["hash", "join", "merge"],
+    "q_retail": ["customer", "order", "value"],
+    "q_stream": ["spark", "stream", "window"],
+}
+
+
+def tx_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-quantized BM25 top-10 per query (textops/bm25.py): floor-
+    log2 idf via length(bin(N div df)), k1=6/5 b=3/4 multiplied through
+    to one BIGINT division — retrieval-training relevance labels with a
+    bit-exact cross-engine score."""
+    from codebased_spark.textops.bm25 import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), _BM25_QUERIES, k=10)
+
+
 def g_cycle_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Docs on a directed cycle of length <= 6 (circular-dependency Q4)."""
     return cycle_members(_doc_edges(spark, sf_dir), max_len=6).select(
@@ -2345,7 +2384,10 @@ QUERIES = {
     "g_harmonic": g_harmonic,
     "g_node_features": g_node_features,
     "g_walks": g_walks,
+    "g_walk_pairs": g_walk_pairs,
     "g_lpa": g_lpa,
+    "g_modularity": g_modularity,
+    "tx_bm25": tx_bm25,
     "g_cycle_members": g_cycle_members,
     "g_components": g_components,
     "g_pagerank": g_pagerank,
@@ -2739,6 +2781,72 @@ _EDGES_SQL = """
           FROM documents, cnt
         )
 """
+
+# deterministic walk corpus (graph/walks.py), shared by g_walks and
+# g_walk_pairs — produces walks(origin, step, node)
+_WALKS_SQL = f"""{_EDGES_SQL},
+        adj AS (
+          SELECT src, dst,
+                 row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS r,
+                 count(*) OVER (PARTITION BY src) AS deg
+          FROM edges
+        ),
+        s0 AS (SELECT DISTINCT src AS origin, src AS cur FROM edges),
+        s1 AS (
+          SELECT s.origin, a.dst AS cur FROM s0 s JOIN adj a ON a.src = s.cur
+          AND a.r = (s.origin * 40503 + 1 * 7919 + s.cur * 104729) % a.deg
+        ),
+        s2 AS (
+          SELECT s.origin, a.dst AS cur FROM s1 s JOIN adj a ON a.src = s.cur
+          AND a.r = (s.origin * 40503 + 2 * 7919 + s.cur * 104729) % a.deg
+        ),
+        s3 AS (
+          SELECT s.origin, a.dst AS cur FROM s2 s JOIN adj a ON a.src = s.cur
+          AND a.r = (s.origin * 40503 + 3 * 7919 + s.cur * 104729) % a.deg
+        ),
+        s4 AS (
+          SELECT s.origin, a.dst AS cur FROM s3 s JOIN adj a ON a.src = s.cur
+          AND a.r = (s.origin * 40503 + 4 * 7919 + s.cur * 104729) % a.deg
+        ),
+        walks AS (
+          SELECT origin, 0 AS step, cur AS node FROM s0
+          UNION ALL SELECT origin, 1, cur FROM s1
+          UNION ALL SELECT origin, 2, cur FROM s2
+          UNION ALL SELECT origin, 3, cur FROM s3
+          UNION ALL SELECT origin, 4, cur FROM s4
+        )"""
+
+# 2 synchronous LPA rounds (graph/lpa.py), shared by g_lpa and
+# g_modularity — produces sym(src, dst) and final labels l2(node, label)
+_LPA2_SQL = f"""{_EDGES_SQL},
+        sym AS (
+          SELECT src, dst FROM edges WHERE src <> dst
+          UNION
+          SELECT dst, src FROM edges WHERE src <> dst
+        ),
+        l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
+        v1 AS (
+          SELECT s.src AS node, l.label, count(*) AS c
+          FROM sym s JOIN l0 l ON l.node = s.dst GROUP BY 1, 2
+        ),
+        l1 AS (
+          SELECT node, label FROM (
+            SELECT node, label, row_number() OVER (
+              PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+            FROM v1
+          ) WHERE rn = 1
+        ),
+        v2 AS (
+          SELECT s.src AS node, l.label, count(*) AS c
+          FROM sym s JOIN l1 l ON l.node = s.dst GROUP BY 1, 2
+        ),
+        l2 AS (
+          SELECT node, label FROM (
+            SELECT node, label, row_number() OVER (
+              PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+            FROM v2
+          ) WHERE rn = 1
+        )"""
 
 def _pagerank_sql(
     n_iter: int = 5, damping: float = 0.85, dangling: bool = False
@@ -4498,69 +4606,95 @@ ORACLES = {
         SELECT a AS doc_id, degree FROM a3
     """,
     # the SAME 2 synchronous vote/argmax rounds as graph/lpa.py, unrolled
+    # (shared fragment — g_modularity aggregates over the same l2 labels)
     "g_lpa": f"""
-        WITH {_EDGES_SQL},
-        sym AS (
-          SELECT src, dst FROM edges WHERE src <> dst
-          UNION
-          SELECT dst, src FROM edges WHERE src <> dst
-        ),
-        l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
-        v1 AS (
-          SELECT s.src AS node, l.label, count(*) AS c
-          FROM sym s JOIN l0 l ON l.node = s.dst GROUP BY 1, 2
-        ),
-        l1 AS (
-          SELECT node, label FROM (
-            SELECT node, label, row_number() OVER (
-              PARTITION BY node ORDER BY c DESC, label ASC) AS rn
-            FROM v1
-          ) WHERE rn = 1
-        ),
-        v2 AS (
-          SELECT s.src AS node, l.label, count(*) AS c
-          FROM sym s JOIN l1 l ON l.node = s.dst GROUP BY 1, 2
-        ),
-        l2 AS (
-          SELECT node, label FROM (
-            SELECT node, label, row_number() OVER (
-              PARTITION BY node ORDER BY c DESC, label ASC) AS rn
-            FROM v2
-          ) WHERE rn = 1
-        )
+        WITH {_LPA2_SQL}
         SELECT node AS doc_id, label AS community FROM l2
     """,
     # the SAME hash-chosen step as graph/walks.py, unrolled per step
+    # (shared walks fragment — g_walk_pairs windows over the same corpus)
     "g_walks": f"""
-        WITH {_EDGES_SQL},
-        adj AS (
-          SELECT src, dst,
-                 row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS r,
-                 count(*) OVER (PARTITION BY src) AS deg
-          FROM edges
+        WITH {_WALKS_SQL}
+        SELECT origin, step, node FROM walks
+    """,
+    "g_walk_pairs": f"""
+        WITH {_WALKS_SQL},
+        a AS (SELECT origin, step AS step_a, node AS center FROM walks),
+        b AS (SELECT origin, step AS step_b, node AS context FROM walks)
+        SELECT a.center, b.context, count(*) AS freq
+        FROM a JOIN b ON a.origin = b.origin
+        WHERE a.step_a <> b.step_b AND abs(a.step_a - b.step_b) <= 2
+        GROUP BY 1, 2
+    """,
+    # the SAME 2 LPA rounds as g_lpa, then the exact-integer modularity
+    # decomposition (q_num = 2*m*(2*e_c) - d_c^2 over denominator 4*m^2)
+    "g_modularity": f"""
+        WITH {_LPA2_SQL},
+        deg AS (SELECT src AS node, count(*) AS degree FROM sym GROUP BY 1),
+        mtot AS (SELECT count(*) // 2 AS m_edges FROM sym),
+        mass AS (
+          SELECT l.label AS community, count(*) AS n_nodes,
+                 CAST(sum(d.degree) AS BIGINT) AS degree_sum
+          FROM deg d JOIN l2 l ON l.node = d.node GROUP BY 1
         ),
-        s0 AS (SELECT DISTINCT src AS origin, src AS cur FROM edges),
-        s1 AS (
-          SELECT s.origin, a.dst AS cur FROM s0 s JOIN adj a ON a.src = s.cur
-          AND a.r = (s.origin * 40503 + 1 * 7919 + s.cur * 104729) % a.deg
-        ),
-        s2 AS (
-          SELECT s.origin, a.dst AS cur FROM s1 s JOIN adj a ON a.src = s.cur
-          AND a.r = (s.origin * 40503 + 2 * 7919 + s.cur * 104729) % a.deg
-        ),
-        s3 AS (
-          SELECT s.origin, a.dst AS cur FROM s2 s JOIN adj a ON a.src = s.cur
-          AND a.r = (s.origin * 40503 + 3 * 7919 + s.cur * 104729) % a.deg
-        ),
-        s4 AS (
-          SELECT s.origin, a.dst AS cur FROM s3 s JOIN adj a ON a.src = s.cur
-          AND a.r = (s.origin * 40503 + 4 * 7919 + s.cur * 104729) % a.deg
+        intern AS (
+          SELECT la.label AS community, count(*) AS internal_sym
+          FROM sym s
+          JOIN l2 la ON la.node = s.src
+          JOIN l2 lb ON lb.node = s.dst
+          WHERE la.label = lb.label GROUP BY 1
         )
-        SELECT origin, 0 AS step, cur AS node FROM s0
-        UNION ALL SELECT origin, 1, cur FROM s1
-        UNION ALL SELECT origin, 2, cur FROM s2
-        UNION ALL SELECT origin, 3, cur FROM s3
-        UNION ALL SELECT origin, 4, cur FROM s4
+        SELECT mass.community, mass.n_nodes,
+               COALESCE(intern.internal_sym, 0) // 2 AS internal_edges,
+               mass.degree_sum,
+               CAST(2 * mtot.m_edges * COALESCE(intern.internal_sym, 0)
+                    - mass.degree_sum * mass.degree_sum AS BIGINT) AS q_num,
+               mtot.m_edges
+        FROM mass LEFT JOIN intern ON mass.community = intern.community, mtot
+    """,
+    # integer-quantized BM25 (textops/bm25.py): floor-log2 idf via
+    # length(bin(N//df)), k1=6/5 b=3/4 multiplied through to one BIGINT
+    # division — identical arithmetic on both engines
+    "tx_bm25": """
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        ),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        tot AS (
+          SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS l_total FROM dl
+        ),
+        tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM toks
+          WHERE term IN ('hash','join','merge','customer','order','value',
+                         'spark','stream','window')
+          GROUP BY 1, 2
+        ),
+        dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        q(query_id, term) AS (VALUES
+          ('q_exec','hash'), ('q_exec','join'), ('q_exec','merge'),
+          ('q_retail','customer'), ('q_retail','order'), ('q_retail','value'),
+          ('q_stream','spark'), ('q_stream','stream'), ('q_stream','window')),
+        scored AS (
+          SELECT q.query_id, tf.doc_id,
+                 CAST(SUM(
+                   (length(bin(tot.n_docs // dft.df)) * 44 * tf.tf
+                      * tot.l_total * 1000)
+                   // (20 * tf.tf * tot.l_total + 6 * tot.l_total
+                       + 18 * dl.dl * tot.n_docs)
+                 ) AS BIGINT) AS score_milli
+          FROM tf
+          JOIN dft USING (term)
+          JOIN dl USING (doc_id)
+          JOIN q ON q.term = tf.term, tot
+          GROUP BY 1, 2
+        )
+        SELECT query_id, doc_id, score_milli, rank FROM (
+          SELECT query_id, doc_id, score_milli,
+                 row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY score_milli DESC, doc_id ASC) AS rank
+          FROM scored
+        ) WHERE rank <= 10
     """,
     "g_cycle_members": f"""
         WITH RECURSIVE {_EDGES_SQL},

@@ -76,3 +76,43 @@ def deterministic_walks(
             )
         )
     return out
+
+
+def skipgram_pairs(
+    edges: DataFrame,
+    length: int = 4,
+    window: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(center, context, freq) skip-gram training pairs from the walk
+    corpus — the table a DeepWalk/node2vec embedding trainer consumes.
+
+    Every ordered pair of walk positions within `window` steps of each
+    other emits one (center, context) co-occurrence; freq aggregates over
+    all walks (both directions fall out of the ordered self-join, exactly
+    the word2vec windowing applied to walk sentences).
+
+    Scale shape: the self-join keys on origin, and a walk contributes at
+    most (length+1) rows, so fan-out per key is <= (length+1)^2 — bounded
+    by a constant, never by graph degree. The aggregation shuffles only
+    (center, context, partial count) with map-side combine. Determinism
+    is inherited from deterministic_walks, so the operator stays
+    cross-engine value-checkable.
+    """
+    walks = deterministic_walks(edges, length, src_col, dst_col)
+    a = walks.select(
+        F.col("origin"), F.col("step").alias("step_a"), F.col("node").alias("center")
+    )
+    b = walks.select(
+        F.col("origin"), F.col("step").alias("step_b"), F.col("node").alias("context")
+    )
+    return (
+        a.join(b, "origin")
+        .where(
+            (F.col("step_a") != F.col("step_b"))
+            & (F.abs(F.col("step_a") - F.col("step_b")) <= window)
+        )
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )

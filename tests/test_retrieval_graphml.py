@@ -1,0 +1,83 @@
+"""Seventh-continuation operators: exact-integer community modularity
+(graph/lpa.py community_modularity), skip-gram walk pairs
+(graph/walks.py skipgram_pairs), and integer-quantized BM25 retrieval
+(textops/bm25.py)."""
+
+from __future__ import annotations
+
+from codebased_spark.graph.lpa import community_modularity
+from codebased_spark.graph.walks import skipgram_pairs
+from codebased_spark.textops.bm25 import bm25_topk
+
+
+def test_modularity_two_triangles_exact_half(spark):
+    # two disjoint triangles: Q = 0.5 exactly; LPA resolves each to its
+    # min node id, every community term is the same exact integer
+    tri1 = [(0, 1), (1, 2), (2, 0)]
+    tri2 = [(10, 11), (11, 12), (12, 10)]
+    edges = spark.createDataFrame(tri1 + tri2, ["src", "dst"])
+    rows = {r.community: r for r in community_modularity(edges, rounds=3).collect()}
+    assert set(rows) == {0, 10}
+    for c in (0, 10):
+        r = rows[c]
+        assert (r.n_nodes, r.internal_edges, r.degree_sum, r.m_edges) == (3, 3, 6, 6)
+        # q_num = 2*m*(2*e_c) - d_c^2 = 2*6*6 - 36 = 36 over 4*m^2 = 144
+        assert r.q_num == 36
+    q = sum(r.q_num for r in rows.values()) / (4 * 6 * 6)
+    assert q == 0.5
+
+
+def test_modularity_counts_cross_community_degree(spark):
+    # a bridge edge contributes degree mass but no internal edges: a
+    # 4-path 0-1-2-3 under 1-round LPA labels {0:0,1:0,2:1,3:2}
+    edges = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], ["src", "dst"])
+    rows = {r.community: r for r in community_modularity(edges, rounds=1).collect()}
+    assert sum(r.n_nodes for r in rows.values()) == 4
+    assert all(r.m_edges == 3 for r in rows.values())
+    # total internal edges can never exceed m, and every degree is counted
+    assert sum(r.internal_edges for r in rows.values()) <= 3
+    assert sum(r.degree_sum for r in rows.values()) == 6  # 2 * m
+
+
+def test_skipgram_pairs_chain_counts(spark):
+    # chain 0->1->2->3->4: walks are forced (deg 1 everywhere), so pair
+    # frequencies are pure window combinatorics
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4)], ["src", "dst"]
+    )
+    freq = {
+        (r.center, r.context): r.freq
+        for r in skipgram_pairs(edges, length=4, window=2).collect()
+    }
+    # (3,4) adjacent in walks from origins 0,1,2,3
+    assert freq[(3, 4)] == 4
+    assert freq[(4, 3)] == 4  # symmetric by construction
+    # (0,2) distance 2 appears only in the walk from origin 0
+    assert freq[(0, 2)] == 1
+    # distance 3 exceeds the window
+    assert (0, 3) not in freq
+
+
+def test_bm25_exact_integer_scores_and_length_penalty(spark):
+    docs = spark.createDataFrame(
+        [(0, "x"), (1, "x x"), (2, "y y")], ["doc_id", "text"]
+    )
+    out = bm25_topk(docs, {"q": ["x"]}, k=10)
+    rows = sorted(out.collect(), key=lambda r: r.rank)
+    # N=3, df=2 -> idf_bits = len(bin(1)) = 1; L=5
+    # d1 (tf=2, dl=2): 440000 // (200 + 30 + 108) = 1301
+    # d0 (tf=1, dl=1): 220000 // (100 + 30 + 54)  = 1195
+    assert [(r.doc_id, r.score_milli, r.rank) for r in rows] == [
+        (1, 1301, 1),
+        (0, 1195, 2),
+    ]
+
+
+def test_bm25_tie_break_min_doc_id_and_multi_query(spark):
+    docs = spark.createDataFrame(
+        [(0, "x y"), (1, "x y"), (2, "z")], ["doc_id", "text"]
+    )
+    out = bm25_topk(docs, {"qx": ["x"], "qz": ["z"]}, k=1).collect()
+    by_q = {r.query_id: r for r in out}
+    assert by_q["qx"].doc_id == 0 and by_q["qx"].rank == 1  # tie -> min id
+    assert by_q["qz"].doc_id == 2
