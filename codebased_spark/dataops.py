@@ -1493,6 +1493,33 @@ def g_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("node", "doc_id")
 
 
+def g_scc_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Condensation-DAG layering (graph/scc.py condensation_depth): each
+    SCC of the ring subgraph contracted to one node, with longest-path
+    layer depth via 8 max-plus relaxation rounds — the dependency-order
+    schedule for processing a cyclic link graph; oracle runs the
+    identical bounded recursion over the condensed edges."""
+    from codebased_spark.graph.scc import condensation_depth
+
+    return condensation_depth(_ring_edges(spark, sf_dir), depth_rounds=8)
+
+
+def kg_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamilton largest-remainder apportionment of a 1000-slot fetch
+    budget across hosts by content mass (sources/frontier.py
+    apportion_budget): exact integer quotas, sum(quota) == budget,
+    remainder ties broken by host — the crawl-planning step between
+    host scoring and frontier scheduling."""
+    from codebased_spark.sources.frontier import apportion_budget
+
+    mass = (
+        _docs(spark, sf_dir)
+        .groupBy(F.col("source").alias("host"))
+        .agg(F.sum("n_chars").alias("mass"))
+    )
+    return apportion_budget(mass, budget=1000)
+
+
 def g_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded k-core peeling (graph/kcore.py), k=2, 3 synchronous
     rounds over the undirected doc graph — chain tendrils peel away
@@ -2379,6 +2406,8 @@ QUERIES = {
     "g_khop_reach": g_khop_reach,
     "g_closure": g_closure,
     "g_scc": g_scc,
+    "g_scc_dag": g_scc_dag,
+    "kg_crawl_budget": kg_crawl_budget,
     "g_bowtie": g_bowtie,
     "g_kcore": g_kcore,
     "g_harmonic": g_harmonic,
@@ -2815,6 +2844,31 @@ _WALKS_SQL = f"""{_EDGES_SQL},
           UNION ALL SELECT origin, 3, cur FROM s3
           UNION ALL SELECT origin, 4, cur FROM s4
         )"""
+
+# ring-subgraph SCC via closure ∩ transpose (graph/scc.py), shared by
+# g_scc and g_scc_dag — produces e1(src, dst) and scc(node, scc_id);
+# embed under WITH RECURSIVE
+_SCC_RING_SQL = """cnt AS (SELECT count(*) AS n FROM documents),
+        e1 AS (
+          SELECT doc_id AS src,
+                 (doc_id // 6) * 6 + (doc_id % 6 + 1) % 6 AS dst
+          FROM documents, cnt
+          WHERE n_chars % 3 <> 0 AND (doc_id // 6) * 6 + (doc_id % 6 + 1) % 6 < n
+        ),
+        r AS (
+          SELECT src AS origin, dst AS node FROM e1
+          UNION
+          SELECT r.origin, e.dst FROM r JOIN e1 e ON r.node = e.src
+        ),
+        m AS (
+          SELECT a.origin AS u, a.node AS v
+          FROM r a JOIN r b ON a.origin = b.node AND a.node = b.origin
+        ),
+        nodes AS (SELECT src AS u FROM e1 UNION SELECT dst FROM e1),
+        p AS (
+          SELECT u, v FROM m UNION ALL SELECT u, u FROM nodes
+        ),
+        scc AS (SELECT u AS node, min(v) AS scc_id FROM p GROUP BY u)"""
 
 # 2 synchronous LPA rounds (graph/lpa.py), shared by g_lpa and
 # g_modularity — produces sym(src, dst) and final labels l2(node, label)
@@ -4511,28 +4565,59 @@ ORACLES = {
     """,
     # same ring-slice closure as g_closure, intersected with its own
     # transpose for mutual reachability; singletons via the node union
-    "g_scc": """
-        WITH RECURSIVE cnt AS (SELECT count(*) AS n FROM documents),
-        e1 AS (
-          SELECT doc_id AS src,
-                 (doc_id // 6) * 6 + (doc_id % 6 + 1) % 6 AS dst
-          FROM documents, cnt
-          WHERE n_chars % 3 <> 0 AND (doc_id // 6) * 6 + (doc_id % 6 + 1) % 6 < n
+    "g_scc": f"""
+        WITH RECURSIVE {_SCC_RING_SQL}
+        SELECT node AS doc_id, scc_id FROM scc
+    """,
+    # the SAME ring SCC, condensed: distinct cross-SCC edges, then the
+    # identical bounded (d < 8) longest-path recursion as the 8 max-plus
+    # relaxation rounds in graph/scc.py condensation_depth
+    "g_scc_dag": f"""
+        WITH RECURSIVE {_SCC_RING_SQL},
+        cond AS (
+          SELECT DISTINCT sa.scc_id AS csrc, sb.scc_id AS cdst
+          FROM e1
+          JOIN scc sa ON sa.node = e1.src
+          JOIN scc sb ON sb.node = e1.dst
+          WHERE sa.scc_id <> sb.scc_id
         ),
-        r AS (
-          SELECT src AS origin, dst AS node FROM e1
-          UNION
-          SELECT r.origin, e.dst FROM r JOIN e1 e ON r.node = e.src
+        pd AS (
+          SELECT cdst AS scc_id, 1 AS d FROM cond
+          UNION ALL
+          SELECT c.cdst, pd.d + 1
+          FROM pd JOIN cond c ON c.csrc = pd.scc_id WHERE pd.d < 8
         ),
-        m AS (
-          SELECT a.origin AS u, a.node AS v
-          FROM r a JOIN r b ON a.origin = b.node AND a.node = b.origin
+        sizes AS (SELECT scc_id, count(*) AS n_members FROM scc GROUP BY 1),
+        dmax AS (SELECT scc_id, max(d) AS depth FROM pd GROUP BY 1)
+        SELECT sizes.scc_id, sizes.n_members,
+               CAST(COALESCE(dmax.depth, 0) AS INT) AS depth
+        FROM sizes LEFT JOIN dmax USING (scc_id)
+    """,
+    # Hamilton largest-remainder apportionment — identical integer
+    # quotient/remainder arithmetic as sources/frontier.py
+    "kg_crawl_budget": """
+        WITH mass AS (
+          SELECT source AS host, CAST(sum(n_chars) AS BIGINT) AS mass
+          FROM documents GROUP BY 1
         ),
-        nodes AS (SELECT src AS u FROM e1 UNION SELECT dst FROM e1),
-        p AS (
-          SELECT u, v FROM m UNION ALL SELECT u, u FROM nodes
+        tot AS (SELECT CAST(sum(mass) AS BIGINT) AS m_total FROM mass),
+        quot AS (
+          SELECT host, mass, (1000 * mass) // m_total AS base_quota,
+                 (1000 * mass) % m_total AS rem
+          FROM mass, tot
+        ),
+        lo AS (
+          SELECT 1000 - CAST(sum(base_quota) AS BIGINT) AS leftover FROM quot
+        ),
+        ranked AS (
+          SELECT host, mass, base_quota,
+                 row_number() OVER (ORDER BY rem DESC, host ASC) AS rn
+          FROM quot
         )
-        SELECT u AS doc_id, min(v) AS scc_id FROM p GROUP BY u
+        SELECT host, mass, base_quota,
+               base_quota
+                 + CASE WHEN rn <= lo.leftover THEN 1 ELSE 0 END AS quota
+        FROM ranked, lo
     """,
     # bridged-ring closure + transpose-intersect SCC + the identical
     # (size desc, id asc) core argmax and CORE/IN/OUT/OTHER cascade

@@ -82,3 +82,61 @@ def strongly_connected_components(
         .agg(F.min("node").alias("scc_id"))
         .withColumnRenamed("origin", "node")
     )
+
+
+def condensation_depth(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 30,
+    depth_rounds: int = 8,
+) -> DataFrame:
+    """(scc_id, n_members, depth): the condensation DAG of the directed
+    graph — each SCC contracted to one node — with its longest-path layer
+    depth (0 = source component, k = k hops of condensed edges from some
+    source). This is the DAG layering a pipeline uses to schedule
+    dependency-ordered processing of a cyclic link graph: SCCs at equal
+    depth are independent.
+
+    depth is computed by `depth_rounds` max-plus relaxation rounds (one
+    condensed-edge join + max aggregation each): exact for any DAG whose
+    longest path is <= depth_rounds, and the identical bounded recursion
+    is what the oracle runs — the same fixed-k discipline as pagerank /
+    k_hop_reach. Condensed edges are vocabulary-sized (distinct SCC
+    pairs), so every round's join is far smaller than the page graph.
+    """
+    scc = strongly_connected_components(
+        edges, src_col=src_col, dst_col=dst_col, max_rounds=max_rounds
+    )
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    a = scc.select(F.col("node").alias("src"), F.col("scc_id").alias("ca"))
+    b = scc.select(F.col("node").alias("dst"), F.col("scc_id").alias("cb"))
+    cond = (
+        e.join(a, "src")
+        .join(b, "dst")
+        .where(F.col("ca") != F.col("cb"))
+        .select(F.col("ca").alias("csrc"), F.col("cb").alias("cdst"))
+        .distinct()
+    )
+    sizes = scc.groupBy("scc_id").agg(F.count(F.lit(1)).alias("n_members"))
+    depth = sizes.select("scc_id", F.lit(0).alias("depth"))
+    for _ in range(depth_rounds):
+        upd = (
+            cond.join(
+                depth.select(F.col("scc_id").alias("csrc"), "depth"), "csrc"
+            )
+            .groupBy(F.col("cdst").alias("scc_id"))
+            .agg((F.max("depth") + 1).alias("d_in"))
+        )
+        depth = (
+            depth.join(upd, "scc_id", "left")
+            .select(
+                "scc_id",
+                F.greatest(F.col("depth"), F.coalesce("d_in", F.lit(0))).alias(
+                    "depth"
+                ),
+            )
+        )
+    return sizes.join(depth, "scc_id")

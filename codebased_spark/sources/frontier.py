@@ -75,3 +75,59 @@ def paced_schedule(
         .drop("_d")
         .withColumn("fetch_after_s", F.col("wave") * F.col("delay_s"))
     )
+
+
+def apportion_budget(
+    mass: DataFrame,
+    budget: int,
+    host_col_name: str = "host",
+    mass_col: str = "mass",
+) -> DataFrame:
+    """(host, mass, base_quota, quota): apportion an integer fetch budget
+    across hosts proportionally to `mass` by Hamilton's largest-remainder
+    method — the crawl-planning step that turns host quality/demand mass
+    into per-host fetch slots for the next cycle.
+
+    Exact integer arithmetic end to end: base_quota = budget*m_i div M,
+    the leftover budget - sum(base_quota) slots go to the largest
+    remainders (budget*m_i mod M), ties broken by host ascending, so
+    sum(quota) == budget exactly and any ANSI engine reproduces the
+    result bit-for-bit (no float proportions, no rounding drift).
+
+    Scale shape: one (host) aggregation upstream produces `mass`; the
+    global total and the leftover count arrive as broadcast 1-row
+    aggregates; the remainder ranking is one window over the HOST
+    dimension — vocabulary-sized relative to the page corpus. For crawls
+    whose host table itself is too large for a single ordering, apportion
+    hierarchically (budget -> registrable domain -> host), which is this
+    same operator applied twice.
+    """
+    m = mass.select(
+        F.col(host_col_name).alias("host"),
+        F.col(mass_col).cast("long").alias("mass"),
+    )
+    tot = m.agg(F.sum("mass").alias("m_total"))
+    quot = (
+        m.crossJoin(F.broadcast(tot))
+        .withColumn("base_quota", F.expr(f"({budget} * mass) div m_total"))
+        .withColumn("rem", F.expr(f"({budget} * mass) % m_total"))
+    )
+    leftover = quot.agg(
+        (F.lit(budget) - F.sum("base_quota")).alias("leftover")
+    )
+    w = Window.orderBy(F.desc("rem"), F.asc("host"))
+    return (
+        quot.withColumn("rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(leftover))
+        .select(
+            "host",
+            "mass",
+            "base_quota",
+            (
+                F.col("base_quota")
+                + F.when(F.col("rn") <= F.col("leftover"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("quota"),
+        )
+    )

@@ -81,3 +81,40 @@ def test_bm25_tie_break_min_doc_id_and_multi_query(spark):
     by_q = {r.query_id: r for r in out}
     assert by_q["qx"].doc_id == 0 and by_q["qx"].rank == 1  # tie -> min id
     assert by_q["qz"].doc_id == 2
+
+
+def test_apportion_budget_largest_remainder_exact(spark):
+    from codebased_spark.sources.frontier import apportion_budget
+
+    mass = spark.createDataFrame(
+        [("a", 5), ("b", 3), ("c", 2)], ["host", "mass"]
+    )
+    out = {r.host: r for r in apportion_budget(mass, budget=7).collect()}
+    # base = 7*m // 10 -> a:3 b:2 c:1 (sum 6); remainders 5,1,4 -> the one
+    # leftover slot goes to a
+    assert (out["a"].base_quota, out["a"].quota) == (3, 4)
+    assert (out["b"].base_quota, out["b"].quota) == (2, 2)
+    assert (out["c"].base_quota, out["c"].quota) == (1, 1)
+    assert sum(r.quota for r in out.values()) == 7
+
+
+def test_apportion_budget_tie_breaks_by_host(spark):
+    from codebased_spark.sources.frontier import apportion_budget
+
+    mass = spark.createDataFrame([("b", 1), ("a", 1)], ["host", "mass"])
+    out = {r.host: r.quota for r in apportion_budget(mass, budget=1).collect()}
+    assert out == {"a": 1, "b": 0}  # equal remainders -> host asc wins
+
+
+def test_condensation_depth_layers_cycle_and_chain(spark):
+    from codebased_spark.graph.scc import condensation_depth
+
+    # 2-cycle {0,1} feeding the chain 1->2->3: condensed DAG is
+    # SCC{0,1} -> {2} -> {3}
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 3)], ["src", "dst"]
+    )
+    out = {r.scc_id: r for r in condensation_depth(edges).collect()}
+    assert out[0].n_members == 2 and out[0].depth == 0
+    assert out[2].n_members == 1 and out[2].depth == 1
+    assert out[3].n_members == 1 and out[3].depth == 2
