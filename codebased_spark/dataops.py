@@ -1592,6 +1592,16 @@ def tx_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(_docs(spark, sf_dir), _BM25_QUERIES, k=10)
 
 
+def tx_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for retrieval training (textops/bm25.py
+    hard_negatives): top BM25-scored docs per query that are missing at
+    least one query term — the lexically-close non-answers contrastive
+    training wants; coverage count rides the existing aggregation."""
+    from codebased_spark.textops.bm25 import hard_negatives
+
+    return hard_negatives(_docs(spark, sf_dir), _BM25_QUERIES, k=10)
+
+
 def g_cycle_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Docs on a directed cycle of length <= 6 (circular-dependency Q4)."""
     return cycle_members(_doc_edges(spark, sf_dir), max_len=6).select(
@@ -2417,6 +2427,7 @@ QUERIES = {
     "g_lpa": g_lpa,
     "g_modularity": g_modularity,
     "tx_bm25": tx_bm25,
+    "tx_hard_negatives": tx_hard_negatives,
     "g_cycle_members": g_cycle_members,
     "g_components": g_components,
     "g_pagerank": g_pagerank,
@@ -2869,6 +2880,44 @@ _SCC_RING_SQL = """cnt AS (SELECT count(*) AS n FROM documents),
           SELECT u, v FROM m UNION ALL SELECT u, u FROM nodes
         ),
         scc AS (SELECT u AS node, min(v) AS scc_id FROM p GROUP BY u)"""
+
+# integer-quantized BM25 scoring (textops/bm25.py _scored), shared by
+# tx_bm25 and tx_hard_negatives — produces scored(query_id, doc_id,
+# score_milli, n_terms) and qn(query_id, n_query_terms)
+_BM25_SQL = """toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        ),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        tot AS (
+          SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS l_total FROM dl
+        ),
+        tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM toks
+          WHERE term IN ('hash','join','merge','customer','order','value',
+                         'spark','stream','window')
+          GROUP BY 1, 2
+        ),
+        dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        q(query_id, term) AS (VALUES
+          ('q_exec','hash'), ('q_exec','join'), ('q_exec','merge'),
+          ('q_retail','customer'), ('q_retail','order'), ('q_retail','value'),
+          ('q_stream','spark'), ('q_stream','stream'), ('q_stream','window')),
+        qn AS (SELECT query_id, count(*) AS n_query_terms FROM q GROUP BY 1),
+        scored AS (
+          SELECT q.query_id, tf.doc_id,
+                 CAST(SUM(
+                   (length(bin(tot.n_docs // dft.df)) * 44 * tf.tf
+                      * tot.l_total * 1000)
+                   // (20 * tf.tf * tot.l_total + 6 * tot.l_total
+                       + 18 * dl.dl * tot.n_docs)
+                 ) AS BIGINT) AS score_milli,
+                 count(*) AS n_terms
+          FROM tf
+          JOIN dft USING (term)
+          JOIN dl USING (doc_id)
+          JOIN q ON q.term = tf.term, tot
+          GROUP BY 1, 2
+        )"""
 
 # 2 synchronous LPA rounds (graph/lpa.py), shared by g_lpa and
 # g_modularity — produces sym(src, dst) and final labels l2(node, label)
@@ -4740,45 +4789,27 @@ ORACLES = {
     # integer-quantized BM25 (textops/bm25.py): floor-log2 idf via
     # length(bin(N//df)), k1=6/5 b=3/4 multiplied through to one BIGINT
     # division — identical arithmetic on both engines
-    "tx_bm25": """
-        WITH toks AS (
-          SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
-        ),
-        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
-        tot AS (
-          SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS l_total FROM dl
-        ),
-        tf AS (
-          SELECT doc_id, term, count(*) AS tf FROM toks
-          WHERE term IN ('hash','join','merge','customer','order','value',
-                         'spark','stream','window')
-          GROUP BY 1, 2
-        ),
-        dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        q(query_id, term) AS (VALUES
-          ('q_exec','hash'), ('q_exec','join'), ('q_exec','merge'),
-          ('q_retail','customer'), ('q_retail','order'), ('q_retail','value'),
-          ('q_stream','spark'), ('q_stream','stream'), ('q_stream','window')),
-        scored AS (
-          SELECT q.query_id, tf.doc_id,
-                 CAST(SUM(
-                   (length(bin(tot.n_docs // dft.df)) * 44 * tf.tf
-                      * tot.l_total * 1000)
-                   // (20 * tf.tf * tot.l_total + 6 * tot.l_total
-                       + 18 * dl.dl * tot.n_docs)
-                 ) AS BIGINT) AS score_milli
-          FROM tf
-          JOIN dft USING (term)
-          JOIN dl USING (doc_id)
-          JOIN q ON q.term = tf.term, tot
-          GROUP BY 1, 2
-        )
+    "tx_bm25": f"""
+        WITH {_BM25_SQL}
         SELECT query_id, doc_id, score_milli, rank FROM (
           SELECT query_id, doc_id, score_milli,
                  row_number() OVER (
                    PARTITION BY query_id
                    ORDER BY score_milli DESC, doc_id ASC) AS rank
           FROM scored
+        ) WHERE rank <= 10
+    """,
+    # the SAME scored table, restricted to partial-coverage docs
+    # (n_terms < |query|) — hard-negative mining for retrieval training
+    "tx_hard_negatives": f"""
+        WITH {_BM25_SQL}
+        SELECT query_id, doc_id, score_milli, n_terms, rank FROM (
+          SELECT s.query_id, s.doc_id, s.score_milli, s.n_terms,
+                 row_number() OVER (
+                   PARTITION BY s.query_id
+                   ORDER BY s.score_milli DESC, s.doc_id ASC) AS rank
+          FROM scored s JOIN qn ON qn.query_id = s.query_id
+          WHERE s.n_terms < qn.n_query_terms
         ) WHERE rank <= 10
     """,
     "g_cycle_members": f"""

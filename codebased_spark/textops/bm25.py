@@ -42,15 +42,14 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def bm25_topk(
+def _scored(
     docs: DataFrame,
     queries: dict[str, list[str]],
-    k: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """(query_id, doc_id, score_milli, rank): top-k docs per query by the
-    integer-quantized BM25 above; ties broken by min doc_id."""
+    """(query_id, doc_id, score_milli, n_terms, n_query_terms): summed
+    per-term integer BM25 plus coverage counts per (query, doc)."""
     vocab = sorted({t for ts in queries.values() for t in ts})
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -67,10 +66,14 @@ def bm25_topk(
     )
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     qterms = [
-        (qid, t) for qid, ts in sorted(queries.items()) for t in sorted(set(ts))
+        (qid, t, len(set(ts)))
+        for qid, ts in sorted(queries.items())
+        for t in sorted(set(ts))
     ]
-    qdf = docs.sparkSession.createDataFrame(qterms, "query_id string, term string")
-    scored = (
+    qdf = docs.sparkSession.createDataFrame(
+        qterms, "query_id string, term string, n_query_terms int"
+    )
+    return (
         tf.join(F.broadcast(df_t), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(totals))
@@ -86,8 +89,24 @@ def bm25_topk(
         )
         .join(F.broadcast(qdf), "term")
         .groupBy("query_id", "doc_id")
-        .agg(F.sum("score_milli").alias("score_milli"))
+        .agg(
+            F.sum("score_milli").alias("score_milli"),
+            F.count(F.lit(1)).alias("n_terms"),
+            F.first("n_query_terms").alias("n_query_terms"),
+        )
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: dict[str, list[str]],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, doc_id, score_milli, rank): top-k docs per query by the
+    integer-quantized BM25 above; ties broken by min doc_id."""
+    scored = _scored(docs, queries, id_col, text_col)
     win = Window.partitionBy("query_id").orderBy(
         F.desc("score_milli"), F.asc("doc_id")
     )
@@ -95,4 +114,33 @@ def bm25_topk(
         scored.withColumn("rank", F.row_number().over(win))
         .where(F.col("rank") <= k)
         .select("query_id", "doc_id", "score_milli", "rank")
+    )
+
+
+def hard_negatives(
+    docs: DataFrame,
+    queries: dict[str, list[str]],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, doc_id, score_milli, n_terms, rank): top-k HARD
+    NEGATIVES per query — docs that score high on BM25 yet are missing at
+    least one query term (n_terms < |query|). This is the standard
+    hard-negative mining pass for retrieval/embedding training: lexically
+    close non-answers make the informative contrastive pairs, while
+    full-coverage docs are treated as (pseudo-)positives and excluded.
+
+    Same scale shape as bm25_topk — the coverage count falls out of the
+    existing (query, doc) aggregation for free; no extra scan or shuffle.
+    """
+    scored = _scored(docs, queries, id_col, text_col)
+    win = Window.partitionBy("query_id").orderBy(
+        F.desc("score_milli"), F.asc("doc_id")
+    )
+    return (
+        scored.where(F.col("n_terms") < F.col("n_query_terms"))
+        .withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score_milli", "n_terms", "rank")
     )

@@ -118,3 +118,17 @@ def test_condensation_depth_layers_cycle_and_chain(spark):
     assert out[0].n_members == 2 and out[0].depth == 0
     assert out[2].n_members == 1 and out[2].depth == 1
     assert out[3].n_members == 1 and out[3].depth == 2
+
+
+def test_hard_negatives_exclude_full_coverage_docs(spark):
+    from codebased_spark.textops.bm25 import hard_negatives
+
+    docs = spark.createDataFrame(
+        [(0, "x y"), (1, "x x x"), (2, "y")], ["doc_id", "text"]
+    )
+    rows = hard_negatives(docs, {"q": ["x", "y"]}, k=10).collect()
+    by_doc = {r.doc_id: r for r in rows}
+    assert 0 not in by_doc  # covers both terms -> pseudo-positive
+    assert set(by_doc) == {1, 2}
+    assert by_doc[1].n_terms == 1 and by_doc[2].n_terms == 1
+    assert by_doc[1].rank == 1  # tf=3 outscores tf=1
