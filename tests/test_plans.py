@@ -174,3 +174,33 @@ def test_nb_classifier_stays_jvm(spark):
     p = plan(tx_nb_classifier(spark, SF))
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "SortMergeJoin" not in p  # model joins broadcast at this scale
+
+
+def test_bm25_stays_jvm_with_broadcast_stats(spark):
+    from codebased_spark.dataops import tx_bm25, tx_hard_negatives
+
+    for fn in (tx_bm25, tx_hard_negatives):
+        p = plan(fn(spark, SF))
+        # pure built-in expressions: never falls back to Python eval
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+        # df/query/totals sides arrive broadcast, never shuffled
+        assert "BroadcastExchange" in p
+
+
+def test_modularity_broadcasts_global_edge_count(spark):
+    from codebased_spark.dataops import g_modularity, g_walk_pairs
+
+    p = plan(g_modularity(spark, SF))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "BroadcastExchange" in p  # the 1-row m_edges aggregate
+    p2 = plan(g_walk_pairs(spark, SF))
+    assert "BatchEvalPython" not in p2 and "ArrowEvalPython" not in p2
+
+
+def test_apportionment_is_jvm_and_host_sized(spark):
+    from codebased_spark.dataops import kg_crawl_budget
+
+    p = plan(kg_crawl_budget(spark, SF))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # the leftover/total aggregates are broadcast 1-row sides
+    assert "BroadcastExchange" in p
