@@ -1520,6 +1520,16 @@ def kg_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apportion_budget(mass, budget=1000)
 
 
+def kg_host_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row host-skew audit (link/skew.py skew_report): key counts +
+    exact integer Gini fraction over the count-sorted host dimension —
+    the measurement that decides whether a join/agg needs hot-key
+    salting before it ships; gini = gini_num / gini_den exactly."""
+    from codebased_spark.link.skew import skew_report
+
+    return skew_report(_docs(spark, sf_dir), key="source", key_alias="host")
+
+
 def g_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded k-core peeling (graph/kcore.py), k=2, 3 synchronous
     rounds over the undirected doc graph — chain tendrils peel away
@@ -2418,6 +2428,7 @@ QUERIES = {
     "g_scc": g_scc,
     "g_scc_dag": g_scc_dag,
     "kg_crawl_budget": kg_crawl_budget,
+    "kg_host_skew": kg_host_skew,
     "g_bowtie": g_bowtie,
     "g_kcore": g_kcore,
     "g_harmonic": g_harmonic,
@@ -4641,6 +4652,28 @@ ORACLES = {
         SELECT sizes.scc_id, sizes.n_members,
                CAST(COALESCE(dmax.depth, 0) AS INT) AS depth
         FROM sizes LEFT JOIN dmax USING (scc_id)
+    """,
+    # exact-integer Gini over count-sorted hosts (link/skew.py
+    # skew_report): 2*sum(i*x_i) - (n+1)*T over n*T
+    "kg_host_skew": """
+        WITH c AS (
+          SELECT source AS host, count(*) AS cnt FROM documents GROUP BY 1
+        ),
+        r AS (
+          SELECT host, cnt,
+                 row_number() OVER (ORDER BY cnt ASC, host ASC) AS i
+          FROM c
+        ),
+        a AS (
+          SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS total_rows,
+                 CAST(max(cnt) AS BIGINT) AS max_rows,
+                 CAST(sum(i * cnt) AS BIGINT) AS s_icnt
+          FROM r
+        )
+        SELECT n_keys, total_rows, max_rows,
+               2 * s_icnt - (n_keys + 1) * total_rows AS gini_num,
+               n_keys * total_rows AS gini_den
+        FROM a
     """,
     # Hamilton largest-remainder apportionment — identical integer
     # quotient/remainder arithmetic as sources/frontier.py

@@ -25,7 +25,7 @@ handling does not cover those).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -134,3 +134,47 @@ def salted_aggregate(
         else:
             finals.append(getattr(F, m)(out).alias(out))
     return phase1.groupBy(key).agg(*finals)
+
+
+def skew_report(
+    df: DataFrame, key: str, key_alias: str = "key"
+) -> DataFrame:
+    """One-row skew audit of a keyed table: (n_keys, total_rows,
+    max_rows, gini_num, gini_den) — the measurement that DECIDES whether
+    hot_keys/salting is needed before a join or aggregation ships.
+
+    Gini concentration is reported as an exact integer fraction over the
+    count-sorted keys (x_1 <= ... <= x_n, T = sum x_i):
+
+        gini = (2 * sum(i * x_i) - (n + 1) * T) / (n * T)
+
+    so both engines agree bit-for-bit (0 = uniform, -> 1 = one mega-key).
+    Permutations inside count-ties do not change sum(i*x_i), and the
+    ordering is (count, key) deterministic anyway.
+
+    Scale shape: one (key) count aggregation with map-side combine, then
+    one global ordering over the KEY dimension — vocabulary-sized
+    (hosts/domains/surface forms), not corpus-sized. For key spaces too
+    large even for that, run it hierarchically (domain first, then hosts
+    of the head domains) — the same operator twice.
+    """
+    counts = df.groupBy(F.col(key).alias(key_alias)).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.orderBy(F.asc("cnt"), F.asc(key_alias))
+    ranked = counts.withColumn("i", F.row_number().over(w).cast("long"))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("total_rows"),
+        F.max("cnt").alias("max_rows"),
+        F.sum(F.col("i") * F.col("cnt")).alias("s_icnt"),
+    ).select(
+        "n_keys",
+        "total_rows",
+        "max_rows",
+        (
+            F.lit(2) * F.col("s_icnt")
+            - (F.col("n_keys") + 1) * F.col("total_rows")
+        ).alias("gini_num"),
+        (F.col("n_keys") * F.col("total_rows")).alias("gini_den"),
+    )

@@ -132,3 +132,23 @@ def test_hard_negatives_exclude_full_coverage_docs(spark):
     assert set(by_doc) == {1, 2}
     assert by_doc[1].n_terms == 1 and by_doc[2].n_terms == 1
     assert by_doc[1].rank == 1  # tf=3 outscores tf=1
+
+
+def test_skew_report_exact_gini(spark):
+    from codebased_spark.link.skew import skew_report
+
+    # counts a:1 b:1 c:4 sorted -> x=(1,1,4), T=6, n=3
+    # sum(i*x) = 1+2+12 = 15; gini_num = 30 - 4*6 = 6; den = 18 -> 1/3
+    rows = [("a", 0), ("b", 0), ("c", 0), ("c", 1), ("c", 2), ("c", 3)]
+    df = spark.createDataFrame(rows, ["host", "x"])
+    r = skew_report(df, key="host", key_alias="host").collect()[0]
+    assert (r.n_keys, r.total_rows, r.max_rows) == (3, 6, 4)
+    assert (r.gini_num, r.gini_den) == (6, 18)
+
+
+def test_skew_report_uniform_is_zero(spark):
+    from codebased_spark.link.skew import skew_report
+
+    df = spark.createDataFrame([("a", 0), ("b", 0)], ["host", "x"])
+    r = skew_report(df, key="host").collect()[0]
+    assert r.gini_num == 0  # 2*(1+2) - 3*2 = 0
