@@ -110,6 +110,7 @@ _RECEIPT_PRIORITY = [
     # new in the r4 seventh continuation session
     "g_modularity", "g_walk_pairs", "tx_bm25", "g_scc_dag",
     "kg_crawl_budget", "tx_hard_negatives", "kg_host_skew",
+    "g_hub_ablation", "tx_langid_eval",
     # new in the r4 sixth continuation session
     "g_anf", "kg_identity_closure", "tx_trigram_diversity",
     "g_anf_curve", "kg_er_blocking",

@@ -370,6 +370,20 @@ def tx_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(_docs(spark, sf_dir))
 
 
+def tx_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the token-vote langid prediction against the
+    planted document labels — the per-language eval a model card
+    reports; one broadcast-able join + (true, pred) aggregation on top
+    of tx_lang_id's prediction."""
+    docs = _docs(spark, sf_dir)
+    return (
+        lang_id(docs)
+        .join(docs.select("doc_id", F.col("lang").alias("true_lang")), "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def tx_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_quality(_docs(spark, sf_dir))
 
@@ -1680,6 +1694,17 @@ def g_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comps.groupBy("comp").agg(F.count(F.lit(1)).alias("n_nodes"))
 
 
+def g_hub_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attack-tolerance audit (graph/ablation.py hub_ablation): weak-
+    component structure of the doc graph before and after removing the
+    5 highest-degree hubs — does connectivity hang off a few mega-nodes?
+    Oracle: two recursive-CTE min-label closures, hub set by the same
+    (degree desc, node asc) top-5."""
+    from codebased_spark.graph.ablation import hub_ablation
+
+    return hub_ablation(_doc_edges(spark, sf_dir), k=5)
+
+
 def kg_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-2 incoming anchor texts per link target — the web-KG naming/
     alias signal (reference analog: import-alias naming of cross-file
@@ -2369,6 +2394,7 @@ QUERIES = {
     "ann_ivfpq": ann_ivfpq,
     "tx_pack": tx_pack,
     "tx_lang_id": tx_lang_id,
+    "tx_langid_eval": tx_langid_eval,
     "tx_quality": tx_quality,
     "tx_quality_buckets": tx_quality_buckets,
     "tx_bitext": tx_bitext,
@@ -2441,6 +2467,7 @@ QUERIES = {
     "tx_hard_negatives": tx_hard_negatives,
     "g_cycle_members": g_cycle_members,
     "g_components": g_components,
+    "g_hub_ablation": g_hub_ablation,
     "g_pagerank": g_pagerank,
     "g_ppr": g_ppr,
     "g_pagerank_dangling": g_pagerank_dangling,
@@ -2892,6 +2919,35 @@ _SCC_RING_SQL = """cnt AS (SELECT count(*) AS n FROM documents),
         ),
         scc AS (SELECT u AS node, min(v) AS scc_id FROM p GROUP BY u)"""
 
+# token-vote language-ID (textops/langid.py), shared by tx_lang_id and
+# tx_langid_eval — produces pred(doc_id, pred_lang)
+_LANGID_SQL = """toks AS (
+          SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+          FROM documents
+        ),
+        t2 AS (SELECT * FROM toks WHERE tok <> ''),
+        tc AS (SELECT tok, lang, count(*) AS n FROM t2 GROUP BY tok, lang),
+        model AS (
+          SELECT tok, lang AS pred_lang FROM (
+            SELECT tok, lang,
+                   row_number() OVER (PARTITION BY tok ORDER BY n DESC, lang ASC) AS rn
+            FROM tc
+          ) WHERE rn = 1
+        ),
+        votes AS (
+          SELECT doc_id, pred_lang, count(*) AS n
+          FROM t2 JOIN model USING (tok)
+          GROUP BY doc_id, pred_lang
+        ),
+        pred AS (
+          SELECT doc_id, pred_lang FROM (
+            SELECT doc_id, pred_lang,
+                   row_number() OVER (
+                     PARTITION BY doc_id ORDER BY n DESC, pred_lang ASC) AS rn
+            FROM votes
+          ) WHERE rn = 1
+        )"""
+
 # integer-quantized BM25 scoring (textops/bm25.py _scored), shared by
 # tx_bm25 and tx_hard_negatives — produces scored(query_id, doc_id,
 # score_milli, n_terms) and qn(query_id, n_query_terms)
@@ -3314,30 +3370,17 @@ ORACLES = {
         WHERE el.label IN (SELECT label FROM best) AND el.vec_id <> 0
         ORDER BY cos_sim DESC, el.vec_id ASC LIMIT 10
     """,
-    "tx_lang_id": """
-        WITH toks AS (
-          SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
-          FROM documents
-        ),
-        t2 AS (SELECT * FROM toks WHERE tok <> ''),
-        tc AS (SELECT tok, lang, count(*) AS n FROM t2 GROUP BY tok, lang),
-        model AS (
-          SELECT tok, lang AS pred_lang FROM (
-            SELECT tok, lang,
-                   row_number() OVER (PARTITION BY tok ORDER BY n DESC, lang ASC) AS rn
-            FROM tc
-          ) WHERE rn = 1
-        ),
-        votes AS (
-          SELECT doc_id, pred_lang, count(*) AS n
-          FROM t2 JOIN model USING (tok)
-          GROUP BY doc_id, pred_lang
-        )
-        SELECT doc_id, pred_lang FROM (
-          SELECT doc_id, pred_lang,
-                 row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, pred_lang ASC) AS rn
-          FROM votes
-        ) WHERE rn = 1
+    "tx_lang_id": f"""
+        WITH {_LANGID_SQL}
+        SELECT doc_id, pred_lang FROM pred
+    """,
+    # the SAME token-vote prediction joined back to the planted labels —
+    # the per-language confusion matrix a langid model card reports
+    "tx_langid_eval": f"""
+        WITH {_LANGID_SQL}
+        SELECT d.lang AS true_lang, p.pred_lang, count(*) AS n
+        FROM pred p JOIN documents d USING (doc_id)
+        GROUP BY 1, 2
     """,
     "tx_quality": f"""
         WITH {_TOKS},
@@ -4876,6 +4919,58 @@ ORACLES = {
         ),
         lab AS (SELECT start AS id, min(node) AS comp FROM r GROUP BY start)
         SELECT comp, count(*) AS n_nodes FROM lab GROUP BY comp
+    """,
+    # two min-label closures — full symmetric graph and the graph with
+    # the top-5 (degree desc, node asc) hubs removed (graph/ablation.py).
+    # sym dedups via an explicit DISTINCT subquery: under WITH RECURSIVE
+    # DuckDB 1.0 skips the dedup of a plain UNION in a CTE consumed by a
+    # recursive member, which would double shared-direction edges and
+    # corrupt the degree ranking (components are multiplicity-invariant,
+    # degrees are not)
+    "g_hub_ablation": f"""
+        WITH RECURSIVE {_EDGES_SQL},
+        sym AS (
+          SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM edges WHERE src <> dst
+            UNION ALL
+            SELECT dst, src FROM edges WHERE src <> dst
+          )
+        ),
+        deg AS (SELECT src AS node, count(*) AS d FROM sym GROUP BY 1),
+        hubs AS (
+          SELECT node FROM (
+            SELECT node, row_number() OVER (ORDER BY d DESC, node ASC) AS rn
+            FROM deg
+          ) WHERE rn <= 5
+        ),
+        rf AS (
+          SELECT src AS start, src AS node FROM sym
+          UNION
+          SELECT rf.start, s.dst FROM rf JOIN sym s ON rf.node = s.src
+        ),
+        labf AS (SELECT start, min(node) AS comp FROM rf GROUP BY 1),
+        cf AS (SELECT comp, count(*) AS n FROM labf GROUP BY 1),
+        syma AS (
+          SELECT s.src, s.dst FROM sym s
+          WHERE s.src NOT IN (SELECT node FROM hubs)
+            AND s.dst NOT IN (SELECT node FROM hubs)
+        ),
+        ra AS (
+          SELECT src AS start, src AS node FROM syma
+          UNION
+          SELECT ra.start, s.dst FROM ra JOIN syma s ON ra.node = s.src
+        ),
+        laba AS (SELECT start, min(node) AS comp FROM ra GROUP BY 1),
+        ca AS (SELECT comp, count(*) AS n FROM laba GROUP BY 1)
+        SELECT 'full' AS scenario,
+               (SELECT count(*) FROM labf) AS n_nodes,
+               (SELECT count(*) FROM cf) AS n_components,
+               (SELECT max(n) FROM cf) AS largest
+        UNION ALL
+        SELECT 'ablated',
+               (SELECT count(*) FROM laba),
+               (SELECT count(*) FROM ca),
+               (SELECT max(n) FROM ca)
     """,
     # planted anchors (synth/pages.py pages_with_links_spark): internal
     # .../doc/(doc_id%97) with text 'doc N' (doc_id%3=0) else 'article N';

@@ -90,6 +90,7 @@ def condensation_depth(
     dst_col: str = "dst",
     max_rounds: int = 30,
     depth_rounds: int = 8,
+    driver_threshold: int = 200_000,
 ) -> DataFrame:
     """(scc_id, n_members, depth): the condensation DAG of the directed
     graph — each SCC contracted to one node — with its longest-path layer
@@ -103,7 +104,11 @@ def condensation_depth(
     longest path is <= depth_rounds, and the identical bounded recursion
     is what the oracle runs — the same fixed-k discipline as pagerank /
     k_hop_reach. Condensed edges are vocabulary-sized (distinct SCC
-    pairs), so every round's join is far smaller than the page graph.
+    pairs), so every round's join is far smaller than the page graph —
+    and under `driver_threshold` condensed edges the relaxation runs
+    driver-side in one collect instead of 8 tiny jobs (the adaptive
+    discipline of link/cc.py and graph/pagerank.py; identical results,
+    tested both ways).
     """
     scc = strongly_connected_components(
         edges, src_col=src_col, dst_col=dst_col, max_rounds=max_rounds
@@ -113,14 +118,57 @@ def condensation_depth(
     ).distinct()
     a = scc.select(F.col("node").alias("src"), F.col("scc_id").alias("ca"))
     b = scc.select(F.col("node").alias("dst"), F.col("scc_id").alias("cb"))
+    # materialize once: every relaxation round joins `cond`, and without
+    # this the final plan replays the whole SCC closure 8 times (the
+    # per-round persist discipline of graph/pagerank.py); both tables
+    # are vocabulary-sized (distinct SCC pairs / SCC ids)
     cond = (
         e.join(a, "src")
         .join(b, "dst")
         .where(F.col("ca") != F.col("cb"))
         .select(F.col("ca").alias("csrc"), F.col("cb").alias("cdst"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    sizes = scc.groupBy("scc_id").agg(F.count(F.lit(1)).alias("n_members"))
+    sizes = (
+        scc.groupBy("scc_id")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .localCheckpoint(eager=True)
+    )
+    if driver_threshold:
+        probe = cond.limit(driver_threshold + 1).collect()
+        if len(probe) <= driver_threshold:
+            # same bounded max-plus relaxation, driver-side
+            d: dict = {}
+            for _ in range(depth_rounds):
+                upd: dict = {}
+                for r in probe:
+                    nd = d.get(r.csrc, 0) + 1
+                    if nd > upd.get(r.cdst, 0):
+                        upd[r.cdst] = nd
+                changed = False
+                for k, v in upd.items():
+                    if v > d.get(k, 0):
+                        d[k] = v
+                        changed = True
+                if not changed:
+                    break
+            spark = edges.sparkSession
+            if d:
+                ddf = spark.createDataFrame(
+                    [(k, v) for k, v in d.items()], "scc_id long, depth int"
+                )
+                return (
+                    sizes.join(F.broadcast(ddf), "scc_id", "left")
+                    .select(
+                        "scc_id",
+                        "n_members",
+                        F.coalesce("depth", F.lit(0)).alias("depth"),
+                    )
+                )
+            return sizes.select(
+                "scc_id", "n_members", F.lit(0).alias("depth")
+            )
     depth = sizes.select("scc_id", F.lit(0).alias("depth"))
     for _ in range(depth_rounds):
         upd = (

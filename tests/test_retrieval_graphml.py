@@ -118,6 +118,13 @@ def test_condensation_depth_layers_cycle_and_chain(spark):
     assert out[0].n_members == 2 and out[0].depth == 0
     assert out[2].n_members == 1 and out[2].depth == 1
     assert out[3].n_members == 1 and out[3].depth == 2
+    # the distributed relaxation path must agree with the driver path
+    dist = sorted(
+        map(tuple, condensation_depth(edges, driver_threshold=0).collect())
+    )
+    assert dist == sorted(
+        (r.scc_id, r.n_members, r.depth) for r in out.values()
+    )
 
 
 def test_hard_negatives_exclude_full_coverage_docs(spark):
@@ -152,3 +159,17 @@ def test_skew_report_uniform_is_zero(spark):
     df = spark.createDataFrame([("a", 0), ("b", 0)], ["host", "x"])
     r = skew_report(df, key="host").collect()[0]
     assert r.gini_num == 0  # 2*(1+2) - 3*2 = 0
+
+
+def test_hub_ablation_shatters_star(spark):
+    from codebased_spark.graph.ablation import hub_ablation
+
+    # star 0-{1..5} plus a detached pair {10,11}: removing the single
+    # hub strands all five leaves (they drop from the labeled set)
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)] + [(10, 11)], ["src", "dst"]
+    )
+    out = {r.scenario: r for r in hub_ablation(edges, k=1).collect()}
+    f, a = out["full"], out["ablated"]
+    assert (f.n_nodes, f.n_components, f.largest) == (8, 2, 6)
+    assert (a.n_nodes, a.n_components, a.largest) == (2, 1, 2)
