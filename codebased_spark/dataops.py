@@ -673,6 +673,29 @@ def mm_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_sample_stats(synthetic_sample_media(_docs(spark, sf_dir)))
 
 
+def kg_rule_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMIE-style horn-rule mining (graph/rules.py): p(x,y) ∧ q(y,z) ⇒
+    r(x,z) support/confidence over a deterministic typed triple store;
+    the planted successor relations make follows∘follows ⇒ skip2 an
+    exact conf-10000 rule while `near` adds data-dependent noise. Exact
+    integers throughout (conf in basis points)."""
+    from codebased_spark.graph.rules import mine_horn_rules, typed_doc_triples
+
+    return mine_horn_rules(typed_doc_triples(_docs(spark, sf_dir)))
+
+
+def mm_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup clusters (media/phash.py): build
+    REAL 16x16 BMPs whose stripe pattern is doc_id arithmetic, decode the
+    pixels back, average-pool to 8x8, threshold at the mean, pack a 64-bit
+    aHash, and keep-one-per-hash — the image modality's exact-dedup. The
+    oracle states every hash (and thus every cluster) declaratively from
+    the plant; the Spark side must round-trip real BMP bytes + pooling."""
+    from codebased_spark.media.phash import phash_clusters, synthetic_phash_media
+
+    return phash_clusters(synthetic_phash_media(_docs(spark, sf_dir)))
+
+
 def tx_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash sampling — the 100-TB corpus sampler.
 
@@ -2433,6 +2456,8 @@ QUERIES = {
     "mm_av_sources": mm_av_sources,
     "mm_real_decode": mm_real_decode,
     "mm_sample_stats": mm_sample_stats,
+    "mm_phash_dups": mm_phash_dups,
+    "kg_rule_mining": kg_rule_mining,
     "kg_page_meta": kg_page_meta,
     "kg_url_parts": kg_url_parts,
     "kg_pattern_entities": kg_pattern_entities,
@@ -4105,6 +4130,64 @@ ORACLES = {
                CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 30000
                     ELSE 255 END AS sample_peak
         FROM documents
+    """,
+    # planted rules: follows∘follows ⇒ skip2 exact; skip3 restricted to
+    # even x halves that rule's confidence; `near` is n_chars-driven noise
+    "kg_rule_mining": """
+        WITH cnt AS (SELECT count(*) AS n FROM documents),
+        t AS (
+          SELECT 'follows' AS pred, doc_id AS subj, (doc_id + 1) % n AS obj
+          FROM documents, cnt
+          UNION ALL
+          SELECT 'skip2', doc_id, (doc_id + 2) % n FROM documents, cnt
+          UNION ALL
+          SELECT 'skip3', doc_id, (doc_id + 3) % n FROM documents, cnt
+          WHERE doc_id % 2 = 0
+          UNION ALL
+          SELECT 'near', doc_id, (doc_id + n_chars % 5) % n FROM documents, cnt
+        ),
+        body AS (
+          SELECT DISTINCT p.pred AS body_p, q.pred AS body_q,
+                          p.subj AS x, q.obj AS z
+          FROM t p JOIN t q ON p.obj = q.subj
+        ),
+        bsz AS (
+          SELECT body_p, body_q, count(*) AS body_size
+          FROM body GROUP BY body_p, body_q
+        ),
+        sup AS (
+          SELECT b.body_p, b.body_q, h.pred AS head_pred, count(*) AS support
+          FROM body b JOIN t h ON h.subj = b.x AND h.obj = b.z
+          GROUP BY b.body_p, b.body_q, h.pred
+        )
+        SELECT s.body_p, s.body_q, s.head_pred, s.support, z.body_size,
+               (s.support * 10000) // z.body_size AS conf_bp
+        FROM sup s
+        JOIN bsz z ON s.body_p = z.body_p AND s.body_q = z.body_q
+    """,
+    # planted aHash: rows 2r,2r+1 of the 16x16 image are all-255 iff bit r
+    # of B = ((doc_id//4) % 64) * 4 | 1 is set, so hex byte r of the hash
+    # is 'ff' iff bit r is set (bit 0 forced set, bit 1 forced clear, the
+    # 6-bit group key doc_id//4 mod 64 in bits 2..7)
+    "mm_phash_dups": """
+        WITH ph AS (
+          SELECT doc_id,
+                 'ff00'
+                 || (CASE WHEN ((doc_id // 4) % 64) // 1  % 2 = 1 THEN 'ff' ELSE '00' END)
+                 || (CASE WHEN ((doc_id // 4) % 64) // 2  % 2 = 1 THEN 'ff' ELSE '00' END)
+                 || (CASE WHEN ((doc_id // 4) % 64) // 4  % 2 = 1 THEN 'ff' ELSE '00' END)
+                 || (CASE WHEN ((doc_id // 4) % 64) // 8  % 2 = 1 THEN 'ff' ELSE '00' END)
+                 || (CASE WHEN ((doc_id // 4) % 64) // 16 % 2 = 1 THEN 'ff' ELSE '00' END)
+                 || (CASE WHEN ((doc_id // 4) % 64) // 32 % 2 = 1 THEN 'ff' ELSE '00' END)
+                 AS phash
+          FROM documents
+        )
+        SELECT doc_id, phash,
+               min(doc_id) OVER (PARTITION BY phash) AS cluster_id,
+               count(*) OVER (PARTITION BY phash) AS cluster_size,
+               CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY phash)
+                    THEN 1 ELSE 0 END AS is_survivor
+        FROM ph
     """,
     "mm_real_decode": """
         SELECT doc_id,
