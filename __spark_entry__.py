@@ -108,7 +108,8 @@ _RECEIPT_PRIORITY = [
     "kg_cocitation", "kg_entity_pmi", "kg_feed_items", "kg_hreflang",
     "kg_microdata",
     # new in the r4 eighth continuation session
-    "mm_phash_dups", "kg_rule_mining",
+    "mm_phash_dups", "kg_rule_mining", "mm_audio_fingerprint",
+    "q_event_funnel",
     # new in the r4 seventh continuation session
     "g_modularity", "g_walk_pairs", "tx_bm25", "g_scc_dag",
     "kg_crawl_budget", "tx_hard_negatives", "kg_host_skew",

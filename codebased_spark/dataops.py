@@ -673,6 +673,67 @@ def mm_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_sample_stats(synthetic_sample_media(_docs(spark, sf_dir)))
 
 
+def mm_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio dedup by zero-crossing fingerprint (media/audiofp.py): build
+    REAL WAV-PCM square waves whose half-period/amplitude are doc_id
+    arithmetic, parse the samples back, fingerprint (zero_crossings,
+    peak), and keep-one-per-fingerprint. The oracle states every
+    fingerprint declaratively; Spark must round-trip real PCM bytes."""
+    from codebased_spark.media.audiofp import (
+        audio_fingerprint_clusters,
+        synthetic_tone_media,
+    )
+
+    return audio_fingerprint_clusters(synthetic_tone_media(_docs(spark, sf_dir)))
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase over the events
+    table (ClickHouse windowFunnel analog): a user reaches step k when an
+    event of that type exists STRICTLY after their step-(k-1) time, taking
+    the earliest such event each time. ONE shuffle: groupBy user collects
+    the per-type sorted timestamp arrays, then the sequential mins are
+    JVM-side higher-order array functions (sort_array/filter/array_min —
+    no Python, no re-scan, no self-join). Per-user arrays are bounded by
+    per-user event counts; at 10^12 events the same plan holds because the
+    arrays carry only the three funnel types' timestamps, and a per-user
+    cap can be pushed into the collect via slice(). Output: one row per
+    funnel step with the user count that reached it — exact integers."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+
+    def _ts_list(t: str):
+        return F.sort_array(
+            F.collect_list(F.when(F.col("event_type") == t, F.col("ts")))
+        )
+
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            _ts_list("view").alias("views"),
+            _ts_list("click").alias("clicks"),
+            _ts_list("purchase").alias("purchases"),
+        )
+        .withColumn("t1", F.try_element_at("views", F.lit(1)))
+        .withColumn(
+            "t2", F.array_min(F.filter("clicks", lambda c: c > F.col("t1")))
+        )
+        .withColumn(
+            "t3", F.array_min(F.filter("purchases", lambda p: p > F.col("t2")))
+        )
+    )
+    totals = per_user.agg(
+        F.count("t1").alias("n1"),
+        F.count("t2").alias("n2"),
+        F.count("t3").alias("n3"),
+    )
+    return totals.selectExpr(
+        "stack(3, 1L, 'view', n1, 2L, 'click', n2, 3L, 'purchase', n3) "
+        "AS (step, step_name, n_users)"
+    )
+
+
 def kg_rule_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AMIE-style horn-rule mining (graph/rules.py): p(x,y) ∧ q(y,z) ⇒
     r(x,z) support/confidence over a deterministic typed triple store;
@@ -2458,6 +2519,8 @@ QUERIES = {
     "mm_sample_stats": mm_sample_stats,
     "mm_phash_dups": mm_phash_dups,
     "kg_rule_mining": kg_rule_mining,
+    "mm_audio_fingerprint": mm_audio_fingerprint,
+    "q_event_funnel": q_event_funnel,
     "kg_page_meta": kg_page_meta,
     "kg_url_parts": kg_url_parts,
     "kg_pattern_entities": kg_pattern_entities,
@@ -4130,6 +4193,42 @@ ORACLES = {
                CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 30000
                     ELSE 255 END AS sample_peak
         FROM documents
+    """,
+    # planted tones: half-period p = 1 + doc_id%8 -> zero crossings =
+    # 239 // p; peak = 100 * (1 + doc_id%5)
+    "mm_audio_fingerprint": """
+        WITH fp AS (
+          SELECT doc_id,
+                 239 // (1 + doc_id % 8) AS zero_crossings,
+                 100 * (1 + doc_id % 5) AS peak
+          FROM documents
+        )
+        SELECT doc_id, zero_crossings, peak,
+               min(doc_id) OVER (PARTITION BY zero_crossings, peak) AS cluster_id,
+               count(*) OVER (PARTITION BY zero_crossings, peak) AS cluster_size,
+               CASE WHEN doc_id = min(doc_id)
+                      OVER (PARTITION BY zero_crossings, peak)
+                    THEN 1 ELSE 0 END AS is_survivor
+        FROM fp
+    """,
+    "q_event_funnel": """
+        WITH t1 AS (
+          SELECT user_id, min(ts) AS t FROM events
+          WHERE event_type = 'view' GROUP BY user_id
+        ),
+        t2 AS (
+          SELECT e.user_id, min(e.ts) AS t
+          FROM events e JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t
+          WHERE e.event_type = 'click' GROUP BY e.user_id
+        ),
+        t3 AS (
+          SELECT e.user_id, min(e.ts) AS t
+          FROM events e JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id
+        )
+        SELECT 1 AS step, 'view' AS step_name, count(*) AS n_users FROM t1
+        UNION ALL SELECT 2, 'click', count(*) FROM t2
+        UNION ALL SELECT 3, 'purchase', count(*) FROM t3
     """,
     # planted rules: follows∘follows ⇒ skip2 exact; skip3 restricted to
     # even x halves that rule's confidence; `near` is n_chars-driven noise
