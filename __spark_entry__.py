@@ -109,7 +109,7 @@ _RECEIPT_PRIORITY = [
     "kg_microdata",
     # new in the r4 eighth continuation session
     "mm_phash_dups", "kg_rule_mining", "mm_audio_fingerprint",
-    "q_event_funnel",
+    "q_event_funnel", "tx_length_quantiles", "q_retention_cohorts",
     # new in the r4 seventh continuation session
     "g_modularity", "g_walk_pairs", "tx_bm25", "g_scc_dag",
     "kg_crawl_budget", "tx_hard_negatives", "kg_host_skew",

@@ -11,7 +11,7 @@ mm_* multimodal.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from codebased_spark.dedup.embedding import (
@@ -731,6 +731,54 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return totals.selectExpr(
         "stack(3, 1L, 'view', n1, 2L, 'click', n2, 3L, 'purchase', n3) "
         "AS (step, step_name, n_users)"
+    )
+
+
+def tx_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nearest-rank length quantiles per language (p25/p50/p75/p95
+    of n_chars) — the corpus profile every curation run reports. Exact by
+    construction (the value AT rank ceil(p*n/100), not an interpolation),
+    so the gate is bit-exact integers. Plan: ONE window (rank + count per
+    lang partition), the 4 percentile targets exploded JVM-side, filter —
+    no second scan, no percentile_approx sketch. At 10^12 rows the window
+    sort per lang is the cost; a production variant swaps in a per-lang
+    count + two-pass rank-select at the same semantics, but the partition
+    count here (languages) is small and each fits an executor."""
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+    )
+    return (
+        ranked.withColumn(
+            "pct", F.explode(F.array(*[F.lit(p) for p in (25, 50, 75, 95)]))
+        )
+        .where(F.col("rn") == F.expr("(n * pct + 99) div 100"))
+        .select("lang", "pct", F.col("n_chars").alias("n_chars_q"))
+    )
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention over the events table: users grouped by first-
+    event day, counted distinct per day offset they were active on — the
+    activity matrix behind every retention chart. Two keyed shuffles on
+    user_id (first-touch agg, then the activity join is co-partitioned on
+    the same key so the exchange is reused), then one (cohort, offset)
+    aggregate. All integers."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    first = ev.groupBy("user_id").agg(F.min("d").alias("cohort_date"))
+    return (
+        ev.join(first, "user_id")
+        .groupBy(
+            "cohort_date",
+            F.datediff(F.col("d"), F.col("cohort_date")).alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
     )
 
 
@@ -2521,6 +2569,8 @@ QUERIES = {
     "kg_rule_mining": kg_rule_mining,
     "mm_audio_fingerprint": mm_audio_fingerprint,
     "q_event_funnel": q_event_funnel,
+    "tx_length_quantiles": tx_length_quantiles,
+    "q_retention_cohorts": q_retention_cohorts,
     "kg_page_meta": kg_page_meta,
     "kg_url_parts": kg_url_parts,
     "kg_pattern_entities": kg_pattern_entities,
@@ -4193,6 +4243,30 @@ ORACLES = {
                CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 30000
                     ELSE 255 END AS sample_peak
         FROM documents
+    """,
+    "tx_length_quantiles": """
+        WITH ranked AS (
+          SELECT lang, n_chars, doc_id,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY n_chars, doc_id) AS rn,
+                 count(*) OVER (PARTITION BY lang) AS n
+          FROM documents
+        ),
+        pcts(pct) AS (VALUES (25), (50), (75), (95))
+        SELECT lang, pct, n_chars AS n_chars_q
+        FROM ranked, pcts
+        WHERE rn = (n * pct + 99) // 100
+    """,
+    "q_retention_cohorts": """
+        WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        first AS (
+          SELECT user_id, min(d) AS cohort_date FROM ev GROUP BY user_id
+        )
+        SELECT f.cohort_date,
+               date_diff('day', f.cohort_date, e.d) AS day_offset,
+               count(DISTINCT e.user_id) AS n_users
+        FROM ev e JOIN first f ON e.user_id = f.user_id
+        GROUP BY f.cohort_date, day_offset
     """,
     # planted tones: half-period p = 1 + doc_id%8 -> zero crossings =
     # 239 // p; peak = 100 * (1 + doc_id%5)
