@@ -782,6 +782,68 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tx_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality profile of the documents table: row count,
+    null count, exact distinct count, min/max (stringified) — the
+    ingestion-time audit every lakehouse job runs before trusting a new
+    snapshot. ONE wide aggregate computes every column's stats in a
+    single scan (no per-column job), then stack() unpivots the 1-row
+    result driver-free. countDistinct over 10^12 rows is the only
+    non-map-combinable piece; the production swap is approx_count_distinct
+    (HLL) at the same plan shape — exactness is kept here for the gate."""
+    docs = _docs(spark, sf_dir)
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+        ]
+    one = docs.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in cols
+    )
+    return one.selectExpr(
+        "n_rows",
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column_name, n_nulls, n_distinct, min_str, max_str)",
+    ).select("column_name", "n_rows", "n_nulls", "n_distinct", "min_str", "max_str")
+
+
+def q_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-frame anomaly screen over the hourly event series: each
+    hour's count vs the sum of the trailing 24 hourly counts (rows
+    between 24 preceding and 1 preceding), flagged when count * 24 >
+    2 * trailing_sum — integer arithmetic only, no float average, so the
+    gate is bit-exact. The frame runs per event_type so the window
+    partitions by a low-cardinality key and the series length (hours)
+    stays driver-safe at any corpus size: the heavy input is reduced to
+    one row per (type, hour) BEFORE the window."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(-24, -1)
+    )
+    trailing = hourly.withColumn(
+        "trailing_sum", F.coalesce(F.sum("n_events").over(w), F.lit(0))
+    ).withColumn("n_trailing", F.count("n_events").over(w))
+    return trailing.where(F.col("n_trailing") == 24).select(
+        "event_type",
+        "hour_ts",
+        "n_events",
+        "trailing_sum",
+        (F.col("n_events") * 24 > F.col("trailing_sum") * 2)
+        .cast("int")
+        .alias("is_spike"),
+    )
+
+
 def kg_rule_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AMIE-style horn-rule mining (graph/rules.py): p(x,y) ∧ q(y,z) ⇒
     r(x,z) support/confidence over a deterministic typed triple store;
@@ -2571,6 +2633,8 @@ QUERIES = {
     "q_event_funnel": q_event_funnel,
     "tx_length_quantiles": tx_length_quantiles,
     "q_retention_cohorts": q_retention_cohorts,
+    "tx_column_profile": tx_column_profile,
+    "q_hourly_anomalies": q_hourly_anomalies,
     "kg_page_meta": kg_page_meta,
     "kg_url_parts": kg_url_parts,
     "kg_pattern_entities": kg_pattern_entities,
@@ -4243,6 +4307,68 @@ ORACLES = {
                CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 30000
                     ELSE 255 END AS sample_peak
         FROM documents
+    """,
+    "tx_column_profile": """
+        WITH one AS (
+          SELECT count(*) AS n_rows,
+                 sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS doc_id__nulls,
+                 count(DISTINCT doc_id) AS doc_id__distinct,
+                 min(CAST(doc_id AS VARCHAR)) AS doc_id__min,
+                 max(CAST(doc_id AS VARCHAR)) AS doc_id__max,
+                 sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS text__nulls,
+                 count(DISTINCT text) AS text__distinct,
+                 min(text) AS text__min, max(text) AS text__max,
+                 sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS lang__nulls,
+                 count(DISTINCT lang) AS lang__distinct,
+                 min(lang) AS lang__min, max(lang) AS lang__max,
+                 sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS source__nulls,
+                 count(DISTINCT source) AS source__distinct,
+                 min(source) AS source__min, max(source) AS source__max,
+                 sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS n_chars__nulls,
+                 count(DISTINCT n_chars) AS n_chars__distinct,
+                 min(CAST(n_chars AS VARCHAR)) AS n_chars__min,
+                 max(CAST(n_chars AS VARCHAR)) AS n_chars__max
+          FROM documents
+        ),
+        cols(column_name) AS (VALUES ('doc_id'), ('text'), ('lang'),
+                                     ('source'), ('n_chars'))
+        SELECT column_name, n_rows,
+               CASE column_name WHEN 'doc_id' THEN doc_id__nulls
+                 WHEN 'text' THEN text__nulls WHEN 'lang' THEN lang__nulls
+                 WHEN 'source' THEN source__nulls ELSE n_chars__nulls
+               END AS n_nulls,
+               CASE column_name WHEN 'doc_id' THEN doc_id__distinct
+                 WHEN 'text' THEN text__distinct WHEN 'lang' THEN lang__distinct
+                 WHEN 'source' THEN source__distinct ELSE n_chars__distinct
+               END AS n_distinct,
+               CASE column_name WHEN 'doc_id' THEN doc_id__min
+                 WHEN 'text' THEN text__min WHEN 'lang' THEN lang__min
+                 WHEN 'source' THEN source__min ELSE n_chars__min
+               END AS min_str,
+               CASE column_name WHEN 'doc_id' THEN doc_id__max
+                 WHEN 'text' THEN text__max WHEN 'lang' THEN lang__max
+                 WHEN 'source' THEN source__max ELSE n_chars__max
+               END AS max_str
+        FROM one, cols
+    """,
+    "q_hourly_anomalies": """
+        WITH hourly AS (
+          SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+                 count(*) AS n_events
+          FROM events GROUP BY event_type, hour_ts
+        ),
+        t AS (
+          SELECT event_type, hour_ts, n_events,
+                 coalesce(sum(n_events) OVER w, 0) AS trailing_sum,
+                 count(n_events) OVER w AS n_trailing
+          FROM hourly
+          WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts
+                       ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_type, hour_ts, n_events, trailing_sum,
+               CASE WHEN n_events * 24 > trailing_sum * 2 THEN 1 ELSE 0
+               END AS is_spike
+        FROM t WHERE n_trailing = 24
     """,
     "tx_length_quantiles": """
         WITH ranked AS (
