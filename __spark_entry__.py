@@ -110,7 +110,7 @@ _RECEIPT_PRIORITY = [
     # new in the r4 eighth continuation session
     "mm_phash_dups", "kg_rule_mining", "mm_audio_fingerprint",
     "q_event_funnel", "tx_length_quantiles", "q_retention_cohorts",
-    "tx_column_profile", "q_hourly_anomalies",
+    "tx_column_profile", "q_hourly_anomalies", "tx_phrase_search", "g_mis",
     # new in the r4 seventh continuation session
     "g_modularity", "g_walk_pairs", "tx_bm25", "g_scc_dag",
     "kg_crawl_budget", "tx_hard_negatives", "kg_host_skew",

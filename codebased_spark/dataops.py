@@ -844,6 +844,26 @@ def q_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tx_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search 'value table' via positional postings
+    (textops/phrase.py): posexplode tokens, filter to the phrase's two
+    terms pre-shuffle, one (doc_id, position) equi-join — the Lucene
+    phrase-query shape on a relational engine."""
+    from codebased_spark.textops.phrase import phrase_matches
+
+    return phrase_matches(_docs(spark, sf_dir), ["value", "table"])
+
+
+def g_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three deterministic Luby MIS rounds over the document link graph
+    (graph/mis.py): hash-priority local minima join the set, neighbors
+    deactivate; output (node, status, mis_round) incl. the bounded-round
+    residual. The oracle replays the identical rounds declaratively."""
+    from codebased_spark.graph.mis import luby_mis
+
+    return luby_mis(_doc_edges(spark, sf_dir), rounds=3)
+
+
 def kg_rule_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AMIE-style horn-rule mining (graph/rules.py): p(x,y) ∧ q(y,z) ⇒
     r(x,z) support/confidence over a deterministic typed triple store;
@@ -2635,6 +2655,8 @@ QUERIES = {
     "q_retention_cohorts": q_retention_cohorts,
     "tx_column_profile": tx_column_profile,
     "q_hourly_anomalies": q_hourly_anomalies,
+    "tx_phrase_search": tx_phrase_search,
+    "g_mis": g_mis,
     "kg_page_meta": kg_page_meta,
     "kg_url_parts": kg_url_parts,
     "kg_pattern_entities": kg_pattern_entities,
@@ -3095,6 +3117,44 @@ _WALKS_SQL = f"""{_EDGES_SQL},
           UNION ALL SELECT origin, 3, cur FROM s3
           UNION ALL SELECT origin, 4, cur FROM s4
         )"""
+
+def _mis_rounds_sql(rounds: int = 3) -> str:
+    """Declarative replay of graph/mis.py::luby_mis over the _EDGES_SQL
+    graph: one (s_r select, d_r dominate, a_r deactivate) CTE triple per
+    round, same unique priority (hash * 1e12 + node)."""
+    parts = [
+        "und AS MATERIALIZED (SELECT src, dst FROM edges WHERE src <> dst "
+        "UNION SELECT dst, src FROM edges WHERE src <> dst)",
+        "mnodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM und)",
+        "a0 AS MATERIALIZED (SELECT node, (node * 40503 % 104729) * 1000000000000 + node"
+        " AS prio FROM mnodes)",
+    ]
+    sel = []
+    for r in range(1, rounds + 1):
+        p = f"a{r - 1}"
+        parts.append(
+            f"s{r} AS MATERIALIZED (SELECT a.node FROM {p} a LEFT JOIN ("
+            f"SELECT u.src AS node, min(b.prio) AS mn FROM und u "
+            f"JOIN {p} b ON u.dst = b.node GROUP BY u.src) m ON a.node = m.node "
+            f"WHERE m.mn IS NULL OR a.prio < m.mn)"
+        )
+        parts.append(
+            f"d{r} AS MATERIALIZED (SELECT DISTINCT u.dst AS node FROM und u "
+            f"JOIN s{r} s ON u.src = s.node "
+            f"WHERE u.dst IN (SELECT node FROM {p}) "
+            f"AND u.dst NOT IN (SELECT node FROM s{r}))"
+        )
+        parts.append(
+            f"a{r} AS MATERIALIZED (SELECT * FROM {p} WHERE node NOT IN "
+            f"(SELECT node FROM s{r} UNION SELECT node FROM d{r}))"
+        )
+        sel.append(f"SELECT node, 'in_mis' AS status, {r} AS mis_round FROM s{r}")
+        sel.append(
+            f"SELECT node, 'dominated' AS status, {r} AS mis_round FROM d{r}"
+        )
+    sel.append(f"SELECT node, 'active' AS status, 0 AS mis_round FROM a{rounds}")
+    return ",\n        ".join(parts) + "\n        " + "\n        UNION ALL ".join(sel)
+
 
 # ring-subgraph SCC via closure ∩ transpose (graph/scc.py), shared by
 # g_scc and g_scc_dag — produces e1(src, dst) and scc(node, scc_id);
@@ -4307,6 +4367,22 @@ ORACLES = {
                CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 30000
                     ELSE 255 END AS sample_peak
         FROM documents
+    """,
+    "tx_phrase_search": """
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        toks AS (
+          SELECT doc_id, i AS pos, l[i] AS term
+          FROM d, unnest(generate_series(1, len(l))) AS g(i)
+        ),
+        t0 AS (SELECT doc_id, pos FROM toks WHERE term = 'value'),
+        t1 AS (SELECT doc_id, pos - 1 AS pos FROM toks WHERE term = 'table')
+        SELECT t0.doc_id, count(*) AS n_matches
+        FROM t0 JOIN t1 ON t0.doc_id = t1.doc_id AND t0.pos = t1.pos
+        GROUP BY t0.doc_id
+    """,
+    "g_mis": f"""
+        WITH {_EDGES_SQL},
+        {_mis_rounds_sql(3)}
     """,
     "tx_column_profile": """
         WITH one AS (
