@@ -864,6 +864,54 @@ def g_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return luby_mis(_doc_edges(spark, sf_dir), rounds=3)
 
 
+def q_props_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON column processing: parse the events.props
+    payload JVM-side (get_json_object — no Python, no schema inference
+    pass) and aggregate by the extracted field. The 100-TB point: JSON
+    stays a string until the ONE extraction expression pulls the needed
+    key, so the scan reads a single column and the parse runs inside
+    codegen; a production variant promotes hot keys to materialized
+    columns with identical semantics."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type", (F.col("k") % 10).alias("k_bucket"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("k").alias("sum_k"))
+    )
+
+
+def q_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation over (event_type, day): all four grouping sets in
+    one pass — the OLAP rollup surface (Spark lowers cube() to a single
+    Expand + one aggregate, i.e. one shuffle for every subtotal level).
+    grouping_id disambiguates subtotal rows from genuine NULL keys."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.select("event_type", F.to_date("ts").alias("day"))
+        .cube("event_type", "day")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("event_type", "day", "gid", "n_events")
+    )
+
+
+def q_pivot_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (crosstab): document counts lang x source, sources spread to
+    columns. The pivot values are DECLARED (not discovered), so the plan
+    is one groupBy shuffle with conditional aggregates — no distinct-scan
+    job, no second pass; that is the only pivot shape that scales."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.groupBy("lang")
+        .pivot("source", [f"src{i}" for i in range(5)])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
 def kg_rule_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AMIE-style horn-rule mining (graph/rules.py): p(x,y) ∧ q(y,z) ⇒
     r(x,z) support/confidence over a deterministic typed triple store;
@@ -2657,6 +2705,9 @@ QUERIES = {
     "q_hourly_anomalies": q_hourly_anomalies,
     "tx_phrase_search": tx_phrase_search,
     "g_mis": g_mis,
+    "q_props_parse": q_props_parse,
+    "q_cube_events": q_cube_events,
+    "q_pivot_lang_source": q_pivot_lang_source,
     "kg_page_meta": kg_page_meta,
     "kg_url_parts": kg_url_parts,
     "kg_pattern_entities": kg_pattern_entities,
@@ -4367,6 +4418,35 @@ ORACLES = {
                CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 30000
                     ELSE 255 END AS sample_peak
         FROM documents
+    """,
+    "q_props_parse": """
+        SELECT event_type,
+               (CAST(json_extract_string(props, '$.k') AS BIGINT) % 10)
+                 AS k_bucket,
+               count(*) AS n_events,
+               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+        FROM events
+        GROUP BY event_type, k_bucket
+    """,
+    # Spark grouping_id() bit order: first cube column = most significant
+    # bit -> gid 0 (both), 1 (day subtotal), 2 (event_type subtotal), 3
+    # (grand total); DuckDB GROUPING() takes the same column order
+    "q_cube_events": """
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               GROUPING(event_type) * 2 + GROUPING(day) AS gid,
+               count(*) AS n_events
+        FROM events
+        GROUP BY CUBE (event_type, day)
+    """,
+    "q_pivot_lang_source": """
+        SELECT lang,
+               sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS src0,
+               sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS src1,
+               sum(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS src2,
+               sum(CASE WHEN source = 'src3' THEN 1 ELSE 0 END) AS src3,
+               sum(CASE WHEN source = 'src4' THEN 1 ELSE 0 END) AS src4
+        FROM documents
+        GROUP BY lang
     """,
     "tx_phrase_search": """
         WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
