@@ -864,6 +864,42 @@ def g_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return luby_mis(_doc_edges(spark, sf_dir), rounds=3)
 
 
+def g_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three deterministic local-minimum matching rounds over the document
+    link graph (graph/matching.py): edges whose hash priority is minimal
+    at BOTH endpoints join the matching, endpoints retire. The matched
+    pairs are the classic 2-approx vertex-cover generator."""
+    from codebased_spark.graph.matching import greedy_matching
+
+    return greedy_matching(_doc_edges(spark, sf_dir), rounds=3)
+
+
+def kg_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout keys — the Delta/Iceberg OPTIMIZE ZORDER
+    analog: interleave the bits of two scan dimensions (source id, length
+    bucket) so files clustered by zkey carry tight min/max on BOTH
+    columns and either predicate prunes at the scan. Pure bit arithmetic
+    in codegen (shiftleft/&), exact integers; zbucket = zkey div 64 is
+    the 16-file layout a compaction job would write."""
+    docs = _docs(spark, sf_dir)
+    x = F.substring("source", 4, 10).cast("long")  # srcN -> N (5 bits)
+    y = F.col("n_chars") % 32  # 5 bits
+    zkey = sum(
+        (
+            F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+        for i in range(5)
+    )
+    return docs.select(
+        "doc_id",
+        x.alias("src_num"),
+        y.alias("len_bucket"),
+        zkey.alias("zkey"),
+        (zkey / 64).cast("long").alias("zbucket"),
+    )
+
+
 def q_props_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured JSON column processing: parse the events.props
     payload JVM-side (get_json_object — no Python, no schema inference
@@ -2705,6 +2741,8 @@ QUERIES = {
     "q_hourly_anomalies": q_hourly_anomalies,
     "tx_phrase_search": tx_phrase_search,
     "g_mis": g_mis,
+    "g_matching": g_matching,
+    "kg_zorder_layout": kg_zorder_layout,
     "q_props_parse": q_props_parse,
     "q_cube_events": q_cube_events,
     "q_pivot_lang_source": q_pivot_lang_source,
@@ -3204,6 +3242,39 @@ def _mis_rounds_sql(rounds: int = 3) -> str:
             f"SELECT node, 'dominated' AS status, {r} AS mis_round FROM d{r}"
         )
     sel.append(f"SELECT node, 'active' AS status, 0 AS mis_round FROM a{rounds}")
+    return ",\n        ".join(parts) + "\n        " + "\n        UNION ALL ".join(sel)
+
+
+def _matching_rounds_sql(rounds: int = 3) -> str:
+    """Declarative replay of graph/matching.py::greedy_matching over the
+    _EDGES_SQL graph (MATERIALIZED for the same CTE-inlining reason as
+    _mis_rounds_sql)."""
+    parts = [
+        "p0 AS MATERIALIZED (SELECT a, b, "
+        "((a * 40503 + b * 7919) % 104729) * 1000000000000 "
+        "+ (a % 1000000) * 1000000 + (b % 1000000) AS eprio FROM ("
+        "SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+        "FROM edges WHERE src <> dst))",
+    ]
+    sel = []
+    for r in range(1, rounds + 1):
+        p = f"p{r - 1}"
+        parts.append(
+            f"vm{r} AS MATERIALIZED (SELECT v, min(eprio) AS vmin FROM ("
+            f"SELECT a AS v, eprio FROM {p} "
+            f"UNION ALL SELECT b, eprio FROM {p}) GROUP BY v)"
+        )
+        parts.append(
+            f"m{r} AS MATERIALIZED (SELECT p.a, p.b, {r} AS match_round "
+            f"FROM {p} p JOIN vm{r} x ON p.a = x.v AND p.eprio = x.vmin "
+            f"JOIN vm{r} y ON p.b = y.v AND p.eprio = y.vmin)"
+        )
+        parts.append(
+            f"p{r} AS MATERIALIZED (SELECT * FROM {p} WHERE "
+            f"a NOT IN (SELECT a FROM m{r} UNION SELECT b FROM m{r}) AND "
+            f"b NOT IN (SELECT a FROM m{r} UNION SELECT b FROM m{r}))"
+        )
+        sel.append(f"SELECT a, b, match_round FROM m{r}")
     return ",\n        ".join(parts) + "\n        " + "\n        UNION ALL ".join(sel)
 
 
@@ -4418,6 +4489,32 @@ ORACLES = {
                CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 30000
                     ELSE 255 END AS sample_peak
         FROM documents
+    """,
+    "g_matching": f"""
+        WITH {_EDGES_SQL},
+        {_matching_rounds_sql(3)}
+    """,
+    "kg_zorder_layout": """
+        WITH dims AS (
+          SELECT doc_id,
+                 CAST(substring(source, 4) AS BIGINT) AS src_num,
+                 n_chars % 32 AS len_bucket
+          FROM documents
+        )
+        SELECT doc_id, src_num, len_bucket,
+               ((src_num // 1) % 2) * 1 + ((len_bucket // 1) % 2) * 2
+             + ((src_num // 2) % 2) * 4 + ((len_bucket // 2) % 2) * 8
+             + ((src_num // 4) % 2) * 16 + ((len_bucket // 4) % 2) * 32
+             + ((src_num // 8) % 2) * 64 + ((len_bucket // 8) % 2) * 128
+             + ((src_num // 16) % 2) * 256 + ((len_bucket // 16) % 2) * 512
+               AS zkey,
+               (((src_num // 1) % 2) * 1 + ((len_bucket // 1) % 2) * 2
+             + ((src_num // 2) % 2) * 4 + ((len_bucket // 2) % 2) * 8
+             + ((src_num // 4) % 2) * 16 + ((len_bucket // 4) % 2) * 32
+             + ((src_num // 8) % 2) * 64 + ((len_bucket // 8) % 2) * 128
+             + ((src_num // 16) % 2) * 256 + ((len_bucket // 16) % 2) * 512)
+               // 64 AS zbucket
+        FROM dims
     """,
     "q_props_parse": """
         SELECT event_type,
