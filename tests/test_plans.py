@@ -204,3 +204,49 @@ def test_apportionment_is_jvm_and_host_sized(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     # the leftover/total aggregates are broadcast 1-row sides
     assert "BroadcastExchange" in p
+
+
+def test_event_funnel_single_shuffle_no_python(spark):
+    from codebased_spark.dataops import q_event_funnel
+
+    p = plan(q_event_funnel(spark, SF))
+    # higher-order array filters must stay JVM-side
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # one user-key exchange for the collect_list agg, one single-partition
+    # exchange for the global roll-up — no third shuffle
+    assert p.count("Exchange") <= 3
+    # the event_type IN filter reaches the parquet scan
+    assert "PushedFilters: [In(event_type" in p
+
+
+def test_phrase_search_prunes_to_phrase_terms(spark):
+    from codebased_spark.textops.phrase import phrase_matches
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(phrase_matches(docs, ["value", "table"]))
+    # tokenization is map-only JVM work; postings for only the phrase's
+    # terms are joined — never a cartesian, never Python
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    # only doc_id and text are scanned
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
+
+
+def test_zorder_is_map_only_codegen(spark):
+    from codebased_spark.dataops import kg_zorder_layout
+
+    p = plan(kg_zorder_layout(spark, SF))
+    assert "Exchange" not in p  # pure projection: no shuffle at any scale
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "*(1) Project" in p  # whole-stage codegen star on the projection
+
+
+def test_phash_shuffle_carries_hash_not_pixels(spark):
+    from codebased_spark.dataops import mm_phash_dups
+
+    p = plan(mm_phash_dups(spark, SF))
+    # the window shuffle must move (doc_id, phash) rows, never payload
+    import re
+
+    ex = [ln for ln in p.splitlines() if "Exchange hashpartitioning" in ln]
+    assert ex and all("payload" not in ln for ln in ex)
