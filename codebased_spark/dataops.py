@@ -864,6 +864,104 @@ def g_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return luby_mis(_doc_edges(spark, sf_dir), rounds=3)
 
 
+def kg_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics over the entity table — the Iceberg/Delta
+    upsert a resumable KG materialization runs per snapshot: a delta of
+    updates (newer ts wins), tombstones (delete), and inserts applied to
+    the base in ONE full-outer join keyed on entity_id. Base and delta
+    are both doc_id arithmetic so the oracle replays the merge
+    declaratively; the action column audits what happened to every key.
+    At 10^12 rows the join is the partition-local merge Iceberg performs
+    per file group; a small delta broadcastable side is the common case.
+
+    Plant: base = every doc (ts = doc_id % 100); delta updates doc_id%7==0
+    with ts+50 (wins) and doc_id%13==1 with ts-10 (stale, loses),
+    tombstones doc_id%11==3, inserts ids N..N+N/10."""
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    base = docs.select(
+        F.col("doc_id").alias("entity_id"),
+        F.concat(F.lit("name_"), F.col("doc_id")).alias("name"),
+        (F.col("doc_id") % 100).alias("ts"),
+    )
+    upd = docs.where((F.col("doc_id") % 7 == 0) | (F.col("doc_id") % 13 == 1)).select(
+        F.col("doc_id").alias("entity_id"),
+        F.concat(F.lit("upd_"), F.col("doc_id")).alias("name"),
+        F.when(F.col("doc_id") % 7 == 0, F.col("doc_id") % 100 + 50)
+        .otherwise(F.col("doc_id") % 100 - 10)
+        .alias("ts"),
+        F.lit(0).alias("tombstone"),
+    )
+    dels = docs.where(F.col("doc_id") % 11 == 3).select(
+        F.col("doc_id").alias("entity_id"),
+        F.lit(None).cast("string").alias("name"),
+        F.lit(999).alias("ts"),
+        F.lit(1).alias("tombstone"),
+    )
+    ins = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + n).alias("entity_id"),
+        F.concat(F.lit("new_"), F.col("doc_id") + n).alias("name"),
+        F.lit(1000).alias("ts"),
+        F.lit(0).alias("tombstone"),
+    )
+    # tombstone wins over update for the same key: keep max(tombstone)
+    delta = (
+        upd.unionByName(dels)
+        .unionByName(ins)
+        .groupBy("entity_id")
+        .agg(
+            F.max("tombstone").alias("tombstone"),
+            F.max_by("name", "ts").alias("name"),
+            F.max("ts").alias("ts"),
+        )
+    )
+    j = base.alias("b").join(delta.alias("d"), "entity_id", "full_outer")
+    merged = j.select(
+        "entity_id",
+        F.when(F.col("d.tombstone") == 1, F.lit("deleted"))
+        .when(F.col("b.ts").isNull(), F.lit("inserted"))
+        .when(F.col("d.ts").isNull(), F.lit("kept"))
+        .when(F.col("d.ts") > F.col("b.ts"), F.lit("updated"))
+        .otherwise(F.lit("kept"))
+        .alias("action"),
+        F.when(F.col("d.tombstone") == 1, F.lit(None).cast("string"))
+        .when(F.col("b.ts").isNull(), F.col("d.name"))
+        .when(F.col("d.ts").isNull(), F.col("b.name"))
+        .when(F.col("d.ts") > F.col("b.ts"), F.col("d.name"))
+        .otherwise(F.col("b.name"))
+        .alias("name"),
+    )
+    return merged
+
+
+def q_late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data audit — the batch twin of streaming watermarking: replay
+    the stream in arrival order (event_id), track the running max event
+    time, and count events arriving more than 10 minutes behind it per
+    type. This is the measurement that justifies a watermark choice
+    before deploying the streaming job (streaming/ingest.py). The global
+    arrival-order window is the audit-tool shape (one pass, one ordered
+    partition); the production variant partitions the same window by
+    ingestion shard, which is how the stream actually advances its
+    watermark. Integer microsecond arithmetic only."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
+    lateness = (
+        ev.withColumn("wm", F.max("ts").over(w))
+        .select(
+            "event_type",
+            F.expr("timestampdiff(MICROSECOND, ts, wm)").alias("behind_us"),
+        )
+    )
+    return lateness.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            (F.col("behind_us") > 10 * 60 * 1_000_000).cast("long")
+        ).alias("n_late"),
+        F.max("behind_us").alias("max_behind_us"),
+    )
+
+
 def g_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three deterministic local-minimum matching rounds over the document
     link graph (graph/matching.py): edges whose hash priority is minimal
@@ -2743,6 +2841,8 @@ QUERIES = {
     "g_mis": g_mis,
     "g_matching": g_matching,
     "kg_zorder_layout": kg_zorder_layout,
+    "kg_merge_upsert": kg_merge_upsert,
+    "q_late_events": q_late_events,
     "q_props_parse": q_props_parse,
     "q_cube_events": q_cube_events,
     "q_pivot_lang_source": q_pivot_lang_source,
@@ -4489,6 +4589,56 @@ ORACLES = {
                CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 30000
                     ELSE 255 END AS sample_peak
         FROM documents
+    """,
+    "kg_merge_upsert": """
+        WITH cnt AS (SELECT count(*) AS n FROM documents),
+        base AS (
+          SELECT doc_id AS entity_id, 'name_' || doc_id AS name,
+                 doc_id % 100 AS ts
+          FROM documents
+        ),
+        raw_delta AS (
+          SELECT doc_id AS entity_id, 'upd_' || doc_id AS name,
+                 CASE WHEN doc_id % 7 = 0 THEN doc_id % 100 + 50
+                      ELSE doc_id % 100 - 10 END AS ts,
+                 0 AS tombstone
+          FROM documents WHERE doc_id % 7 = 0 OR doc_id % 13 = 1
+          UNION ALL
+          SELECT doc_id, NULL, 999, 1 FROM documents WHERE doc_id % 11 = 3
+          UNION ALL
+          SELECT doc_id + n, 'new_' || (doc_id + n), 1000, 0
+          FROM documents, cnt WHERE doc_id % 10 = 0
+        ),
+        delta AS (
+          SELECT entity_id, max(tombstone) AS tombstone,
+                 arg_max(name, ts) AS name, max(ts) AS ts
+          FROM raw_delta GROUP BY entity_id
+        )
+        SELECT coalesce(b.entity_id, d.entity_id) AS entity_id,
+               CASE WHEN d.tombstone = 1 THEN 'deleted'
+                    WHEN b.ts IS NULL THEN 'inserted'
+                    WHEN d.ts IS NULL THEN 'kept'
+                    WHEN d.ts > b.ts THEN 'updated'
+                    ELSE 'kept' END AS action,
+               CASE WHEN d.tombstone = 1 THEN NULL
+                    WHEN b.ts IS NULL THEN d.name
+                    WHEN d.ts IS NULL THEN b.name
+                    WHEN d.ts > b.ts THEN d.name
+                    ELSE b.name END AS name
+        FROM base b FULL OUTER JOIN delta d ON b.entity_id = d.entity_id
+    """,
+    "q_late_events": """
+        WITH lateness AS (
+          SELECT event_type,
+                 epoch_us(max(ts) OVER (ORDER BY event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+                 - epoch_us(ts) AS behind_us
+          FROM events
+        )
+        SELECT event_type, count(*) AS n_events,
+               sum(CASE WHEN behind_us > 600000000 THEN 1 ELSE 0 END) AS n_late,
+               max(behind_us) AS max_behind_us
+        FROM lateness GROUP BY event_type
     """,
     "g_matching": f"""
         WITH {_EDGES_SQL},
