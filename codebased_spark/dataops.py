@@ -864,6 +864,72 @@ def g_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return luby_mis(_doc_edges(spark, sf_dir), rounds=3)
 
 
+def kg_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction planner (the OPTIMIZE/rewrite_data_files
+    shape): per-source 'file' sizes (sum of doc bytes), ordered by the
+    layout key, packed into target-sized output groups by cumulative-sum
+    bucketing — group = floor((cumsum - size) / target) assigns each file
+    to the group its START offset falls in, exactly how a sorted
+    streaming packer fills 512MB files without reordering the sort key.
+    One small agg + one window over an already-tiny per-file table; all
+    integers. The moved-bytes audit per group is what the job reports."""
+    docs = _docs(spark, sf_dir)
+    target = 20_000
+    files = docs.groupBy("source").agg(F.sum("n_chars").alias("f_bytes"))
+    w = Window.orderBy("source").rowsBetween(Window.unboundedPreceding, 0)
+    planned = files.withColumn("cum_bytes", F.sum("f_bytes").over(w)).withColumn(
+        "group_id",
+        F.expr(f"(cum_bytes - f_bytes) div {target}"),
+    )
+    return planned.groupBy("group_id").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("f_bytes").alias("group_bytes"),
+        F.min("source").alias("first_source"),
+        F.max("source").alias("last_source"),
+    )
+
+
+def kg_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) hashing — the shard assigner a
+    crawl/KG service uses so that ADDING a shard moves only ~1/(n+1) of
+    the keys (Thaler & Ravishankar 1998, public): each host goes to the
+    shard with max h(host, shard). Computed for 32 and 33 shards in one
+    pass (posexplode the shard ids, one argmax agg per width); `moved`
+    audits the reshard churn. Exact integer hashing; no shuffle bigger
+    than (host, shard) pairs, i.e. 33x the host dimension — broadcast
+    scale."""
+    docs = _docs(spark, sf_dir)
+    hosts = docs.select(
+        F.substring("source", 4, 10).cast("long").alias("src_num")
+    ).distinct()
+    pairs = hosts.select(
+        "src_num",
+        F.explode(F.array(*[F.lit(s) for s in range(33)])).alias("shard"),
+    ).withColumn(
+        # * 64 + shard makes the weight unique per (host, shard): ties in
+        # the raw hash would otherwise make the argmax engine-dependent
+        "hrw",
+        ((F.col("src_num") * 2654435761 + F.col("shard") * 40503) % 104729)
+        * 64
+        + F.col("shard"),
+    )
+    a32 = (
+        pairs.where(F.col("shard") < 32)
+        .groupBy("src_num")
+        .agg(F.max_by("shard", "hrw").alias("shard32"))
+    )
+    a33 = pairs.groupBy("src_num").agg(F.max_by("shard", "hrw").alias("shard33"))
+    return (
+        a32.join(a33, "src_num")
+        .select(
+            "src_num",
+            "shard32",
+            "shard33",
+            (F.col("shard32") != F.col("shard33")).cast("int").alias("moved"),
+        )
+    )
+
+
 def kg_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO semantics over the entity table — the Iceberg/Delta
     upsert a resumable KG materialization runs per snapshot: a delta of
@@ -2843,6 +2909,8 @@ QUERIES = {
     "kg_zorder_layout": kg_zorder_layout,
     "kg_merge_upsert": kg_merge_upsert,
     "q_late_events": q_late_events,
+    "kg_compaction_plan": kg_compaction_plan,
+    "kg_shard_assignment": kg_shard_assignment,
     "q_props_parse": q_props_parse,
     "q_cube_events": q_cube_events,
     "q_pivot_lang_source": q_pivot_lang_source,
@@ -4589,6 +4657,46 @@ ORACLES = {
                CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 30000
                     ELSE 255 END AS sample_peak
         FROM documents
+    """,
+    "kg_compaction_plan": """
+        WITH files AS (
+          SELECT source, sum(n_chars) AS f_bytes
+          FROM documents GROUP BY source
+        ),
+        planned AS (
+          SELECT source, f_bytes,
+                 sum(f_bytes) OVER (ORDER BY source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_bytes
+          FROM files
+        )
+        SELECT (cum_bytes - f_bytes) // 20000 AS group_id,
+               count(*) AS n_files, sum(f_bytes) AS group_bytes,
+               min(source) AS first_source, max(source) AS last_source
+        FROM planned GROUP BY group_id
+    """,
+    "kg_shard_assignment": """
+        WITH hosts AS (
+          SELECT DISTINCT CAST(substring(source, 4) AS BIGINT) AS src_num
+          FROM documents
+        ),
+        pairs AS (
+          SELECT src_num, s.shard,
+                 ((src_num * 2654435761 + s.shard * 40503) % 104729) * 64
+                   + s.shard AS hrw
+          FROM hosts, (SELECT unnest(generate_series(0, 32)) AS shard) s
+        ),
+        a32 AS (
+          SELECT src_num, arg_max(shard, hrw) AS shard32
+          FROM pairs WHERE shard < 32 GROUP BY src_num
+        ),
+        a33 AS (
+          SELECT src_num, arg_max(shard, hrw) AS shard33
+          FROM pairs GROUP BY src_num
+        )
+        SELECT a32.src_num, shard32, shard33,
+               CASE WHEN shard32 <> shard33 THEN 1 ELSE 0 END AS moved
+        FROM a32 JOIN a33 ON a32.src_num = a33.src_num
     """,
     "kg_merge_upsert": """
         WITH cnt AS (SELECT count(*) AS n FROM documents),
