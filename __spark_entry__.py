@@ -113,7 +113,7 @@ _RECEIPT_PRIORITY = [
     "tx_column_profile", "q_hourly_anomalies", "tx_phrase_search", "g_mis",
     "q_props_parse", "q_cube_events", "q_pivot_lang_source", "g_matching",
     "kg_zorder_layout", "kg_merge_upsert", "q_late_events",
-    "kg_compaction_plan", "kg_shard_assignment",
+    "kg_compaction_plan", "kg_shard_assignment", "kg_merkle_diff",
     # new in the r4 seventh continuation session
     "g_modularity", "g_walk_pairs", "tx_bm25", "g_scc_dag",
     "kg_crawl_budget", "tx_hard_negatives", "kg_host_skew",

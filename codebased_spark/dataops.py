@@ -864,6 +864,56 @@ def g_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return luby_mis(_doc_edges(spark, sf_dir), rounds=3)
 
 
+def kg_merkle_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-bucket snapshot diff — how two 10^12-row corpus snapshots
+    are compared WITHOUT shipping either: hash every doc, aggregate an
+    order-independent bucket digest (md5 of the doc-id-sorted hash
+    concat, 64 buckets), compare digests bucket-by-bucket, and only
+    changed buckets ever need row-level reconciliation. Snapshot B is
+    snapshot A with a planted mutation (text of doc_id % 97 == 5 edited),
+    so exactly the buckets containing those docs flag changed. Two
+    bucket-keyed aggregates + a 64-row join; doc hashes shuffle, text
+    never does."""
+    docs = _docs(spark, sf_dir)
+
+    def digests(d, col):
+        return (
+            d.select(
+                (F.col("doc_id") % 64).alias("bucket"),
+                F.col("doc_id").alias("k"),
+                F.md5(col).alias("h"),
+            )
+            .groupBy("bucket")
+            .agg(
+                F.md5(
+                    F.concat_ws(
+                        "",
+                        F.transform(
+                            F.array_sort(F.collect_list(F.struct("k", "h"))),
+                            lambda s: s["h"],
+                        ),
+                    )
+                ).alias("digest"),
+                F.count(F.lit(1)).alias("n_docs"),
+            )
+        )
+
+    a = digests(docs, F.col("text"))
+    b = digests(
+        docs,
+        F.when(F.col("doc_id") % 97 == 5, F.concat(F.col("text"), F.lit(" EDIT")))
+        .otherwise(F.col("text")),
+    )
+    return (
+        a.select("bucket", F.col("digest").alias("digest_a"), "n_docs")
+        .join(b.select("bucket", F.col("digest").alias("digest_b")), "bucket")
+        .withColumn(
+            "changed",
+            (F.col("digest_a") != F.col("digest_b")).cast("int"),
+        )
+    )
+
+
 def kg_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-files compaction planner (the OPTIMIZE/rewrite_data_files
     shape): per-source 'file' sizes (sum of doc bytes), ordered by the
@@ -2909,6 +2959,7 @@ QUERIES = {
     "kg_zorder_layout": kg_zorder_layout,
     "kg_merge_upsert": kg_merge_upsert,
     "q_late_events": q_late_events,
+    "kg_merkle_diff": kg_merkle_diff,
     "kg_compaction_plan": kg_compaction_plan,
     "kg_shard_assignment": kg_shard_assignment,
     "q_props_parse": q_props_parse,
@@ -4657,6 +4708,24 @@ ORACLES = {
                CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 30000
                     ELSE 255 END AS sample_peak
         FROM documents
+    """,
+    "kg_merkle_diff": """
+        WITH a AS (
+          SELECT doc_id % 64 AS bucket,
+                 md5(string_agg(md5(text), '' ORDER BY doc_id)) AS digest_a,
+                 count(*) AS n_docs
+          FROM documents GROUP BY bucket
+        ),
+        b AS (
+          SELECT doc_id % 64 AS bucket,
+                 md5(string_agg(md5(
+                   CASE WHEN doc_id % 97 = 5 THEN text || ' EDIT' ELSE text END
+                 ), '' ORDER BY doc_id)) AS digest_b
+          FROM documents GROUP BY bucket
+        )
+        SELECT a.bucket, digest_a, n_docs, digest_b,
+               CASE WHEN digest_a <> digest_b THEN 1 ELSE 0 END AS changed
+        FROM a JOIN b ON a.bucket = b.bucket
     """,
     "kg_compaction_plan": """
         WITH files AS (
