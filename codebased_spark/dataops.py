@@ -864,6 +864,38 @@ def g_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return luby_mis(_doc_edges(spark, sf_dir), rounds=3)
 
 
+def mm_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: REAL MP4 containers built + header-
+    parsed (media/headers.py) for true duration, then 1-fps keyframe
+    timestamps (capped at 10) fanned out JVM-side with explode(sequence())
+    — the (doc_id, frame_idx, ts_ms) work-list a decode cluster consumes.
+    Pixel decode of the sampled frames needs ffmpeg and stays behind the
+    documented NotImplementedError (media/decode.py); the plumbing —
+    schema, fan-out shape, per-batch Arrow decode of durations — is real
+    and value-gated (durations are doc_id arithmetic)."""
+    from codebased_spark.media.decode import media_metadata, synthetic_real_media
+
+    media = synthetic_real_media(_docs(spark, sf_dir))
+    meta = media_metadata(media, real=True).where(F.col("media_type") == "video")
+    # 50ms sampling keeps the fan-out non-vacuous at every sf (small ids
+    # mean short planted durations); production uses 1000ms with the
+    # identical plan
+    n_frames = F.least(F.lit(10), F.col("duration_ms") / 50 + 1).cast("long")
+    return (
+        meta.select(
+            "doc_id",
+            "duration_ms",
+            F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+        )
+        .select(
+            "doc_id",
+            "frame_idx",
+            (F.col("frame_idx") * 50).alias("ts_ms"),
+            "duration_ms",
+        )
+    )
+
+
 def kg_merkle_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merkle-bucket snapshot diff — how two 10^12-row corpus snapshots
     are compared WITHOUT shipping either: hash every doc, aggregate an
@@ -2960,6 +2992,7 @@ QUERIES = {
     "kg_merge_upsert": kg_merge_upsert,
     "q_late_events": q_late_events,
     "kg_merkle_diff": kg_merkle_diff,
+    "mm_frame_sampling": mm_frame_sampling,
     "kg_compaction_plan": kg_compaction_plan,
     "kg_shard_assignment": kg_shard_assignment,
     "q_props_parse": q_props_parse,
@@ -4708,6 +4741,17 @@ ORACLES = {
                CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 30000
                     ELSE 255 END AS sample_peak
         FROM documents
+    """,
+    # videos: doc_id % 3 == 2, duration_ms = 1 + doc_id % 600000
+    "mm_frame_sampling": """
+        WITH vids AS (
+          SELECT doc_id, 1 + doc_id % 600000 AS duration_ms,
+                 least(10, (1 + doc_id % 600000) // 50 + 1) AS n_frames
+          FROM documents WHERE doc_id % 3 = 2
+        )
+        SELECT doc_id, g.frame_idx, g.frame_idx * 50 AS ts_ms, duration_ms
+        FROM vids, (SELECT unnest(generate_series(0, 9)) AS frame_idx) g
+        WHERE g.frame_idx < n_frames
     """,
     "kg_merkle_diff": """
         WITH a AS (

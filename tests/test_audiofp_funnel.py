@@ -77,3 +77,26 @@ def test_event_funnel_earliest_step_time_semantics(spark, tmp_path):
     got = {r.step: r.n_users for r in q_event_funnel(spark, str(tmp_path)).collect()}
     # click at minute 4 anchors; purchase at minute 5 qualifies
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_frame_sampling_fanout_and_cap(spark, tmp_path):
+    # doc 2 -> duration 3ms -> 1 frame; doc 302 -> duration 303ms -> 7
+    # frames (303//50+1); doc 1202 -> duration 1203ms -> capped at 10
+    rows = [(i, "t", "en", "src0", 10) for i in (2, 302, 1202)]
+
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    from codebased_spark.dataops import mm_frame_sampling
+
+    out = mm_frame_sampling(spark, str(tmp_path)).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    assert len(per_doc[2]) == 1
+    assert len(per_doc[302]) == 7
+    assert len(per_doc[1202]) == 10
+    f = sorted(per_doc[302], key=lambda r: r.frame_idx)
+    assert [r.ts_ms for r in f] == [0, 50, 100, 150, 200, 250, 300]
+    assert all(r.duration_ms == 303 for r in f)
