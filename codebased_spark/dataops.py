@@ -864,6 +864,16 @@ def g_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return luby_mis(_doc_edges(spark, sf_dir), rounds=3)
 
 
+def g_khop_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-hop reachability via Spark 4's native WITH RECURSIVE (graph/
+    paths.py::k_hop_reach_recursive) — same first-arrival output as the
+    g_khop_reach frontier loop (cross-checked in tests/test_paths), now
+    expressed as the declarative closure SURVEY Q4 anticipated."""
+    from codebased_spark.graph.paths import k_hop_reach_recursive
+
+    return k_hop_reach_recursive(spark, _doc_edges(spark, sf_dir), k=3)
+
+
 def mm_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plumbing: REAL MP4 containers built + header-
     parsed (media/headers.py) for true duration, then 1-fps keyframe
@@ -2993,6 +3003,7 @@ QUERIES = {
     "q_late_events": q_late_events,
     "kg_merkle_diff": kg_merkle_diff,
     "mm_frame_sampling": mm_frame_sampling,
+    "g_khop_recursive": g_khop_recursive,
     "kg_compaction_plan": kg_compaction_plan,
     "kg_shard_assignment": kg_shard_assignment,
     "q_props_parse": q_props_parse,
@@ -5628,6 +5639,17 @@ ORACLES = {
         FROM events e JOIN campaigns c
           ON e.ts BETWEEN c.start_ts AND c.end_ts
         GROUP BY 1
+    """,
+    "g_khop_recursive": f"""
+        WITH RECURSIVE {_EDGES_SQL},
+        walk AS (
+          SELECT src AS origin, dst AS node, 1 AS depth FROM edges
+          UNION ALL
+          SELECT w.origin, e.dst, w.depth + 1
+          FROM walk w JOIN edges e ON e.src = w.node WHERE w.depth < 3
+        )
+        SELECT origin, node, min(depth) AS depth
+        FROM walk GROUP BY origin, node
     """,
     "g_khop_reach": f"""
         WITH RECURSIVE {_EDGES_SQL},

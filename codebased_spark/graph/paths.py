@@ -33,6 +33,35 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def k_hop_reach_recursive(spark, edges: DataFrame, k: int = 3) -> DataFrame:
+    """(origin, node, depth) within k hops via Spark 4's NATIVE recursive
+    CTE — the engine feature SURVEY Q4 listed as the future option for
+    variable-length paths, now exercised directly. Spark 4.1 supports
+    WITH RECURSIVE with UNION ALL members only (UNION dedup is not yet
+    implemented), so the recursion materializes PATHS (bounded by the
+    depth guard) and first-arrival semantics come from the outer
+    min(depth) aggregate — identical output to k_hop_reach's loop, which
+    is pinned by a cross-implementation test. The loop remains the scale
+    path for larger k: UNION ALL multiplicity grows with path count
+    (out_degree^k per origin), whereas the loop dedups per level; prefer
+    the CTE when k is small or the graph is a DAG."""
+    e = edges.select(F.col("src"), F.col("dst"))
+    e.createOrReplaceTempView("__khop_edges")
+    return spark.sql(
+        f"""
+        WITH RECURSIVE walk(origin, node, depth) AS (
+          SELECT src, dst, 1 FROM __khop_edges
+          UNION ALL
+          SELECT w.origin, e.dst, w.depth + 1
+          FROM walk w JOIN __khop_edges e ON e.src = w.node
+          WHERE w.depth < {int(k)}
+        )
+        SELECT origin, node, min(depth) AS depth
+        FROM walk GROUP BY origin, node
+        """
+    )
+
+
 class FrontierBudgetExceeded(RuntimeError):
     """A bounded-path frontier outgrew `max_frontier_rows` — the graph's
     k-hop ball is too large for this query shape at this scale; lower k,

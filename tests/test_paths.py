@@ -266,3 +266,17 @@ def test_harmonic_first_arrival_depths(spark):
     # origin 2: 4 at d1, 5 at d2 -> 1.5; origin 4: just 5 -> 1.0
     assert got[2] == (2, 1.5)
     assert got[4] == (1, 1.0)
+
+
+def test_recursive_cte_matches_frontier_loop(spark):
+    # Spark 4 native WITH RECURSIVE must produce byte-identical
+    # first-arrival rows to the k_hop_reach loop on a cyclic graph
+    from codebased_spark.graph.paths import k_hop_reach, k_hop_reach_recursive
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 2), (5, 0)],
+        ["src", "dst"],
+    )
+    loop = sorted(map(tuple, k_hop_reach(edges, k=3).collect()))
+    rec = sorted(map(tuple, k_hop_reach_recursive(spark, edges, k=3).collect()))
+    assert loop == rec
