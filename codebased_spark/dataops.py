@@ -738,25 +738,34 @@ def tx_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact nearest-rank length quantiles per language (p25/p50/p75/p95
     of n_chars) — the corpus profile every curation run reports. Exact by
     construction (the value AT rank ceil(p*n/100), not an interpolation),
-    so the gate is bit-exact integers. Plan: ONE window (rank + count per
-    lang partition), the 4 percentile targets exploded JVM-side, filter —
-    no second scan, no percentile_approx sketch. At 10^12 rows the window
-    sort per lang is the cost; a production variant swaps in a per-lang
-    count + two-pass rank-select at the same semantics, but the partition
-    count here (languages) is small and each fits an executor."""
+    so the gate is bit-exact integers — and SCALABLE by construction: a
+    naive per-lang row_number window would single-task-sort each
+    language's billions of rows at corpus scale, so this computes the
+    per-(lang, value) HISTOGRAM first (one keyed agg over the full data)
+    and then runs the cumulative window over distinct values only —
+    bounded by the value domain, not the row count. The value bucket
+    whose cumulative range covers the target rank IS the nearest-rank
+    quantile. percentile_approx gives the same plan shape with sketch
+    error; exactness is kept for the gate."""
     docs = _docs(spark, sf_dir)
-    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
-    ranked = docs.select(
-        "lang",
-        "n_chars",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+    hist = docs.groupBy("lang", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    wv = (
+        Window.partitionBy("lang")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(wv)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy("lang"))
     )
     return (
-        ranked.withColumn(
+        cum.withColumn(
             "pct", F.explode(F.array(*[F.lit(p) for p in (25, 50, 75, 95)]))
         )
-        .where(F.col("rn") == F.expr("(n * pct + 99) div 100"))
+        .withColumn("target", F.expr("(n * pct + 99) div 100"))
+        .where(
+            (F.col("cum") >= F.col("target"))
+            & (F.col("cum") - F.col("c") < F.col("target"))
+        )
         .select("lang", "pct", F.col("n_chars").alias("n_chars_q"))
     )
 
