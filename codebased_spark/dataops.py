@@ -1107,14 +1107,28 @@ def q_late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     time, and count events arriving more than 10 minutes behind it per
     type. This is the measurement that justifies a watermark choice
     before deploying the streaming job (streaming/ingest.py). The global
-    arrival-order window is the audit-tool shape (one pass, one ordered
-    partition); the production variant partitions the same window by
-    ingestion shard, which is how the stream actually advances its
-    watermark. Integer microsecond arithmetic only."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
+    running max is computed as a DISTRIBUTED two-level prefix scan, not a
+    single-partition window: per-bucket maxima (one keyed agg), a
+    cumulative window over the tiny bucket table for cross-bucket
+    offsets, then a bucket-partitioned within-bucket prefix — the
+    arrival-ordered sort never exceeds one bucket (1000 events), so the
+    plan holds at any stream-replay size. Integer microsecond arithmetic
+    only."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "ts", F.expr("event_id div 1000").alias("bkt")
+    )
+    bmax = ev.groupBy("bkt").agg(F.max("ts").alias("bmax_ts"))
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    boff = bmax.select("bkt", F.max("bmax_ts").over(wb).alias("prev_bkt_ts"))
+    wrow = (
+        Window.partitionBy("bkt")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     lateness = (
-        ev.withColumn("wm", F.max("ts").over(w))
+        ev.join(boff, "bkt")
+        .withColumn("inbkt_prev_ts", F.max("ts").over(wrow))
+        .withColumn("wm", F.greatest("prev_bkt_ts", "inbkt_prev_ts"))
         .select(
             "event_type",
             F.expr("timestampdiff(MICROSECOND, ts, wm)").alias("behind_us"),
