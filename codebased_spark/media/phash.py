@@ -17,9 +17,9 @@ really build BMP bytes, really parse them back (media/headers.py), and
 really pool/threshold/pack the pixels — any defect anywhere in that chain
 changes a hash and breaks the value gate.
 
-Reference analog: CodeBased dedups entities by content hash before insert
-(see VERDICT S6/S8 rows); this extends the same keep-one semantics to the
-image modality, per the LLM-pipeline mandate.
+Reference analog: the keep-one content-hash dedup before insert
+(extractor.py:702-710, base.py:193-209), extended to the image modality
+per the LLM-pipeline mandate — the hash is perceptual instead of exact.
 """
 
 from __future__ import annotations
