@@ -873,6 +873,82 @@ def g_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return luby_mis(_doc_edges(spark, sf_dir), rounds=3)
 
 
+def g_label_spreading(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded label spreading — the discrete semi-supervised classifier a
+    web pipeline runs to propagate a small labeled set (spam/quality/
+    topic) over the link graph: seeds keep their label; each round an
+    unlabeled node adopts the majority label among labeled in-neighbors
+    (ties broken by smallest label — total order, engine-independent).
+    Two rounds, fixed-k house style. Per round: one edge join + one
+    (node, label) count agg + one deterministic argmax — all keyed
+    shuffles; no per-node Python, no driver loop over nodes. Distinct
+    from g_lpa (unseeded community detection): here labels are EXTERNAL
+    ground truth that only spreads, never mutates.
+
+    Plant: doc_id % 10 == 0 seeds labeled (doc_id // 10) % 3."""
+    edges = _doc_edges(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    labels = docs.where(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("node"),
+        ((F.col("doc_id") / 10).cast("long") % 3).alias("label"),
+        F.lit(0).alias("spread_round"),
+    )
+    for r in (1, 2):
+        votes = (
+            edges.join(
+                labels.select(F.col("node").alias("src"), "label"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("votes"))
+        )
+        # deterministic majority: max votes, then smallest label
+        best = votes.groupBy("node").agg(
+            F.max_by("label", F.struct(F.col("votes"), -F.col("label"))).alias(
+                "label"
+            )
+        )
+        newly = (
+            best.join(labels.select("node"), "node", "left_anti")
+            .select("node", "label", F.lit(r).alias("spread_round"))
+        )
+        labels = labels.unionByName(newly).localCheckpoint(eager=True)
+    return labels
+
+
+def kg_attr_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute completion by group mode — the data-cleaning pass that
+    fills a missing KG attribute from its context: docs with a masked
+    lang (planted: doc_id % 13 == 7) get their SOURCE's modal lang
+    (computed over unmasked rows; ties broken by smallest lang string).
+    One (source, lang) count agg + one deterministic argmax per source +
+    one broadcast-scale join back. was_imputed audits the fill."""
+    docs = _docs(spark, sf_dir)
+    masked = docs.select(
+        "doc_id",
+        "source",
+        F.when(F.col("doc_id") % 13 == 7, F.lit(None).cast("string"))
+        .otherwise(F.col("lang"))
+        .alias("lang"),
+    )
+    counts = (
+        masked.where(F.col("lang").isNotNull())
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # mode with smallest-lang tie-break: rank (c desc, lang asc)
+    wsrc = Window.partitionBy("source").orderBy(F.desc("c"), F.asc("lang"))
+    modal = (
+        counts.withColumn("rn", F.row_number().over(wsrc))
+        .where(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("modal_lang"))
+    )
+    return masked.join(modal, "source", "left").select(
+        "doc_id",
+        F.coalesce("lang", "modal_lang").alias("lang_filled"),
+        F.col("lang").isNull().cast("int").alias("was_imputed"),
+    )
+
+
 def g_khop_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-hop reachability via Spark 4's native WITH RECURSIVE (graph/
     paths.py::k_hop_reach_recursive) — same first-arrival output as the
@@ -3027,6 +3103,8 @@ QUERIES = {
     "kg_merkle_diff": kg_merkle_diff,
     "mm_frame_sampling": mm_frame_sampling,
     "g_khop_recursive": g_khop_recursive,
+    "g_label_spreading": g_label_spreading,
+    "kg_attr_completion": kg_attr_completion,
     "kg_compaction_plan": kg_compaction_plan,
     "kg_shard_assignment": kg_shard_assignment,
     "q_props_parse": q_props_parse,
@@ -5662,6 +5740,63 @@ ORACLES = {
         FROM events e JOIN campaigns c
           ON e.ts BETWEEN c.start_ts AND c.end_ts
         GROUP BY 1
+    """,
+    "g_label_spreading": f"""
+        WITH {_EDGES_SQL},
+        l0 AS MATERIALIZED (
+          SELECT doc_id AS node, (doc_id // 10) % 3 AS label, 0 AS spread_round
+          FROM documents WHERE doc_id % 10 = 0
+        ),
+        v1 AS (
+          SELECT e.dst AS node, l.label, count(*) AS votes
+          FROM edges e JOIN l0 l ON e.src = l.node GROUP BY e.dst, l.label
+        ),
+        b1 AS (
+          SELECT node, label FROM (
+            SELECT node, label, row_number() OVER (
+              PARTITION BY node ORDER BY votes DESC, label ASC) AS rn
+            FROM v1) WHERE rn = 1
+        ),
+        l1 AS MATERIALIZED (
+          SELECT * FROM l0
+          UNION ALL
+          SELECT b.node, b.label, 1 FROM b1 b
+          WHERE b.node NOT IN (SELECT node FROM l0)
+        ),
+        v2 AS (
+          SELECT e.dst AS node, l.label, count(*) AS votes
+          FROM edges e JOIN l1 l ON e.src = l.node GROUP BY e.dst, l.label
+        ),
+        b2 AS (
+          SELECT node, label FROM (
+            SELECT node, label, row_number() OVER (
+              PARTITION BY node ORDER BY votes DESC, label ASC) AS rn
+            FROM v2) WHERE rn = 1
+        )
+        SELECT * FROM l1
+        UNION ALL
+        SELECT b.node, b.label, 2 FROM b2 b
+        WHERE b.node NOT IN (SELECT node FROM l1)
+    """,
+    "kg_attr_completion": """
+        WITH masked AS (
+          SELECT doc_id, source,
+                 CASE WHEN doc_id % 13 = 7 THEN NULL ELSE lang END AS lang
+          FROM documents
+        ),
+        counts AS (
+          SELECT source, lang, count(*) AS c
+          FROM masked WHERE lang IS NOT NULL GROUP BY source, lang
+        ),
+        modal AS (
+          SELECT source, lang AS modal_lang FROM (
+            SELECT source, lang, row_number() OVER (
+              PARTITION BY source ORDER BY c DESC, lang ASC) AS rn
+            FROM counts) WHERE rn = 1
+        )
+        SELECT doc_id, coalesce(m.lang, modal_lang) AS lang_filled,
+               CASE WHEN m.lang IS NULL THEN 1 ELSE 0 END AS was_imputed
+        FROM masked m LEFT JOIN modal ON m.source = modal.source
     """,
     "g_khop_recursive": f"""
         WITH RECURSIVE {_EDGES_SQL},
