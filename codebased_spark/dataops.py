@@ -873,6 +873,66 @@ def g_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return luby_mis(_doc_edges(spark, sf_dir), rounds=3)
 
 
+def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: longest run of CONSECUTIVE active days per user —
+    the engagement-streak metric, and the canonical island idiom (group
+    key = day_number - row_number, constant exactly within a consecutive
+    run). One distinct, one user-partitioned window over per-user DAYS
+    (bounded by the calendar, not the event count), two aggregates. All
+    integers."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    days = ev.select(
+        "user_id", F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.withColumn("grp", F.col("d") - F.row_number().over(w))
+    runs = islands.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("run_len"))
+    return runs.groupBy("user_id").agg(
+        F.max("run_len").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
+
+
+def tx_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth: distinct terms seen within the first
+    10%, 20%, ..., 100% of the corpus (by doc_id order) — the curve that
+    sizes a tokenizer vocabulary. Computed scalably as first-occurrence
+    statistics: min doc_id per term (one agg over the token stream), then
+    a 10-bucket histogram + cumulative sum over the TINY bucket table —
+    never a cumulative distinct over rows. Exact integers."""
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    # bigram vocabulary: the fixture's unigram vocab saturates in the
+    # first bucket, bigrams keep appearing corpus-long (a real Heaps
+    # curve); zip_with pairs adjacent tokens JVM-side, no Python
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(split(text,' '), 1, size(split(text,' ')) - 1),"
+                " slice(split(text,' '), 2, size(split(text,' ')) - 1),"
+                " (a, b) -> a || '_' || b)"
+            )
+        ).alias("term"),
+    )
+    first = toks.groupBy("term").agg(F.min("doc_id").alias("first_doc"))
+    # bucket 1..10: first_doc falls in the first (bucket*10)% of doc ids;
+    # integer div keeps the boundary bit-exact on both engines
+    bucketed = (
+        first.select(
+            F.expr(f"least(10, (first_doc * 10) div {n} + 1)").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("new_terms"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return bucketed.select(
+        (F.col("bucket") * 10).alias("pct_docs"),
+        "new_terms",
+        F.sum("new_terms").over(w).alias("vocab_size"),
+    )
+
+
 def g_label_spreading(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded label spreading — the discrete semi-supervised classifier a
     web pipeline runs to propagate a small labeled set (spam/quality/
@@ -3105,6 +3165,8 @@ QUERIES = {
     "g_khop_recursive": g_khop_recursive,
     "g_label_spreading": g_label_spreading,
     "kg_attr_completion": kg_attr_completion,
+    "q_activity_streaks": q_activity_streaks,
+    "tx_vocab_growth": tx_vocab_growth,
     "kg_compaction_plan": kg_compaction_plan,
     "kg_shard_assignment": kg_shard_assignment,
     "q_props_parse": q_props_parse,
@@ -5740,6 +5802,47 @@ ORACLES = {
         FROM events e JOIN campaigns c
           ON e.ts BETWEEN c.start_ts AND c.end_ts
         GROUP BY 1
+    """,
+    "q_activity_streaks": """
+        WITH days AS (
+          SELECT DISTINCT user_id,
+                 date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d
+          FROM events
+        ),
+        islands AS (
+          SELECT user_id,
+                 d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+          FROM days
+        ),
+        runs AS (
+          SELECT user_id, grp, count(*) AS run_len
+          FROM islands GROUP BY user_id, grp
+        )
+        SELECT user_id, max(run_len) AS longest_streak,
+               count(*) AS n_streaks
+        FROM runs GROUP BY user_id
+    """,
+    "tx_vocab_growth": """
+        WITH cnt AS (SELECT count(*) AS n FROM documents),
+        d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        toks AS (
+          SELECT doc_id, l[i] || '_' || l[i + 1] AS term
+          FROM d, unnest(generate_series(1, len(l) - 1)) AS g(i)
+        ),
+        first AS (
+          SELECT term, min(doc_id) AS first_doc
+          FROM toks GROUP BY term
+        ),
+        bucketed AS (
+          SELECT least(10, (first_doc * 10) // n + 1) AS bucket,
+                 count(*) AS new_terms
+          FROM first, cnt GROUP BY bucket
+        )
+        SELECT bucket * 10 AS pct_docs, new_terms,
+               sum(new_terms) OVER (ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS vocab_size
+        FROM bucketed
     """,
     "g_label_spreading": f"""
         WITH {_EDGES_SQL},

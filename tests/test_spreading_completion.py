@@ -60,3 +60,48 @@ def test_attr_completion_mode_and_tiebreak(spark, tmp_path):
     assert got[7].lang_filled == "en" and got[7].was_imputed == 1
     assert got[20].lang_filled == "de" and got[20].was_imputed == 1
     assert got[1].lang_filled == "en" and got[1].was_imputed == 0
+
+
+def test_activity_streaks_islands(spark, tmp_path):
+    import datetime
+
+    t0 = datetime.datetime(2024, 2, 1, 9)
+    rows = []
+    eid = 0
+    # user 1: days 0,1,2 then 5,6 -> longest 3, 2 streaks
+    for d in (0, 1, 2, 5, 6):
+        rows.append((eid, t0 + datetime.timedelta(days=d), 1, "view", 1.0, "{}"))
+        eid += 1
+    # user 2: two events same day -> longest 1, 1 streak
+    rows.append((eid, t0, 2, "view", 1.0, "{}")); eid += 1
+    rows.append((eid, t0 + datetime.timedelta(hours=2), 2, "click", 1.0, "{}"))
+    spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    from codebased_spark.dataops import q_activity_streaks
+
+    got = {r.user_id: r for r in q_activity_streaks(spark, str(tmp_path)).collect()}
+    assert got[1].longest_streak == 3 and got[1].n_streaks == 2
+    assert got[2].longest_streak == 1 and got[2].n_streaks == 1
+
+
+def test_vocab_growth_monotone_and_complete(spark, tmp_path):
+    # 20 docs, each introducing one NEW bigram ("w<i> w<i>") plus a
+    # shared one ("a b") -> vocab grows by 2 per bucket after bucket 1
+    rows = [(i, f"a b w{i} w{i}", "en", "src0", 10) for i in range(20)]
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    from codebased_spark.dataops import tx_vocab_growth
+
+    out = sorted(tx_vocab_growth(spark, str(tmp_path)).collect(),
+                 key=lambda r: r.pct_docs)
+    assert [r.pct_docs for r in out] == [i * 10 for i in range(1, 11)]
+    # monotone cumulative; final = total distinct bigrams
+    sizes = [r.vocab_size for r in out]
+    assert sizes == sorted(sizes)
+    # per doc bigrams: a_b, b_w<i>, w<i>_w<i> -> doc0 contributes 3, each
+    # later doc 2 new; total = 3 + 19*2
+    assert sizes[-1] == 3 + 19 * 2
