@@ -873,6 +873,27 @@ def g_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return luby_mis(_doc_edges(spark, sf_dir), rounds=3)
 
 
+def tx_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit before a data release (Sweeney 2002, public):
+    group the corpus by its quasi-identifier tuple (lang, source, length
+    bucket) and flag equivalence classes smaller than k=5 — the rows a
+    release would have to suppress or generalize because their QI combo
+    is near-unique. ONE aggregate (map-side combinable) over the QI key;
+    the flag and suppression accounting are derived columns. Pairs with
+    tx_redact: redaction removes direct identifiers, this measures the
+    re-identification surface that remains."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.groupBy(
+            "lang",
+            "source",
+            F.expr("n_chars div 100").alias("len_bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .withColumn("is_risky", (F.col("group_size") < 5).cast("int"))
+    )
+
+
 def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands: longest run of CONSECUTIVE active days per user —
     the engagement-streak metric, and the canonical island idiom (group
@@ -3167,6 +3188,7 @@ QUERIES = {
     "kg_attr_completion": kg_attr_completion,
     "q_activity_streaks": q_activity_streaks,
     "tx_vocab_growth": tx_vocab_growth,
+    "tx_k_anonymity": tx_k_anonymity,
     "kg_compaction_plan": kg_compaction_plan,
     "kg_shard_assignment": kg_shard_assignment,
     "q_props_parse": q_props_parse,
@@ -5802,6 +5824,13 @@ ORACLES = {
         FROM events e JOIN campaigns c
           ON e.ts BETWEEN c.start_ts AND c.end_ts
         GROUP BY 1
+    """,
+    "tx_k_anonymity": """
+        SELECT lang, source, n_chars // 100 AS len_bucket,
+               count(*) AS group_size,
+               CASE WHEN count(*) < 5 THEN 1 ELSE 0 END AS is_risky
+        FROM documents
+        GROUP BY lang, source, len_bucket
     """,
     "q_activity_streaks": """
         WITH days AS (

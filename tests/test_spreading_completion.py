@@ -105,3 +105,22 @@ def test_vocab_growth_monotone_and_complete(spark, tmp_path):
     # per doc bigrams: a_b, b_w<i>, w<i>_w<i> -> doc0 contributes 3, each
     # later doc 2 new; total = 3 + 19*2
     assert sizes[-1] == 3 + 19 * 2
+
+
+def test_k_anonymity_flags_small_groups(spark, tmp_path):
+    rows = [(i, "t", "en", "src0", 150) for i in range(6)]       # size 6: safe
+    rows += [(10 + i, "t", "fr", "src0", 150) for i in range(2)]  # size 2: risky
+    rows += [(20, "t", "en", "src1", 950)]                        # size 1: risky
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    from codebased_spark.dataops import tx_k_anonymity
+
+    got = {
+        (r.lang, r.source, r.len_bucket): (r.group_size, r.is_risky)
+        for r in tx_k_anonymity(spark, str(tmp_path)).collect()
+    }
+    assert got[("en", "src0", 1)] == (6, 0)
+    assert got[("fr", "src0", 1)] == (2, 1)
+    assert got[("en", "src1", 9)] == (1, 1)
