@@ -116,7 +116,7 @@ _RECEIPT_PRIORITY = [
     "kg_compaction_plan", "kg_shard_assignment", "kg_merkle_diff",
     "mm_frame_sampling", "g_khop_recursive", "g_label_spreading",
     "kg_attr_completion", "q_activity_streaks", "tx_vocab_growth",
-    "tx_k_anonymity",
+    "tx_k_anonymity", "q_event_transitions",
     # new in the r4 seventh continuation session
     "g_modularity", "g_walk_pairs", "tx_bm25", "g_scc_dag",
     "kg_crawl_budget", "tx_hard_negatives", "kg_host_skew",

@@ -873,6 +873,28 @@ def g_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return luby_mis(_doc_edges(spark, sf_dir), rounds=3)
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition census over per-user event streams:
+    (prev_type -> type) counts plus the transition share in exact basis
+    points (count * 10000 div row-total per prev_type). One user-
+    partitioned lag window (ordered by event_id — per-user sequences,
+    bounded per key) + one 25-cell aggregate. The product-analytics
+    chain every funnel/churn model starts from."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    pairs = (
+        ev.select("user_id", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+    )
+    counts = pairs.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return counts.withColumn(
+        "share_bp", F.expr("n * 10000 div sum(n) over (partition by prev_type)")
+    ).select("prev_type", "next_type", "n", "share_bp")
+
+
 def tx_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity audit before a data release (Sweeney 2002, public):
     group the corpus by its quasi-identifier tuple (lang, source, length
@@ -3189,6 +3211,7 @@ QUERIES = {
     "q_activity_streaks": q_activity_streaks,
     "tx_vocab_growth": tx_vocab_growth,
     "tx_k_anonymity": tx_k_anonymity,
+    "q_event_transitions": q_event_transitions,
     "kg_compaction_plan": kg_compaction_plan,
     "kg_shard_assignment": kg_shard_assignment,
     "q_props_parse": q_props_parse,
@@ -5824,6 +5847,23 @@ ORACLES = {
         FROM events e JOIN campaigns c
           ON e.ts BETWEEN c.start_ts AND c.end_ts
         GROUP BY 1
+    """,
+    "q_event_transitions": """
+        WITH pairs AS (
+          SELECT user_id,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY event_id) AS prev_type,
+                 event_type AS next_type
+          FROM events
+        ),
+        counts AS (
+          SELECT prev_type, next_type, count(*) AS n
+          FROM pairs WHERE prev_type IS NOT NULL
+          GROUP BY prev_type, next_type
+        )
+        SELECT prev_type, next_type, n,
+               (n * 10000) // sum(n) OVER (PARTITION BY prev_type) AS share_bp
+        FROM counts
     """,
     "tx_k_anonymity": """
         SELECT lang, source, n_chars // 100 AS len_bucket,

@@ -124,3 +124,30 @@ def test_k_anonymity_flags_small_groups(spark, tmp_path):
     assert got[("en", "src0", 1)] == (6, 0)
     assert got[("fr", "src0", 1)] == (2, 1)
     assert got[("en", "src1", 9)] == (1, 1)
+
+
+def test_event_transitions_counts_and_shares(spark, tmp_path):
+    import datetime
+
+    t0 = datetime.datetime(2024, 3, 1)
+    # user 1 stream: v -> c -> v -> c ; user 2: v -> p
+    seq = [(1, "view"), (1, "click"), (1, "view"), (1, "click"), (2, "view"), (2, "purchase")]
+    rows = [
+        (i, t0 + datetime.timedelta(minutes=i), uid, typ, 1.0, "{}")
+        for i, (uid, typ) in enumerate(seq)
+    ]
+    spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    from codebased_spark.dataops import q_event_transitions
+
+    got = {
+        (r.prev_type, r.next_type): (r.n, r.share_bp)
+        for r in q_event_transitions(spark, str(tmp_path)).collect()
+    }
+    # from 'view': 2x ->click, 1x ->purchase (user boundary NOT a transition)
+    assert got[("view", "click")] == (2, 6666)
+    assert got[("view", "purchase")] == (1, 3333)
+    assert got[("click", "view")] == (1, 10000)
+    assert ("purchase", "view") not in got  # streams don't cross users
