@@ -107,6 +107,9 @@ _RECEIPT_PRIORITY = [
     # VERDICT r3 "What's wrong #3"): always first
     "kg_cocitation", "kg_entity_pmi", "kg_feed_items", "kg_hreflang",
     "kg_microdata",
+    # new in the r4 ninth continuation session
+    "q_skyline", "kg_zone_maps", "kg_vacuum_plan", "tx_pii_proximity",
+    "tx_split_leakage", "tx_qa_pairs", "mm_exif",
     # new in the r4 eighth continuation session
     "mm_phash_dups", "kg_rule_mining", "mm_audio_fingerprint",
     "q_event_funnel", "tx_length_quantiles", "q_retention_cohorts",

@@ -9049,3 +9049,342 @@ ORACLES["kg_er_blocking"] = """
              AS is_match
     FROM ranked WHERE rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# r4 ninth continuation: lakehouse maintenance, release audits, SFT mining
+# ---------------------------------------------------------------------------
+
+
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (skyline) of users by (n_events, n_active_days)
+    — "most active by volume AND spread" with no weighting: a user is on
+    the skyline iff nobody strictly dominates them on both metrics.
+
+    Scale shape: the naive skyline is an O(N^2) dominance anti-join. The
+    sort-based method needs a GLOBAL window over all users — a
+    single-partition collapse at 10^9 users. Instead the domain-histogram
+    idiom (house style, tx_length_quantiles): reduce to ONE row per
+    distinct n_events value (max n_days each — a keyed agg), run the
+    suffix-max window over that TINY value table, and broadcast-join the
+    surviving (n_events, n_days) pairs back to users. The window touches
+    |distinct n_events| rows regardless of corpus size."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct(F.to_date("ts")).alias("n_days"),
+    )
+    vals = per_user.groupBy("n_events").agg(F.max("n_days").alias("best_days"))
+    w = Window.orderBy("n_events").rowsBetween(1, Window.unboundedFollowing)
+    frontier = (
+        vals.withColumn("best_gt", F.max("best_days").over(w))
+        .where(F.col("best_gt").isNull() | (F.col("best_days") > F.col("best_gt")))
+        .select(
+            F.col("n_events").alias("f_events"),
+            F.col("best_days").alias("f_days"),
+        )
+    )
+    return per_user.join(
+        F.broadcast(frontier),
+        (F.col("n_events") == F.col("f_events"))
+        & (F.col("n_days") == F.col("f_days")),
+    ).select("user_id", "n_events", "n_days")
+
+
+def kg_zone_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max data-skipping) audit after a length-clustered
+    layout rewrite — the lakehouse file-pruning story: cluster docs into
+    100-row files ordered by (n_chars, doc_id), record each file's
+    min/max zone map, and audit which files a `n_chars >= 400` scan can
+    SKIP without opening (max < threshold), plus the true matching rows
+    per file (zone maps must never skip a matching row: n_match > 0 only
+    where can_skip = 0 — the invariant the test pins).
+
+    Scale shape: the rewrite is one global range-partitioned sort (what
+    OPTIMIZE ... ZORDER / CLUSTER BY runs anyway — kg_zorder_layout is
+    the 2-D sibling); the audit itself is ONE map-side-combinable agg
+    over the file key. Iceberg/Delta keep exactly these per-file column
+    bounds in manifest metadata; reference analog S12 stats-scan
+    (src/codebased/graph/db.py stats over the stored graph)."""
+    docs = _docs(spark, sf_dir)
+    w = Window.orderBy("n_chars", "doc_id")
+    filed = docs.select(
+        "doc_id",
+        "n_chars",
+        ((F.row_number().over(w) - F.lit(1)) / F.lit(100))
+        .cast("long")
+        .alias("file_id"),
+    )
+    return (
+        filed.groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum((F.col("n_chars") >= 400).cast("long")).alias("n_match"),
+        )
+        .withColumn("can_skip", (F.col("max_chars") < 400).cast("int"))
+    )
+
+
+def kg_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention sweep over the recrawl capture history — the VACUUM /
+    expire_snapshots planner: per url keep the latest capture always,
+    mark superseded captures older than the 25-second retention window
+    (relative to that url's latest capture) deletable, and report the
+    reclaimable bytes. Same deterministic capture fixture family as
+    kg_latest_capture (url = doc_id mod 10 so every url has a history;
+    warc_ts = epoch + doc_id seconds).
+
+    Scale shape: ONE url-keyed exchange serves both the per-url latest
+    window and the final aggregate (same key, no second shuffle); text
+    bytes never move — only (url, doc_id, n_bytes). Reference analog S9/
+    Q9 manifest-last commit + path-removal tombstones
+    (graph/manifest.py); this is the planner that sizes the delete."""
+    caps = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("https://recrawl.example.org/page/"),
+            (F.col("doc_id") % 10).cast("string"),
+        ).alias("url"),
+        "doc_id",
+        F.length("text").alias("n_bytes"),
+    )
+    w = Window.partitionBy("url")
+    marked = caps.withColumn("max_id", F.max("doc_id").over(w)).withColumn(
+        "deletable",
+        (F.col("doc_id") < F.col("max_id") - 25).cast("long"),
+    )
+    return marked.groupBy("url").agg(
+        F.max("doc_id").alias("kept_doc_id"),
+        F.count(F.lit(1)).alias("n_captures"),
+        F.sum("deletable").alias("n_deletable"),
+        F.sum(F.col("deletable") * F.col("n_bytes")).alias("bytes_reclaimed"),
+    )
+
+
+def tx_pii_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII co-occurrence proximity risk: an email NEAR a phone number is
+    a joinable identity record — far riskier than either alone — so
+    release audits score the char distance between PII families, not
+    just their counts (tx_redact's audit is per-family totals). Fixture
+    plants both families at a doc_id-controlled distance; Spark must
+    REALLY locate them (instr on the built text) while the oracle states
+    the planted geometry declaratively.
+
+    Scale shape: build + locate + score are all codegen expressions,
+    map-only, no shuffle, no Python."""
+    docs = _docs(spark, sf_dir)
+    built = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("doc"),
+            F.col("doc_id").cast("string"),
+            F.lit("@"),
+            F.col("source"),
+            F.lit(".example.org "),
+            F.expr("repeat('x ', doc_id % 40)"),
+            F.lit("+1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("txt"),
+    )
+    email_len = F.instr(F.col("txt"), " ") - 1  # first space ends the email
+    phone_pos = F.instr(F.col("txt"), "+1-555-")
+    return built.select(
+        "doc_id",
+        F.lit("Email").alias("pii_a"),
+        F.lit("Phone").alias("pii_b"),
+        (phone_pos - email_len - 1).alias("gap_chars"),
+        (phone_pos - email_len - 1 <= 20).cast("int").alias("is_risky"),
+    )
+
+
+def tx_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval split leakage audit: split the corpus by HOST (the
+    standard leakage-safe unit — url-level splits leak mirrored pages),
+    then find content hashes present on BOTH sides. Distinct from
+    tx_decontaminate (external benchmark n-grams): this audits the
+    pipeline's OWN split. Fixture plants cross-host boilerplate templates
+    (every 5th doc) so the audit is non-vacuous; the split is the
+    portable 60-bit md5 hash of the host, 80/20.
+
+    Scale shape: ONE content-hash-keyed agg with two conditional counts;
+    shuffle rows are (16-byte hash, split) — text never moves."""
+    docs = _docs(spark, sf_dir)
+    keyed = docs.select(
+        F.md5(
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit("boilerplate-template-"),
+                         (F.col("doc_id") % 3).cast("string")),
+            ).otherwise(F.col("text"))
+        ).alias("content_md5"),
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("source"), F.lit(".example.org:split"))),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long") % 10 < 8,
+            F.lit("train"),
+        ).otherwise(F.lit("eval")).alias("split"),
+    )
+    return (
+        keyed.groupBy("content_md5")
+        .agg(
+            F.sum((F.col("split") == "train").cast("long")).alias("n_train"),
+            F.sum((F.col("split") == "eval").cast("long")).alias("n_eval"),
+        )
+        .where((F.col("n_train") > 0) & (F.col("n_eval") > 0))
+    )
+
+
+def tx_qa_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAQ Q/A pair mining for instruction-tuning data (textops/qa.py):
+    two-per-doc planted FAQ text, REAL regex extraction + positional
+    re-alignment on the Spark side, declarative planted pairs in the
+    oracle."""
+    from codebased_spark.textops.qa import qa_pairs
+
+    docs = _docs(spark, sf_dir)
+    t = (F.col("doc_id") % 50).cast("string")
+    k = (F.col("doc_id") % 7).cast("string")
+    faq = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("Q: What is topic "), t, F.lit("? A: Topic "), t,
+            F.lit(" of "), F.col("source"), F.lit(". Q: Who maintains "),
+            F.col("source"), F.lit("? A: Team "), k, F.lit("."),
+        ).alias("text"),
+    )
+    return qa_pairs(faq)
+
+
+def mm_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL EXIF decode: JPEGs built per doc with an APP1 TIFF block
+    (camera make, orientation, alternating II/MM byte order planted from
+    doc_id), then parsed back by the pure-stdlib IFD walker
+    (media/headers.py::parse_exif) inside the mapInPandas stage. The
+    oracle states the planted values declaratively; any builder/parser
+    defect — including an endianness bug, since half the corpus is MM —
+    breaks the equality."""
+    from codebased_spark.media.decode import exif_metadata, synthetic_exif_media
+
+    return exif_metadata(synthetic_exif_media(_docs(spark, sf_dir)))
+
+
+QUERIES["q_skyline"] = q_skyline
+QUERIES["kg_zone_maps"] = kg_zone_maps
+QUERIES["kg_vacuum_plan"] = kg_vacuum_plan
+QUERIES["tx_pii_proximity"] = tx_pii_proximity
+QUERIES["tx_split_leakage"] = tx_split_leakage
+QUERIES["tx_qa_pairs"] = tx_qa_pairs
+QUERIES["mm_exif"] = mm_exif
+
+ORACLES["q_skyline"] = """
+    WITH per_user AS (
+      SELECT user_id, count(*) AS n_events,
+             count(DISTINCT CAST(ts AS DATE)) AS n_days
+      FROM events GROUP BY user_id
+    ),
+    vals AS (
+      SELECT n_events, max(n_days) AS best_days
+      FROM per_user GROUP BY n_events
+    ),
+    suffixed AS (
+      SELECT n_events, best_days,
+             max(best_days) OVER (ORDER BY n_events
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS best_gt
+      FROM vals
+    ),
+    frontier AS (
+      SELECT n_events, best_days FROM suffixed
+      WHERE best_gt IS NULL OR best_days > best_gt
+    )
+    SELECT u.user_id, u.n_events, u.n_days
+    FROM per_user u JOIN frontier f
+      ON u.n_events = f.n_events AND u.n_days = f.best_days
+"""
+
+ORACLES["kg_zone_maps"] = """
+    WITH filed AS (
+      SELECT doc_id, n_chars,
+             (row_number() OVER (ORDER BY n_chars, doc_id) - 1) // 100
+               AS file_id
+      FROM documents
+    )
+    SELECT file_id, count(*) AS n_rows,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+           sum(CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END) AS n_match,
+           CASE WHEN max(n_chars) < 400 THEN 1 ELSE 0 END AS can_skip
+    FROM filed GROUP BY file_id
+"""
+
+ORACLES["kg_vacuum_plan"] = """
+    WITH caps AS (
+      SELECT 'https://recrawl.example.org/page/' || (doc_id % 10) AS url,
+             doc_id, length(text) AS n_bytes
+      FROM documents
+    ),
+    marked AS (
+      SELECT url, doc_id, n_bytes,
+             max(doc_id) OVER (PARTITION BY url) AS max_id
+      FROM caps
+    )
+    SELECT url, max(doc_id) AS kept_doc_id, count(*) AS n_captures,
+           sum(CASE WHEN doc_id < max_id - 25 THEN 1 ELSE 0 END)
+             AS n_deletable,
+           sum(CASE WHEN doc_id < max_id - 25 THEN n_bytes ELSE 0 END)
+             AS bytes_reclaimed
+    FROM marked GROUP BY url
+"""
+
+ORACLES["tx_pii_proximity"] = """
+    SELECT doc_id, 'Email' AS pii_a, 'Phone' AS pii_b,
+           2 * (doc_id % 40) + 1 AS gap_chars,
+           CASE WHEN 2 * (doc_id % 40) + 1 <= 20 THEN 1 ELSE 0 END
+             AS is_risky
+    FROM documents
+"""
+
+ORACLES["tx_split_leakage"] = """
+    WITH keyed AS (
+      SELECT md5(CASE WHEN doc_id % 5 = 0
+                      THEN 'boilerplate-template-' || (doc_id % 3)
+                      ELSE text END) AS content_md5,
+             CASE WHEN ('0x' || substr(md5(source || '.example.org:split'),
+                                       1, 15))::BIGINT % 10 < 8
+                  THEN 'train' ELSE 'eval' END AS split
+      FROM documents
+    )
+    SELECT content_md5,
+           sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_train,
+           sum(CASE WHEN split = 'eval' THEN 1 ELSE 0 END) AS n_eval
+    FROM keyed GROUP BY content_md5
+    HAVING n_train > 0 AND n_eval > 0
+"""
+
+ORACLES["tx_qa_pairs"] = """
+    SELECT doc_id, 1 AS pair_idx,
+           'What is topic ' || (doc_id % 50) || '?' AS question,
+           'Topic ' || (doc_id % 50) || ' of ' || source || '.' AS answer,
+           length('Topic ' || (doc_id % 50) || ' of ' || source || '.')
+             AS a_chars
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 2,
+           'Who maintains ' || source || '?',
+           'Team ' || (doc_id % 7) || '.',
+           length('Team ' || (doc_id % 7) || '.')
+    FROM documents
+"""
+
+ORACLES["mm_exif"] = """
+    SELECT doc_id,
+           'cam' || (doc_id % 5) AS camera_make,
+           1 + doc_id % 8 AS orientation,
+           CASE WHEN doc_id % 2 = 1 THEN 'MM' ELSE 'II' END AS byte_order,
+           1 + doc_id % 640 AS width,
+           1 + (doc_id // 3) % 480 AS height
+    FROM documents
+"""

@@ -264,3 +264,75 @@ def media_metadata(media: DataFrame, real: bool = False) -> DataFrame:
             )
 
     return media.mapInPandas(decode_batches, schema=MEDIA_SCHEMA)
+
+
+EXIF_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("camera_make", StringType()),
+        StructField("orientation", LongType()),
+        StructField("byte_order", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+    ]
+)
+
+
+def synthetic_exif_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload) with REAL JPEG+EXIF bytes: APP1 TIFF block whose
+    camera make / orientation / byte order are pure doc_id arithmetic
+    (half the corpus II, half MM — the parser must honor both), so an
+    oracle states the expected parse declaratively while Spark must build
+    and then walk real marker/IFD structures."""
+    from codebased_spark.media.headers import make_jpeg_exif
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                rows.append(
+                    (
+                        did,
+                        make_jpeg_exif(
+                            1 + did % 640,
+                            1 + (did // 3) % 480,
+                            f"cam{did % 5}",
+                            1 + did % 8,
+                            big_endian=did % 2 == 1,
+                        ),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return docs.select("doc_id").mapInPandas(
+        build, schema="doc_id long, payload binary"
+    )
+
+
+def exif_metadata(media: DataFrame) -> DataFrame:
+    """REAL EXIF decode -> (EXIF_SCHEMA): camera make, orientation, TIFF
+    byte order from the APP1 walk plus frame dimensions from the SOF walk
+    — the camera metadata an image-curation pipeline groups/filters on
+    (and must strip before release: EXIF can carry GPS). Same
+    Arrow-batched mapInPandas shape as media_metadata: bytes cross the
+    boundary once per ~4k-row batch, downstream is columnar again."""
+    from codebased_spark.media.headers import parse_exif, parse_jpeg
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, pl in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(pl)
+                make, orient, order = parse_exif(b)
+                w, h = parse_jpeg(b)
+                rows.append((int(did), make, orient, order, w, h))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "camera_make", "orientation",
+                    "byte_order", "width", "height",
+                ],
+            )
+
+    return media.mapInPandas(decode, schema=EXIF_SCHEMA)

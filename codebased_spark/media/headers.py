@@ -338,3 +338,107 @@ def make_mp4(width: int, height: int, duration_ms: int, timescale: int = 1000) -
     tkhd = b"\x00" * 76 + struct.pack(">II", width << 16, height << 16)
     moov = _box(b"mvhd", mvhd) + _box(b"trak", _box(b"tkhd", tkhd))
     return _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + _box(b"moov", moov)
+
+
+# ---------------------------------------------------------------------------
+# EXIF (TIFF IFD0 inside a JPEG APP1 segment)
+# ---------------------------------------------------------------------------
+
+EXIF_TAG_MAKE = 0x010F  # ASCII
+EXIF_TAG_ORIENTATION = 0x0112  # SHORT
+
+
+def make_jpeg_exif(
+    width: int,
+    height: int,
+    make: str,
+    orientation: int,
+    big_endian: bool = False,
+) -> bytes:
+    """JPEG whose APP1 segment carries a real EXIF TIFF block: byte-order
+    mark (II/MM), magic 42, IFD0 with Make (ASCII, value stored past the
+    IFD when longer than the 4-byte inline field) and Orientation (SHORT,
+    inlined left-justified). APP1 goes immediately after SOI per the EXIF
+    spec; the JFIF APP0 + SOF0 frame from make_jpeg follow, so parse_jpeg's
+    marker walk still finds the dimensions. Reference analog: S4 file-type
+    detection (src/codebased/parsers/file_types.py:47-74) routes docs by
+    format exactly like sniff_media_format + this typed-metadata parser."""
+    bo = ">" if big_endian else "<"
+    make_bytes = make.encode("ascii") + b"\x00"
+    ifd_offset = 8
+    value_offset = ifd_offset + 2 + 2 * 12 + 4
+
+    def entry(tag: int, typ: int, count: int, field: bytes) -> bytes:
+        return struct.pack(bo + "HHI", tag, typ, count) + field
+
+    if len(make_bytes) <= 4:
+        make_field, tail = make_bytes.ljust(4, b"\x00"), b""
+    else:
+        make_field, tail = struct.pack(bo + "I", value_offset), make_bytes
+    orient_field = struct.pack(bo + "H", orientation) + b"\x00\x00"
+    tiff = (
+        (b"MM" if big_endian else b"II")
+        + struct.pack(bo + "H", 42)
+        + struct.pack(bo + "I", ifd_offset)
+        + struct.pack(bo + "H", 2)
+        + entry(EXIF_TAG_MAKE, 2, len(make_bytes), make_field)
+        + entry(EXIF_TAG_ORIENTATION, 3, 1, orient_field)
+        + struct.pack(bo + "I", 0)
+        + tail
+    )
+    app1 = b"Exif\x00\x00" + tiff
+    return (
+        JPEG_MAGIC
+        + b"\xff\xe1" + struct.pack(">H", 2 + len(app1)) + app1
+        + make_jpeg(width, height)[2:]
+    )
+
+
+def _parse_tiff_ifd0(t: bytes) -> tuple[str, int, str]:
+    order = t[:2]
+    if order == b"II":
+        bo = "<"
+    elif order == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("bad TIFF byte-order mark")
+    (magic,) = struct.unpack_from(bo + "H", t, 2)
+    if magic != 42:
+        raise ValueError("bad TIFF magic")
+    (off,) = struct.unpack_from(bo + "I", t, 4)
+    (count,) = struct.unpack_from(bo + "H", t, off)
+    make, orientation = "", 0
+    for k in range(count):
+        e = off + 2 + 12 * k
+        tag, typ, n = struct.unpack_from(bo + "HHI", t, e)
+        if tag == EXIF_TAG_MAKE and typ == 2:
+            if n <= 4:
+                raw = t[e + 8 : e + 8 + n]
+            else:
+                (voff,) = struct.unpack_from(bo + "I", t, e + 8)
+                raw = t[voff : voff + n]
+            make = raw.rstrip(b"\x00").decode("ascii")
+        elif tag == EXIF_TAG_ORIENTATION and typ == 3:
+            (orientation,) = struct.unpack_from(bo + "H", t, e + 8)
+    return make, orientation, "MM" if bo == ">" else "II"
+
+
+def parse_exif(b: bytes) -> tuple[str, int, str]:
+    """(camera_make, orientation, byte_order) from the first APP1 Exif
+    segment — the camera metadata an image-curation pipeline filters and
+    deduplicates on (and strips before release: EXIF can carry GPS)."""
+    if not b.startswith(JPEG_MAGIC):
+        raise ValueError("not a JPEG")
+    i = 2
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = b[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        seglen = struct.unpack(">H", b[i + 2 : i + 4])[0]
+        if marker == 0xE1 and b[i + 4 : i + 10] == b"Exif\x00\x00":
+            return _parse_tiff_ifd0(b[i + 10 : i + 2 + seglen])
+        i += 2 + seglen
+    raise ValueError("JPEG has no Exif APP1 segment")

@@ -1,0 +1,208 @@
+"""r4 ninth-continuation operators: skyline, zone maps, vacuum plan,
+PII proximity, split leakage, Q/A mining, EXIF decode."""
+
+import pytest
+
+
+def _write_docs(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# q_skyline
+# ---------------------------------------------------------------------------
+
+
+def test_skyline_dominance_invariant(spark, tmp_path):
+    # user 1: 4 events on 1 day; user 2: 2 events on 2 days;
+    # user 3: 1 event 1 day (dominated by both); user 4: 4 events 1 day
+    # (ties user 1 -> both skyline: equal points don't dominate)
+    import datetime as dt
+
+    def ev(eid, uid, day):
+        return (eid, dt.datetime(2024, 1, day), uid, "view", 1.0, "{}")
+
+    rows = [ev(i, 1, 1) for i in range(4)]
+    rows += [ev(10, 2, 1), ev(11, 2, 2)]
+    rows += [ev(20, 3, 1)]
+    rows += [ev(30 + i, 4, 1) for i in range(4)]
+    spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    from codebased_spark.dataops import q_skyline
+
+    got = {r.user_id: (r.n_events, r.n_days)
+           for r in q_skyline(spark, str(tmp_path)).collect()}
+    assert got == {1: (4, 1), 2: (2, 2), 4: (4, 1)}
+    # invariant: no returned point strictly dominated by another returned one
+    pts = list(got.values())
+    for p in pts:
+        assert not any(
+            q[0] >= p[0] and q[1] >= p[1] and q != p and (q[0] > p[0] or q[1] > p[1])
+            for q in pts
+        )
+
+
+# ---------------------------------------------------------------------------
+# kg_zone_maps
+# ---------------------------------------------------------------------------
+
+
+def test_zone_maps_never_skip_a_match(spark, tmp_path):
+    # 250 docs with n_chars = doc_id: after the length-clustered rewrite
+    # files 0-2 hold n_chars < 250 ... only file holding >= 400 matches
+    _write_docs(spark, tmp_path,
+                [(i, "t", "en", "src0", i + 300) for i in range(250)])
+
+    from codebased_spark.dataops import kg_zone_maps
+
+    rows = {r.file_id: r for r in kg_zone_maps(spark, str(tmp_path)).collect()}
+    assert len(rows) == 3  # 100 + 100 + 50
+    # zone-map soundness: a skippable file must contain zero matches
+    for r in rows.values():
+        if r.can_skip:
+            assert r.n_match == 0
+        if r.n_match > 0:
+            assert r.can_skip == 0
+    # file 0 spans 300..399 -> skippable; file 1 spans 400..499 -> not
+    assert rows[0].can_skip == 1 and rows[0].max_chars == 399
+    assert rows[1].can_skip == 0 and rows[1].n_match == 100
+
+
+# ---------------------------------------------------------------------------
+# kg_vacuum_plan
+# ---------------------------------------------------------------------------
+
+
+def test_vacuum_keeps_latest_and_counts_bytes(spark, tmp_path):
+    # url group = doc_id % 10; group 0 ids {0, 10, 50}: latest 50 kept,
+    # cutoff 50-25=25 -> 0 and 10 deletable, 50 never
+    _write_docs(spark, tmp_path,
+                [(i, "x" * (i + 1), "en", "src0", i + 1) for i in (0, 10, 50)])
+
+    from codebased_spark.dataops import kg_vacuum_plan
+
+    [r] = kg_vacuum_plan(spark, str(tmp_path)).collect()
+    assert r.kept_doc_id == 50 and r.n_captures == 3
+    assert r.n_deletable == 2
+    assert r.bytes_reclaimed == 1 + 11  # lengths of docs 0 and 10
+
+
+# ---------------------------------------------------------------------------
+# tx_pii_proximity
+# ---------------------------------------------------------------------------
+
+
+def test_pii_proximity_gap_and_flag(spark, tmp_path):
+    _write_docs(spark, tmp_path, [
+        (5, "t", "en", "src0", 1),    # gap 2*5+1 = 11 -> risky
+        (39, "t", "en", "src1", 1),   # gap 79 -> safe
+    ])
+
+    from codebased_spark.dataops import tx_pii_proximity
+
+    got = {r.doc_id: (r.gap_chars, r.is_risky)
+           for r in tx_pii_proximity(spark, str(tmp_path)).collect()}
+    assert got == {5: (11, 1), 39: (79, 0)}
+
+
+# ---------------------------------------------------------------------------
+# tx_split_leakage
+# ---------------------------------------------------------------------------
+
+
+def test_split_leakage_finds_only_cross_split_hashes(spark, tmp_path):
+    # doc_id % 5 == 0 docs share template text regardless of host; unique
+    # texts never leak. src0/src1 hash to different splits (checked below).
+    rows = [(i, f"unique text {i}", "en", f"src{i % 2}", 20) for i in range(40)]
+    _write_docs(spark, tmp_path, rows)
+
+    from codebased_spark.dataops import tx_split_leakage
+
+    out = tx_split_leakage(spark, str(tmp_path)).collect()
+    import hashlib
+
+    def split(source):
+        h = hashlib.md5(f"{source}.example.org:split".encode()).hexdigest()
+        return "train" if int(h[:15], 16) % 10 < 8 else "eval"
+
+    splits = {split(f"src{k}") for k in range(2)}
+    if len(splits) == 1:
+        assert out == []  # both hosts in one split: nothing can leak
+    else:
+        # templates 0..2 appear on both hosts -> exactly those leak
+        assert len(out) == 3
+        assert all(r.n_train > 0 and r.n_eval > 0 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# tx_qa_pairs (module path: misalignment handling)
+# ---------------------------------------------------------------------------
+
+
+def test_qa_pairs_keeps_aligned_prefix(spark):
+    from codebased_spark.textops.qa import qa_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Q: One? A: First. Q: Two? A: Second."),
+            (2, "Q: Only? no answer marker here"),  # 1 Q, 0 A -> dropped
+            (3, "Q: Has? A: Yes. Q: Tail question, no answer?"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = sorted(
+        (r.doc_id, r.pair_idx, r.question, r.answer)
+        for r in qa_pairs(docs).collect()
+    )
+    assert got == [
+        (1, 1, "One?", "First."),
+        (1, 2, "Two?", "Second."),
+        (3, 1, "Has?", "Yes."),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# EXIF
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("big_endian", [False, True])
+def test_exif_roundtrip(big_endian):
+    from codebased_spark.media.headers import (
+        make_jpeg_exif,
+        parse_exif,
+        parse_jpeg,
+    )
+
+    b = make_jpeg_exif(320, 200, "camX", 7, big_endian=big_endian)
+    assert parse_exif(b) == ("camX", 7, "MM" if big_endian else "II")
+    # APP1 insertion must not break the SOF dimension walk
+    assert parse_jpeg(b) == (320, 200)
+    # inline (<= 4 byte) ASCII value path
+    b2 = make_jpeg_exif(8, 8, "ab", 1, big_endian=big_endian)
+    assert parse_exif(b2)[0] == "ab"
+
+
+def test_exif_missing_app1_raises():
+    from codebased_spark.media.headers import make_jpeg, parse_exif
+
+    with pytest.raises(ValueError, match="no Exif"):
+        parse_exif(make_jpeg(4, 4))
+
+
+def test_exif_spark_stage(spark, tmp_path):
+    _write_docs(spark, tmp_path,
+                [(i, "t", "en", "src0", 1) for i in (0, 1, 7, 12)])
+
+    from codebased_spark.dataops import mm_exif
+
+    got = {r.doc_id: (r.camera_make, r.orientation, r.byte_order)
+           for r in mm_exif(spark, str(tmp_path)).collect()}
+    assert got[0] == ("cam0", 1, "II")
+    assert got[1] == ("cam1", 2, "MM")
+    assert got[7] == ("cam2", 8, "MM")
+    assert got[12] == ("cam2", 5, "II")
