@@ -9100,20 +9100,33 @@ def kg_zone_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
     per file (zone maps must never skip a matching row: n_match > 0 only
     where can_skip = 0 — the invariant the test pins).
 
-    Scale shape: the rewrite is one global range-partitioned sort (what
-    OPTIMIZE ... ZORDER / CLUSTER BY runs anyway — kg_zorder_layout is
-    the 2-D sibling); the audit itself is ONE map-side-combinable agg
-    over the file key. Iceberg/Delta keep exactly these per-file column
-    bounds in manifest metadata; reference analog S12 stats-scan
-    (src/codebased/graph/db.py stats over the stored graph)."""
+    Scale shape: the global rank that assigns files is a two-level
+    prefix scan (house pattern, the q_late_events running max): a
+    LENGTH-HISTOGRAM cumulative sum (window over |distinct n_chars|
+    rows, bounded domain, broadcast back) plus a per-length keyed
+    row_number — never an unpartitioned window over the corpus. The
+    audit itself is ONE map-side-combinable agg over the file key.
+    Iceberg/Delta keep exactly these per-file column bounds in manifest
+    metadata; reference analog S12 stats-scan (src/codebased/graph/db.py
+    stats over the stored graph)."""
     docs = _docs(spark, sf_dir)
-    w = Window.orderBy("n_chars", "doc_id")
-    filed = docs.select(
-        "doc_id",
-        "n_chars",
-        ((F.row_number().over(w) - F.lit(1)) / F.lit(100))
-        .cast("long")
-        .alias("file_id"),
+    hist = docs.groupBy("n_chars").agg(F.count(F.lit(1)).alias("cnt"))
+    w_hist = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    starts = hist.select(
+        F.col("n_chars").alias("h_chars"),
+        F.coalesce(F.sum("cnt").over(w_hist), F.lit(0)).alias("start_rank"),
+    )
+    w_val = Window.partitionBy("n_chars").orderBy("doc_id")
+    filed = (
+        docs.join(F.broadcast(starts), docs.n_chars == starts.h_chars)
+        .withColumn(
+            "rk", F.col("start_rank") + F.row_number().over(w_val) - 1
+        )
+        .select(
+            "doc_id", "n_chars", (F.col("rk") / F.lit(100)).cast("long").alias("file_id")
+        )
     )
     return (
         filed.groupBy("file_id")
