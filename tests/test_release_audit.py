@@ -206,3 +206,53 @@ def test_exif_spark_stage(spark, tmp_path):
     assert got[1] == ("cam1", 2, "MM")
     assert got[7] == ("cam2", 8, "MM")
     assert got[12] == ("cam2", 5, "II")
+
+
+# ---------------------------------------------------------------------------
+# property tests: EXIF round-trip over seeded randomized inputs
+# ---------------------------------------------------------------------------
+
+
+def test_exif_roundtrip_property():
+    """Seeded sweep: arbitrary ASCII makes (incl. the <=4-byte inline
+    encoding boundary at len 3, since count includes the NUL), all 8
+    orientations, both byte orders — parse must invert make byte-for-byte."""
+    import random
+
+    from codebased_spark.media.headers import make_jpeg_exif, parse_exif
+
+    rng = random.Random(42)
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789 -_"
+    for _ in range(200):
+        make = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 12)))
+        orient = rng.randint(0, 65535)
+        be = rng.random() < 0.5
+        w, h = rng.randint(1, 65535), rng.randint(1, 65535)
+        got = parse_exif(make_jpeg_exif(w, h, make, orient, big_endian=be))
+        assert got == (make, orient, "MM" if be else "II"), (make, orient, be)
+
+
+def test_qa_pairs_property(spark):
+    """Seeded sweep: random well-formed Q/A sequences rendered to text are
+    recovered exactly, in order, by the extraction pass."""
+    import random
+
+    from codebased_spark.textops.qa import qa_pairs
+
+    rng = random.Random(7)
+    words = ["how", "why", "when", "setup", "install", "the", "tool", "works"]
+    docs, expected = [], []
+    for did in range(40):
+        n = rng.randint(0, 4)
+        parts = []
+        for i in range(n):
+            q = " ".join(rng.sample(words, rng.randint(1, 3))) + "?"
+            a = " ".join(rng.sample(words, rng.randint(1, 4))).capitalize() + "."
+            parts.append(f"Q: {q} A: {a}")
+            expected.append((did, i + 1, q, a))
+        docs.append((did, " ".join(parts)))
+    got = sorted(
+        (r.doc_id, r.pair_idx, r.question, r.answer)
+        for r in qa_pairs(spark.createDataFrame(docs, ["doc_id", "text"])).collect()
+    )
+    assert got == sorted(expected)
