@@ -183,3 +183,61 @@ def test_stream_feed_discovery_dedups_urls(spark, tmp_path):
     }
     # p2 entered once despite the republish
     assert spark.read.parquet(sink).count() == 4
+
+
+def test_stream_static_enrich_matches_batch(spark, tmp_path):
+    """Stream-static broadcast enrichment (streaming/enrich.py): per
+    micro-batch join against the host-prior dimension matches the batch
+    join, and unknown hosts pass through as 'unknown' instead of being
+    dropped."""
+    from codebased_spark.streaming.enrich import enrich_page_stream
+    from codebased_spark.synth.pages import pages_from_documents_spark
+
+    src = str(tmp_path / "epages")
+    sink = str(tmp_path / "esink")
+    ckpt = str(tmp_path / "eckpt")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    pages_from_documents_spark(docs).write.parquet(src)
+
+    hosts = (
+        spark.read.parquet(src)
+        .selectExpr("parse_url(url, 'HOST') AS host")
+        .distinct()
+    )
+    # score only half the hosts: the others must surface as 'unknown'
+    prior = hosts.limit(hosts.count() // 2).withColumn(
+        "quality_tier", F.lit("high")
+    )
+
+    sdf = enrich_page_stream(spark, src, PAGES_SCHEMA, prior)
+    q = (
+        sdf.select("url", "host", "quality_tier")
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.url, r.host, r.quality_tier)
+        for r in spark.read.parquet(sink).collect()
+    }
+    batch = {
+        (r.url, r.host, r.quality_tier)
+        for r in spark.read.parquet(src)
+        .withColumn("host", F.expr("parse_url(url, 'HOST')"))
+        .join(
+            prior.withColumnRenamed("host", "p_host"),
+            F.col("host") == F.col("p_host"),
+            "left_outer",
+        )
+        .withColumn("quality_tier", F.coalesce("quality_tier", F.lit("unknown")))
+        .select("url", "host", "quality_tier")
+        .collect()
+    }
+    assert got == batch
+    tiers = {t for _, _, t in got}
+    assert tiers == {"high", "unknown"}
