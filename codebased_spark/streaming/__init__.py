@@ -8,6 +8,7 @@ watermarks.
 """
 
 from codebased_spark.streaming.dedup import stream_exact_dedup  # noqa: F401
+from codebased_spark.streaming.enrich import enrich_page_stream  # noqa: F401
 from codebased_spark.streaming.ingest import (  # noqa: F401
     stream_event_window_counts,
     stream_pages_to_graph,

@@ -17,3 +17,4 @@ from codebased_spark.textops.decontaminate import decontaminate  # noqa: F401
 from codebased_spark.textops.repetition import repetition_metrics  # noqa: F401
 from codebased_spark.textops.filters import filter_decisions  # noqa: F401
 from codebased_spark.textops.chunk import chunk_documents  # noqa: F401
+from codebased_spark.textops.qa import qa_pairs  # noqa: F401
