@@ -109,7 +109,8 @@ _RECEIPT_PRIORITY = [
     "kg_microdata",
     # new in the r4 ninth continuation session
     "q_skyline", "kg_zone_maps", "kg_vacuum_plan", "tx_pii_proximity",
-    "tx_split_leakage", "tx_qa_pairs", "mm_exif",
+    "tx_split_leakage", "tx_qa_pairs", "mm_exif", "tx_word_cooc",
+    "tx_lm_perplexity", "kg_charset_cascade",
     # new in the r4 eighth continuation session
     "mm_phash_dups", "kg_rule_mining", "mm_audio_fingerprint",
     "q_event_funnel", "tx_length_quantiles", "q_retention_cohorts",

@@ -9401,3 +9401,142 @@ ORACLES["mm_exif"] = """
            1 + (doc_id // 3) % 480 AS height
     FROM documents
 """
+
+
+def tx_word_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word co-occurrence counts within a ±2 token window, by offset —
+    the count table GloVe/word2vec-style embedding training consumes.
+    Pairs at distance 1 and 2 are built MAP-SIDE with zip_with over
+    shifted array slices (no positional self-join, no Python); one
+    (w1, w2, dist) count aggregate with map-side combine is the only
+    shuffle. Pairs below support 3 are dropped on both sides (the
+    standard min-count vocabulary cut)."""
+    docs = _docs(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    n = F.size(toks)
+    branches = []
+    for d in (1, 2):
+        pairs = F.zip_with(
+            F.slice(toks, 1, n - d),
+            F.slice(toks, 1 + d, n - d),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+        branches.append(
+            docs.where(n >= d + 1).select(
+                F.explode(pairs).alias("p"), F.lit(d).alias("dist")
+            )
+        )
+    u = branches[0].unionByName(branches[1])
+    return (
+        u.groupBy(
+            F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"), "dist"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 3)
+    )
+
+
+def tx_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram LM negative log-probability per document,
+    log2-quantized to exact integers (textops/lmscore.py::
+    bigram_lm_score) — the CCNet perplexity-style quality score with a
+    bit-exact cross-engine gate."""
+    from codebased_spark.textops.lmscore import bigram_lm_score
+
+    return bigram_lm_score(_docs(spark, sf_dir))
+
+
+def kg_charset_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHATWG charset resolution cascade (extract/charset.py): BOM >
+    Content-Type header > meta charset > utf-8 default, plus the
+    header-vs-meta conflict flag. The fixture plants all three evidence
+    kinds in adversarial markup (uppercase META, single quotes, header
+    parameter case variance); the oracle states the resolved cascade
+    declaratively, so any precedence or tolerance defect breaks it."""
+    from codebased_spark.extract.charset import BOM, charset_cascade
+
+    docs = _docs(spark, sf_dir)
+    meta_tag = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.when(
+            F.col("doc_id") % 2 == 0, F.lit('<META CHARSET="UTF-8">')
+        ).otherwise(F.lit("<meta charset='windows-1252'/>")),
+    ).otherwise(F.lit(""))
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 7 == 0, F.lit(BOM)).otherwise(F.lit("")),
+            meta_tag,
+            F.lit("<p>"),
+            F.col("text"),
+            F.lit("</p>"),
+        ).alias("html_text"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("text/html; charset=UTF-8"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("Text/HTML; Charset=ISO-8859-1"))
+        .otherwise(F.lit("text/html"))
+        .alias("content_type"),
+    )
+    return charset_cascade(pages).select(
+        "doc_id", "charset", "charset_source", "charset_conflict"
+    )
+
+
+QUERIES["tx_word_cooc"] = tx_word_cooc
+QUERIES["tx_lm_perplexity"] = tx_lm_perplexity
+QUERIES["kg_charset_cascade"] = kg_charset_cascade
+
+ORACLES["tx_word_cooc"] = """
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS l
+      FROM documents
+    ),
+    p AS (
+      SELECT l[i] AS w1, l[i + 1] AS w2, 1 AS dist
+      FROM d, unnest(generate_series(1, len(l) - 1)) AS g(i)
+      UNION ALL
+      SELECT l[i], l[i + 2], 2
+      FROM d, unnest(generate_series(1, len(l) - 2)) AS g(i)
+    )
+    SELECT w1, w2, dist, count(*) AS n
+    FROM p GROUP BY w1, w2, dist HAVING count(*) >= 3
+"""
+
+ORACLES["tx_lm_perplexity"] = """
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS l
+      FROM documents
+    ),
+    t AS (
+      SELECT doc_id, l[i] AS w1, l[i] || ' ' || l[i + 1] AS bg
+      FROM d, unnest(generate_series(1, len(l) - 1)) AS g(i)
+    ),
+    cb AS (SELECT bg, count(*) AS b_cnt FROM t GROUP BY bg),
+    cu AS (SELECT w1, count(*) AS u_cnt FROM t GROUP BY w1),
+    j AS (
+      SELECT t.doc_id,
+             length(bin(u_cnt)) - length(bin(b_cnt)) AS c
+      FROM t JOIN cb USING (bg) JOIN cu USING (w1)
+    )
+    SELECT doc_id, count(*) AS n_bigrams, sum(c) AS nlp_q2,
+           (sum(c) * 10000) // count(*) AS avg_nlp_bp
+    FROM j GROUP BY doc_id
+"""
+
+ORACLES["kg_charset_cascade"] = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN 'utf-8'
+                WHEN doc_id % 4 = 0 THEN 'utf-8'
+                WHEN doc_id % 4 = 1 THEN 'iso-8859-1'
+                WHEN doc_id % 3 = 0 THEN
+                  CASE WHEN doc_id % 2 = 0 THEN 'utf-8'
+                       ELSE 'windows-1252' END
+                ELSE 'utf-8' END AS charset,
+           CASE WHEN doc_id % 7 = 0 THEN 'bom'
+                WHEN doc_id % 4 IN (0, 1) THEN 'header'
+                WHEN doc_id % 3 = 0 THEN 'meta'
+                ELSE 'default' END AS charset_source,
+           CASE WHEN doc_id % 12 = 9 THEN 1 ELSE 0 END AS charset_conflict
+    FROM documents
+"""

@@ -60,3 +60,67 @@ def known_bigram_fraction(
             ),
         )
     )
+
+
+def bigram_lm_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_bigrams, nlp_q2, avg_nlp_bp): corpus-trained bigram LM
+    negative log-probability, log2-QUANTIZED to exact integers — the
+    CCNet-style perplexity quality score with the transcendental part
+    removed (the textops/classify.py discipline: every log is bit_length,
+    exact in codegen on both engines).
+
+    Per bigram instance (w1, w2): P(w2|w1) = B(w1 w2) / U(w1) with
+    U(w1) = count of bigram instances headed by w1, so the per-instance
+    cost BL(U) - BL(B) >= 0 and the doc score is a non-negative BIGINT
+    sum (lower = more predictable text). avg_nlp_bp scales by 10^4 with
+    integer division of non-negatives (floor == truncate, both engines).
+
+    Scale shape: instances explode map-side; B and U are two hash-keyed
+    counts (xxhash64 shuffle keys, strings never shuffle; counts are
+    collision-equal to string grouping, same disclosure as
+    known_bigram_fraction); the rollup joins the counts back by hash —
+    AQE broadcasts them when the vocabulary is small — and aggregates
+    narrow longs.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    heads = F.slice(toks, 1, n - 1)
+    inst = (
+        docs.where(n >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(F.arrays_zip(bigrams.alias("bg"), heads.alias("w1"))).alias(
+                "z"
+            ),
+        )
+        .select(
+            id_col,
+            F.xxhash64("z.bg").alias("h_bg"),
+            F.xxhash64("z.w1").alias("h_w1"),
+        )
+    )
+    cb = inst.groupBy("h_bg").agg(F.count(F.lit(1)).alias("b_cnt"))
+    cu = inst.groupBy("h_w1").agg(F.count(F.lit(1)).alias("u_cnt"))
+    bl = lambda c: F.length(F.bin(c))  # noqa: E731 — floor(log2)+1, exact
+    return (
+        inst.join(cb, "h_bg")
+        .join(cu, "h_w1")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(bl(F.col("u_cnt")) - bl(F.col("b_cnt"))).alias("nlp_q2"),
+        )
+        .withColumn(
+            "avg_nlp_bp",
+            F.expr("nlp_q2 * 10000 div n_bigrams"),
+        )
+    )

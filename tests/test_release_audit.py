@@ -256,3 +256,62 @@ def test_qa_pairs_property(spark):
         for r in qa_pairs(spark.createDataFrame(docs, ["doc_id", "text"])).collect()
     )
     assert got == sorted(expected)
+
+
+# ---------------------------------------------------------------------------
+# wave 2: word co-occurrence, quantized bigram LM, charset cascade
+# ---------------------------------------------------------------------------
+
+
+def test_word_cooc_offsets(spark, tmp_path):
+    # "a b c" x3 docs -> (a,b,1)x3 (b,c,1)x3 (a,c,2)x3; singleton doc
+    # contributes pairs below min-count that must be cut
+    rows = [(i, "a b c", "en", "src0", 5) for i in range(3)]
+    rows.append((9, "z q", "en", "src0", 3))
+    _write_docs(spark, tmp_path, rows)
+
+    from codebased_spark.dataops import tx_word_cooc
+
+    got = {(r.w1, r.w2, r.dist): r.n
+           for r in tx_word_cooc(spark, str(tmp_path)).collect()}
+    assert got == {("a", "b", 1): 3, ("b", "c", 1): 3, ("a", "c", 2): 3}
+
+
+def test_bigram_lm_score_exact(spark):
+    # corpus: "a b" x4 and "a c" x1 -> U(a)=5, B(a b)=4, B(a c)=1
+    # BL(5)=3, BL(4)=3, BL(1)=1 -> "a b" doc: 0; "a c" doc: 2
+    from codebased_spark.textops.lmscore import bigram_lm_score
+
+    docs = spark.createDataFrame(
+        [(i, "a b") for i in range(4)] + [(9, "a c")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: (r.n_bigrams, r.nlp_q2, r.avg_nlp_bp)
+           for r in bigram_lm_score(docs).collect()}
+    assert got[0] == (1, 0, 0)
+    assert got[9] == (1, 2, 20000)
+    # rarer continuations never score lower (monotone in counts)
+    assert got[9][1] > got[0][1]
+
+
+def test_charset_cascade_precedence(spark):
+    from codebased_spark.extract.charset import BOM, charset_cascade
+
+    pages = spark.createDataFrame(
+        [
+            # BOM beats a conflicting header and meta
+            (1, BOM + '<meta charset="koi8-r">', "text/html; charset=latin-1"),
+            # header beats meta; conflict flagged
+            (2, "<META CHARSET='UTF-8'>", "text/html; CHARSET=Shift_JIS"),
+            # meta only — uppercase tag, no quotes
+            (3, "<META data-x=1 CHARSET=EUC-KR>", "text/html"),
+            # nothing -> default
+            (4, "<p>plain</p>", "application/octet-stream"),
+        ],
+        ["doc_id", "html_text", "content_type"],
+    )
+    got = {r.doc_id: (r.charset, r.charset_source, r.charset_conflict)
+           for r in charset_cascade(pages).collect()}
+    assert got[1] == ("utf-8", "bom", 1)
+    assert got[2] == ("shift_jis", "header", 1)
+    assert got[3] == ("euc-kr", "meta", 0)
+    assert got[4] == ("utf-8", "default", 0)
