@@ -250,3 +250,96 @@ def test_phash_shuffle_carries_hash_not_pixels(spark):
 
     ex = [ln for ln in p.splitlines() if "Exchange hashpartitioning" in ln]
     assert ex and all("payload" not in ln for ln in ex)
+
+
+def test_skyline_frontier_broadcast_no_corpus_window(spark):
+    from codebased_spark.dataops import q_skyline
+
+    p = plan(q_skyline(spark, SF))
+    # the frontier join-back must be broadcast (frontier is tiny)
+    assert "BroadcastHashJoin" in p
+    # the suffix-max window runs over the distinct-value table, which is
+    # produced by an aggregation — never directly over per-user rows
+    assert "SortMergeJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_zone_maps_prefix_scan_broadcast(spark):
+    from codebased_spark.dataops import kg_zone_maps
+
+    p = plan(kg_zone_maps(spark, SF))
+    # histogram start-ranks broadcast back to the corpus side
+    assert "BroadcastHashJoin" in p
+    # per-length window is keyed (hashpartitioning on n_chars), not a
+    # single-partition global sort over the corpus
+    assert "Exchange hashpartitioning(n_chars" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_vacuum_single_url_exchange(spark):
+    from codebased_spark.dataops import kg_vacuum_plan
+
+    p = plan(kg_vacuum_plan(spark, SF))
+    # the url-keyed exchange feeds both the window and the aggregate:
+    # exactly one hashpartitioning exchange on url, nothing else
+    ex = [ln for ln in p.splitlines() if "Exchange hashpartitioning" in ln]
+    assert len(ex) == 1 and "url" in ex[0]
+    # shuffle rows carry (url, doc_id, n_bytes) — never the text column
+    assert all("text" not in ln for ln in ex)
+
+
+def test_split_leakage_shuffles_hashes_not_text(spark):
+    from codebased_spark.dataops import tx_split_leakage
+
+    p = plan(tx_split_leakage(spark, SF))
+    ex = [ln for ln in p.splitlines() if "Exchange hashpartitioning" in ln]
+    assert ex and all("text" not in ln for ln in ex)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_qa_pairs_map_only_jvm(spark):
+    from codebased_spark.dataops import tx_qa_pairs
+
+    p = plan(tx_qa_pairs(spark, SF))
+    assert "Exchange" not in p  # extraction is pure per-row projection
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_word_cooc_single_count_shuffle(spark):
+    from codebased_spark.dataops import tx_word_cooc
+
+    p = plan(tx_word_cooc(spark, SF))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # pair building is map-side zip_with: the only exchange is the
+    # (w1, w2, dist) count agg with a map-side partial
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in p
+
+
+def test_lm_perplexity_no_string_shuffle(spark):
+    from codebased_spark.dataops import tx_lm_perplexity
+
+    p = plan(tx_lm_perplexity(spark, SF))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # every exchange is keyed by a 64-bit hash or doc_id — bigram/token
+    # STRINGS never cross the wire
+    ex = [ln for ln in p.splitlines() if "Exchange hashpartitioning" in ln]
+    assert ex and all(" bg" not in ln and " w1" not in ln for ln in ex)
+
+
+def test_charset_cascade_map_only(spark):
+    from codebased_spark.dataops import kg_charset_cascade
+
+    p = plan(kg_charset_cascade(spark, SF))
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "*(1) Project" in p  # codegen projection
+
+
+def test_exif_stage_is_arrow_batched(spark):
+    from codebased_spark.dataops import mm_exif
+
+    p = plan(mm_exif(spark, SF))
+    # mapInPandas stages, never row-at-a-time Python
+    assert "BatchEvalPython" not in p
+    assert "MapInPandas" in p
