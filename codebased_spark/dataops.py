@@ -9540,3 +9540,130 @@ ORACLES["kg_charset_cascade"] = """
            CASE WHEN doc_id % 12 = 9 THEN 1 ELSE 0 END AS charset_conflict
     FROM documents
 """
+
+
+def tx_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid grade level per document, scaled x100 to exact
+    integers: syllables approximated as (?i)[aeiouy]+ vowel groups (the
+    standard heuristic), sentences as [.!?]+ runs (floor 1), words as
+    non-empty whitespace tokens. fk_x100 = 39*W div S + 1180*Syl div W
+    - 1559 — integer division of positives truncates identically on both
+    engines, so the gate is bit-exact (the kg_entity_pmi lesson: gated
+    numbers stay rational). Readability is a standard quality-filter
+    feature next to tx_quality's ratios. Map-only codegen, no shuffle."""
+    docs = _docs(spark, sf_dir)
+    words = F.size(F.filter(F.split(F.col("text"), " "), lambda w: w != ""))
+    sents = F.greatest(F.lit(1), F.regexp_count(F.col("text"), F.lit(r"[.!?]+")))
+    syls = F.regexp_count(F.col("text"), F.lit(r"(?i)[aeiouy]+"))
+    return docs.select(
+        "doc_id",
+        words.alias("n_words"),
+        sents.alias("n_sentences"),
+        syls.alias("n_syllables"),
+        F.expr(
+            "39 * n_words div n_sentences + 1180 * n_syllables div n_words"
+            " - 1559"
+        ).alias("fk_x100"),
+    ).where(F.col("n_words") > 0)
+
+
+def kg_tech_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wappalyzer-style site-technology census (extract/tech.py): pages
+    built with planted generator metas (BOTH attribute orders, mixed
+    case/quotes) and platform asset paths; Spark must really match the
+    tolerant regexes while the oracle states the planted census
+    declaratively."""
+    from codebased_spark.extract.tech import tech_census
+
+    docs = _docs(spark, sf_dir)
+    gen = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.lit('<meta name="generator" content="WordPress 6.4">'),
+        ).otherwise(F.lit("<META CONTENT='Drupal 10' NAME='Generator'>")),
+    ).otherwise(F.lit(""))
+    wp_asset = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.lit('<script SRC="/wp-content/themes/x.js"></script>'),
+    ).otherwise(F.lit(""))
+    shop = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.lit("<img src='https://cdn.shopify.com/s/files/x.png'>"),
+    ).otherwise(F.lit(""))
+    pages = docs.select(
+        F.concat(F.col("source"), F.lit(".example.org")).alias("host"),
+        F.concat(
+            F.lit("<html><head>"), gen, F.lit("</head><body>"),
+            wp_asset, shop, F.lit("<p>"), F.col("text"), F.lit("</p></body></html>"),
+        ).alias("html_text"),
+    )
+    return tech_census(pages)
+
+
+def g_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In/out degree distribution of the doc link graph in log2 buckets
+    (bucket = bit_length(degree), exact in codegen) — the power-law
+    sanity histogram every web-graph build is checked against, and the
+    skew evidence behind the salting/broadcast decisions (link/skew.py).
+    Two keyed degree counts + two TINY histogram aggs; node ids only."""
+    e = _doc_edges(spark, sf_dir)
+    bl = lambda c: F.length(F.bin(c))  # noqa: E731
+
+    def side(col, label):
+        deg = e.groupBy(F.col(col).alias("node")).agg(
+            F.count(F.lit(1)).alias("d")
+        )
+        return deg.groupBy(bl(F.col("d")).alias("bucket")).agg(
+            F.count(F.lit(1)).alias("n_nodes")
+        ).select(F.lit(label).alias("direction"), "bucket", "n_nodes")
+
+    return side("src", "out").unionByName(side("dst", "in"))
+
+
+QUERIES["tx_readability"] = tx_readability
+QUERIES["kg_tech_fingerprint"] = kg_tech_fingerprint
+QUERIES["g_degree_histogram"] = g_degree_histogram
+
+ORACLES["tx_readability"] = """
+    WITH m AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS n_words,
+             greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+               AS n_sentences,
+             len(regexp_extract_all(text, '(?i)[aeiouy]+')) AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           39 * n_words // n_sentences
+             + 1180 * n_syllables // n_words - 1559 AS fk_x100
+    FROM m WHERE n_words > 0
+"""
+
+ORACLES["kg_tech_fingerprint"] = """
+    WITH m AS (
+      SELECT source || '.example.org' AS host, 'wordpress' AS tech
+      FROM documents WHERE doc_id % 6 = 0 OR doc_id % 5 = 0
+      UNION ALL
+      SELECT source || '.example.org', 'drupal'
+      FROM documents WHERE doc_id % 6 = 3
+      UNION ALL
+      SELECT source || '.example.org', 'shopify'
+      FROM documents WHERE doc_id % 7 = 0
+    )
+    SELECT host, tech, count(*) AS n_pages FROM m GROUP BY host, tech
+"""
+
+ORACLES["g_degree_histogram"] = f"""
+    WITH {_EDGES_SQL.strip()},
+    od AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+    idg AS (SELECT dst, count(*) AS d FROM edges GROUP BY dst)
+    SELECT 'out' AS direction, length(bin(d)) AS bucket,
+           count(*) AS n_nodes
+    FROM od GROUP BY bucket
+    UNION ALL
+    SELECT 'in' AS direction, length(bin(d)) AS bucket,
+           count(*) AS n_nodes
+    FROM idg GROUP BY bucket
+"""

@@ -343,3 +343,23 @@ def test_exif_stage_is_arrow_batched(spark):
     # mapInPandas stages, never row-at-a-time Python
     assert "BatchEvalPython" not in p
     assert "MapInPandas" in p
+
+
+def test_readability_map_only(spark):
+    from codebased_spark.dataops import tx_readability
+
+    p = plan(tx_readability(spark, SF))
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_tech_census_detection_before_shuffle(spark):
+    from codebased_spark.dataops import kg_tech_fingerprint
+
+    p = plan(kg_tech_fingerprint(spark, SF))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # one (host, tech) count exchange with a map-side partial; html
+    # never crosses the wire
+    ex = [ln for ln in p.splitlines() if "Exchange hashpartitioning" in ln]
+    assert len(ex) == 1 and "html" not in ex[0]
+    assert "partial_count" in p
