@@ -111,7 +111,7 @@ _RECEIPT_PRIORITY = [
     "q_skyline", "kg_zone_maps", "kg_vacuum_plan", "tx_pii_proximity",
     "tx_split_leakage", "tx_qa_pairs", "mm_exif", "tx_word_cooc",
     "tx_lm_perplexity", "kg_charset_cascade", "tx_readability",
-    "kg_tech_fingerprint", "g_degree_histogram",
+    "kg_tech_fingerprint", "g_degree_histogram", "kg_csr_layout",
     # new in the r4 eighth continuation session
     "mm_phash_dups", "kg_rule_mining", "mm_audio_fingerprint",
     "q_event_funnel", "tx_length_quantiles", "q_retention_cohorts",

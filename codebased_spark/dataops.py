@@ -9667,3 +9667,64 @@ ORACLES["g_degree_histogram"] = f"""
            count(*) AS n_nodes
     FROM idg GROUP BY bucket
 """
+
+
+def kg_csr_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSR adjacency layout of the doc link graph — the (offset, degree,
+    packed-neighbor) representation GNN training loaders and graph
+    engines consume. Offsets are the global prefix sum of out-degrees in
+    node order, computed as a two-level scan (node-range buckets ->
+    cumulative over the TINY bucket table, broadcast back -> keyed
+    within-bucket window) — never an unpartitioned window over the node
+    table. Neighbors are sorted and comma-packed so the value gate is a
+    plain string compare. Nodes with no out-edge have no CSR row (their
+    offset equals the next node's; the standard sparse convention)."""
+    e = _doc_edges(spark, sf_dir)
+    adj = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("dst")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("neighbors"),
+    )
+    bucketed = adj.withColumn("bucket", F.expr("node div 256"))
+    bsums = bucketed.groupBy("bucket").agg(F.sum("degree").alias("bsum"))
+    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    bstarts = bsums.select(
+        F.col("bucket").alias("b"),
+        F.coalesce(F.sum("bsum").over(w_b), F.lit(0)).alias("bstart"),
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("node")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        bucketed.join(F.broadcast(bstarts), bucketed.bucket == bstarts.b)
+        .withColumn(
+            "csr_offset",
+            F.col("bstart") + F.coalesce(F.sum("degree").over(w_in), F.lit(0)),
+        )
+        .select("node", "degree", "csr_offset", "neighbors")
+    )
+
+
+QUERIES["kg_csr_layout"] = kg_csr_layout
+
+ORACLES["kg_csr_layout"] = f"""
+    WITH {_EDGES_SQL.strip()},
+    adj AS (
+      SELECT src AS node, count(*) AS degree,
+             array_to_string(list_sort(list(dst)), ',') AS neighbors
+      FROM edges GROUP BY src
+    )
+    SELECT node, degree,
+           coalesce(sum(degree) OVER (ORDER BY node
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS csr_offset,
+           neighbors
+    FROM adj
+"""

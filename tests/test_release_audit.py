@@ -370,3 +370,22 @@ def test_degree_histogram_buckets(spark, tmp_path):
     # every doc has >= 1 out-edge (the chord edge is unconditional)
     assert out_total == 24
     assert all(r.bucket >= 1 for r in rows)
+
+
+def test_csr_layout_invariants(spark, tmp_path):
+    _write_docs(spark, tmp_path,
+                [(i, "t", "en", "src0", 100 + i) for i in range(30)])
+
+    from codebased_spark.dataops import kg_csr_layout
+
+    rows = sorted(kg_csr_layout(spark, str(tmp_path)).collect(),
+                  key=lambda r: r.node)
+    # offsets are the exact running sum of degrees in node order
+    running = 0
+    for r in rows:
+        assert r.csr_offset == running
+        running += r.degree
+        assert len(r.neighbors.split(",")) == r.degree
+    # total offset span == edge count
+    from codebased_spark.dataops import _doc_edges
+    assert running == _doc_edges(spark, str(tmp_path)).count()
