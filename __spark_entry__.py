@@ -112,6 +112,7 @@ _RECEIPT_PRIORITY = [
     "tx_split_leakage", "tx_qa_pairs", "mm_exif", "tx_word_cooc",
     "tx_lm_perplexity", "kg_charset_cascade", "tx_readability",
     "kg_tech_fingerprint", "g_degree_histogram", "kg_csr_layout",
+    "tx_stratified_sample", "tx_code_fences", "mm_srt_captions",
     # new in the r4 eighth continuation session
     "mm_phash_dups", "kg_rule_mining", "mm_audio_fingerprint",
     "q_event_funnel", "tx_length_quantiles", "q_retention_cohorts",

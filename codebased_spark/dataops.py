@@ -9728,3 +9728,121 @@ ORACLES["kg_csr_layout"] = f"""
            neighbors
     FROM adj
 """
+
+
+def tx_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified hash sampling — corpus REBALANCING, the step after
+    uniform sampling (tx_sample_hash): each stratum gets its own keep
+    rate (here: the overrepresented 'en' stratum keeps 25/256, every
+    other language 128/256), applied as a per-stratum hex threshold on
+    the same salted portable hash. Still MAP-ONLY — no shuffle, no
+    per-stratum sort, reproducible across engines/retries — which is
+    the only sampler shape that holds at 10^12 rows. rate_n (the n of
+    n/256) rides along so downstream mixture weighting (tx_training_mix)
+    can invert it."""
+    docs = _docs(spark, sf_dir)
+    h2 = F.substring(
+        F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.lit("strat"))),
+        1, 2,
+    )
+    thresh = F.when(F.col("lang") == "en", F.lit("19")).otherwise(F.lit("80"))
+    rate_n = F.when(F.col("lang") == "en", F.lit(25)).otherwise(F.lit(128))
+    return docs.where(h2 < thresh).select(
+        "doc_id", "lang", "source", rate_n.alias("rate_n")
+    )
+
+
+def tx_code_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown code-fence EXTRACTION (textops/codedetect.py::
+    code_fences) — lifts fenced blocks with their language tags out of
+    prose for the code-data pipeline. Fixture plants a tagged and an
+    untagged fence per eligible doc; the oracle states the planted
+    blocks declaratively."""
+    from codebased_spark.textops.codedetect import code_fences
+
+    docs = _docs(spark, sf_dir)
+    py_fence = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.lit("\n```python\nimport x\nprint(x)\n```"),
+    ).otherwise(F.lit(""))
+    plain_fence = F.when(
+        F.col("doc_id") % 6 == 0, F.lit("\n```\nplain block\n```")
+    ).otherwise(F.lit(""))
+    built = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), py_fence, plain_fence).alias("text"),
+    )
+    return code_fences(built)
+
+
+def mm_srt_captions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRT caption parsing (media/captions.py): two planted cues per doc
+    rendered to real SRT text (index line, HH:MM:SS,mmm --> ... line,
+    caption line), parsed back to integer milliseconds. The oracle
+    states every cue declaratively, so any timestamp-arithmetic or
+    block-splitting defect breaks the equality."""
+    from codebased_spark.media.captions import parse_srt
+
+    docs = _docs(spark, sf_dir)
+
+    def cue(i: int):
+        s = (F.col("doc_id") % 10 + (i - 1) * 20).cast("long")
+        ms = ((F.col("doc_id") * 37 + i) % 500).cast("long")
+        t0 = F.concat(
+            F.lit("00:00:"), F.lpad(s.cast("string"), 2, "0"),
+            F.lit(","), F.lpad(ms.cast("string"), 3, "0"),
+        )
+        t1 = F.concat(
+            F.lit("00:00:"), F.lpad(s.cast("string"), 2, "0"),
+            F.lit(","), (ms + 500).cast("string"),
+        )
+        return F.concat(
+            F.lit(f"{i}\n"), t0, F.lit(" --> "), t1,
+            F.lit("\ncaption "), F.col("doc_id").cast("string"),
+            F.lit(f" cue {i}"),
+        )
+
+    built = docs.select(
+        "doc_id",
+        F.concat(cue(1), F.lit("\n\n"), cue(2)).alias("srt"),
+    )
+    return parse_srt(built)
+
+
+QUERIES["tx_stratified_sample"] = tx_stratified_sample
+QUERIES["tx_code_fences"] = tx_code_fences
+QUERIES["mm_srt_captions"] = mm_srt_captions
+
+ORACLES["tx_stratified_sample"] = """
+    SELECT doc_id, lang, source,
+           CASE WHEN lang = 'en' THEN 25 ELSE 128 END AS rate_n
+    FROM documents
+    WHERE substr(md5(doc_id || ':strat'), 1, 2)
+          < CASE WHEN lang = 'en' THEN '19' ELSE '80' END
+"""
+
+ORACLES["tx_code_fences"] = """
+    SELECT doc_id, 1 AS fence_idx, 'python' AS lang_tag,
+           2 AS n_lines, 18 AS n_chars
+    FROM documents WHERE doc_id % 4 = 0
+    UNION ALL
+    SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 1 END,
+           'plain', 1, 12
+    FROM documents WHERE doc_id % 6 = 0
+"""
+
+ORACLES["mm_srt_captions"] = """
+    SELECT doc_id, 1 AS cue_idx,
+           (doc_id % 10) * 1000 + (doc_id * 37 + 1) % 500 AS start_ms,
+           (doc_id % 10) * 1000 + (doc_id * 37 + 1) % 500 + 500 AS end_ms,
+           500 AS dur_ms,
+           'caption ' || doc_id || ' cue 1' AS caption
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 2,
+           (doc_id % 10 + 20) * 1000 + (doc_id * 37 + 2) % 500,
+           (doc_id % 10 + 20) * 1000 + (doc_id * 37 + 2) % 500 + 500,
+           500,
+           'caption ' || doc_id || ' cue 2'
+    FROM documents
+"""

@@ -63,3 +63,36 @@ def code_profile(
         "code_heavy",
         (F.col("code_chars") * 5 > F.col("text_chars")).cast("int"),
     )
+
+
+_FENCE_RE = r"(?s)```([a-z]*)\n(.*?)```"
+
+
+def code_fences(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, fence_idx, lang_tag, n_lines, n_chars) per markdown code
+    fence — the EXTRACTION stage behind the code-mass profile above: a
+    code-data miner lifts fenced blocks out of prose (with their
+    declared language tag, '' -> 'plain') and routes them to the code
+    pipeline. Two regexp_extract_all passes over the SAME pattern
+    (group 1 = tag, group 2 = body) align positionally, zipped and
+    exploded — the tx_qa_pairs idiom; all JVM, map-only."""
+    tags = F.regexp_extract_all(F.col(text_col), F.lit(_FENCE_RE), F.lit(1))
+    bodies = F.regexp_extract_all(F.col(text_col), F.lit(_FENCE_RE), F.lit(2))
+    z = F.arrays_zip(tags.alias("t"), bodies.alias("b"))
+    return (
+        docs.select(F.col(id_col), F.posexplode(z).alias("pos", "f"))
+        .where(F.col("f.b").isNotNull())
+        .select(
+            id_col,
+            (F.col("pos") + 1).alias("fence_idx"),
+            F.when(F.col("f.t") == "", F.lit("plain"))
+            .otherwise(F.col("f.t"))
+            .alias("lang_tag"),
+            (F.size(F.split(F.col("f.b"), "\n")) - 1).alias("n_lines"),
+            F.length("f.b").alias("n_chars"),
+        )
+    )

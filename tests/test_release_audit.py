@@ -389,3 +389,68 @@ def test_csr_layout_invariants(spark, tmp_path):
     # total offset span == edge count
     from codebased_spark.dataops import _doc_edges
     assert running == _doc_edges(spark, str(tmp_path)).count()
+
+
+# ---------------------------------------------------------------------------
+# wave 5: stratified sampling, code fences, SRT captions
+# ---------------------------------------------------------------------------
+
+
+def test_stratified_sample_rates(spark, tmp_path):
+    # 400 en + 400 fr: en keeps ~25/256 (~9.8%), fr ~128/256 (50%);
+    # exact membership is the hash predicate — check determinism + rough
+    # stratum proportions + rate_n metadata
+    rows = [(i, "t", "en" if i < 400 else "fr", "src0", 10) for i in range(800)]
+    _write_docs(spark, tmp_path, rows)
+
+    from codebased_spark.dataops import tx_stratified_sample
+
+    out = tx_stratified_sample(spark, str(tmp_path)).collect()
+    again = tx_stratified_sample(spark, str(tmp_path)).collect()
+    assert {r.doc_id for r in out} == {r.doc_id for r in again}  # deterministic
+    en = [r for r in out if r.lang == "en"]
+    fr = [r for r in out if r.lang == "fr"]
+    assert all(r.rate_n == 25 for r in en) and all(r.rate_n == 128 for r in fr)
+    assert 15 <= len(en) <= 70        # ~39 expected
+    assert 140 <= len(fr) <= 260      # ~200 expected
+
+
+def test_code_fences_extraction(spark):
+    from codebased_spark.textops.codedetect import code_fences
+
+    docs = spark.createDataFrame(
+        [
+            (1, "intro\n```python\na = 1\nb = 2\n```\nmiddle\n```\nx\n```"),
+            (2, "no fences here"),
+            (3, "```sql\nSELECT 1\n```"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = sorted(
+        (r.doc_id, r.fence_idx, r.lang_tag, r.n_lines, r.n_chars)
+        for r in code_fences(docs).collect()
+    )
+    assert got == [
+        (1, 1, "python", 2, 12),  # "a = 1\nb = 2\n"
+        (1, 2, "plain", 1, 2),    # "x\n"
+        (3, 1, "sql", 1, 9),      # "SELECT 1\n"
+    ]
+
+
+def test_srt_parser_drops_malformed_cues(spark):
+    from codebased_spark.media.captions import parse_srt
+
+    srt = (
+        "1\n00:00:01,000 --> 00:00:02,500\nhello there\n\n"
+        "garbage block without timestamps\n\n"
+        "2\n01:02:03,250 --> 01:02:04,000\nsecond cue"
+    )
+    docs = spark.createDataFrame([(7, srt)], ["doc_id", "srt"])
+    got = sorted(
+        (r.cue_idx, r.start_ms, r.end_ms, r.dur_ms, r.caption)
+        for r in parse_srt(docs).collect()
+    )
+    assert got == [
+        (1, 1000, 2500, 1500, "hello there"),
+        (2, 3723250, 3724000, 750, "second cue"),
+    ]
