@@ -9846,3 +9846,59 @@ ORACLES["mm_srt_captions"] = """
            'caption ' || doc_id || ' cue 2'
     FROM documents
 """
+
+
+def tx_term_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency diagnostic: term-frequency histogram in log2
+    buckets (bucket = bit_length(freq), exact) with distinct-term and
+    instance-mass counts per bucket — the curve a healthy natural-
+    language corpus follows and boilerplate/spam corpora visibly break.
+    Companion of g_degree_histogram on the text side. One term-count
+    shuffle (map-side combinable) + a TINY histogram agg."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+        ).alias("term")
+    )
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    return counts.groupBy(
+        F.length(F.bin(F.col("freq"))).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("freq").alias("n_instances"),
+    )
+
+
+def mm_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ID3v1 audio-tag decode (media/headers.py::parse_id3v1): MP3
+    payloads built with planted title/artist/genre, parsed back from the
+    fixed-layout 128-byte trailer through the Arrow decode stage; the
+    oracle states the planted tags declaratively."""
+    from codebased_spark.media.decode import id3_metadata, synthetic_id3_media
+
+    return id3_metadata(synthetic_id3_media(_docs(spark, sf_dir)))
+
+
+QUERIES["tx_term_zipf"] = tx_term_zipf
+QUERIES["mm_id3_tags"] = mm_id3_tags
+
+ORACLES["tx_term_zipf"] = """
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS term
+      FROM documents
+    ),
+    counts AS (SELECT term, count(*) AS freq FROM toks GROUP BY term)
+    SELECT length(bin(freq)) AS bucket, count(*) AS n_terms,
+           sum(freq) AS n_instances
+    FROM counts GROUP BY bucket
+"""
+
+ORACLES["mm_id3_tags"] = """
+    SELECT doc_id,
+           'song title ' || (doc_id % 23) AS title,
+           'artist ' || (doc_id % 11) AS artist,
+           doc_id % 80 AS genre
+    FROM documents
+"""

@@ -336,3 +336,58 @@ def exif_metadata(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(decode, schema=EXIF_SCHEMA)
+
+
+ID3_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("title", StringType()),
+        StructField("artist", StringType()),
+        StructField("genre", LongType()),
+    ]
+)
+
+
+def synthetic_id3_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload) with REAL MP3+ID3v1 bytes whose tag fields are
+    pure doc_id arithmetic — same planted-derivation contract as
+    synthetic_exif_media."""
+    from codebased_spark.media.headers import make_mp3_id3v1
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (
+                    int(did),
+                    make_mp3_id3v1(
+                        f"song title {int(did) % 23}",
+                        f"artist {int(did) % 11}",
+                        int(did) % 80,
+                    ),
+                )
+                for did in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return docs.select("doc_id").mapInPandas(
+        build, schema="doc_id long, payload binary"
+    )
+
+
+def id3_metadata(media: DataFrame) -> DataFrame:
+    """REAL ID3v1 decode -> (ID3_SCHEMA): title/artist/genre from the
+    fixed-layout 128-byte trailer. Arrow-batched mapInPandas like the
+    other decode stages."""
+    from codebased_spark.media.headers import parse_id3v1
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, pl in zip(pdf["doc_id"], pdf["payload"]):
+                title, artist, genre = parse_id3v1(bytes(pl))
+                rows.append((int(did), title, artist, genre))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "title", "artist", "genre"]
+            )
+
+    return media.mapInPandas(decode, schema=ID3_SCHEMA)

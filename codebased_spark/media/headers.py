@@ -442,3 +442,36 @@ def parse_exif(b: bytes) -> tuple[str, int, str]:
             return _parse_tiff_ifd0(b[i + 10 : i + 2 + seglen])
         i += 2 + seglen
     raise ValueError("JPEG has no Exif APP1 segment")
+
+
+# ---------------------------------------------------------------------------
+# ID3v1 (fixed 128-byte MP3 trailer)
+# ---------------------------------------------------------------------------
+
+
+def make_mp3_id3v1(title: str, artist: str, genre: int) -> bytes:
+    """Minimal MP3-ish payload: one MPEG frame-sync header + an ID3v1
+    trailer (the fixed-layout 128-byte block: 'TAG', 30-byte title,
+    30-byte artist, 30-byte album, 4-byte year, 30-byte comment, genre
+    byte). ID3v1 is the simplest real audio-metadata container and is
+    still ubiquitous in crawled MP3s."""
+    tag = (
+        b"TAG"
+        + title.encode("ascii")[:30].ljust(30, b"\x00")
+        + artist.encode("ascii")[:30].ljust(30, b"\x00")
+        + b"\x00" * 30  # album
+        + b"2024"
+        + b"\x00" * 30  # comment
+        + bytes([genre & 0xFF])
+    )
+    return b"\xff\xfb\x90\x00" + b"\x00" * 16 + tag
+
+
+def parse_id3v1(b: bytes) -> tuple[str, str, int]:
+    """(title, artist, genre) from the trailing 128-byte ID3v1 block."""
+    if len(b) < 128 or b[-128:-125] != b"TAG":
+        raise ValueError("no ID3v1 trailer")
+    t = b[-128:]
+    title = t[3:33].rstrip(b"\x00").decode("ascii", "ignore")
+    artist = t[33:63].rstrip(b"\x00").decode("ascii", "ignore")
+    return title, artist, t[127]

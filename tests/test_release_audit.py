@@ -454,3 +454,49 @@ def test_srt_parser_drops_malformed_cues(spark):
         (1, 1000, 2500, 1500, "hello there"),
         (2, 3723250, 3724000, 750, "second cue"),
     ]
+
+
+# ---------------------------------------------------------------------------
+# wave 6: Zipf histogram, ID3v1 tags
+# ---------------------------------------------------------------------------
+
+
+def test_term_zipf_buckets(spark, tmp_path):
+    # "a" appears 9x (bucket BL(9)=4), "b" 2x (bucket 2), "c" 1x (bucket 1)
+    _write_docs(spark, tmp_path, [
+        (1, "a a a a a a a a a", "en", "src0", 17),
+        (2, "b b c", "en", "src0", 5),
+    ])
+
+    from codebased_spark.dataops import tx_term_zipf
+
+    got = {r.bucket: (r.n_terms, r.n_instances)
+           for r in tx_term_zipf(spark, str(tmp_path)).collect()}
+    assert got == {4: (1, 9), 2: (1, 2), 1: (1, 1)}
+
+
+def test_id3v1_roundtrip_property():
+    import random
+
+    from codebased_spark.media.headers import make_mp3_id3v1, parse_id3v1
+
+    rng = random.Random(11)
+    for _ in range(100):
+        title = "".join(rng.choice("abc xyz09") for _ in range(rng.randint(0, 30)))
+        artist = "".join(rng.choice("qrs tuv") for _ in range(rng.randint(0, 30)))
+        genre = rng.randint(0, 255)
+        got = parse_id3v1(make_mp3_id3v1(title, artist, genre))
+        assert got == (title.rstrip("\x00"), artist.rstrip("\x00"), genre)
+
+
+def test_id3_spark_stage(spark, tmp_path):
+    _write_docs(spark, tmp_path,
+                [(i, "t", "en", "src0", 1) for i in (0, 5, 24)])
+
+    from codebased_spark.dataops import mm_id3_tags
+
+    got = {r.doc_id: (r.title, r.artist, r.genre)
+           for r in mm_id3_tags(spark, str(tmp_path)).collect()}
+    assert got[0] == ("song title 0", "artist 0", 0)
+    assert got[5] == ("song title 5", "artist 5", 5)
+    assert got[24] == ("song title 1", "artist 2", 24)
