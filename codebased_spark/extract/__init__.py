@@ -8,3 +8,5 @@ from codebased_spark.extract.urlops import with_url_parts  # noqa: F401
 from codebased_spark.extract.anchors import anchor_text_summary, domain_graph, exploded_anchors, with_anchors  # noqa: F401
 from codebased_spark.extract.tables import html_table_cells, tables_col  # noqa: F401
 from codebased_spark.extract.jsonld import jsonld_entities  # noqa: F401
+from codebased_spark.extract.charset import charset_cascade  # noqa: F401
+from codebased_spark.extract.tech import tech_census, tech_signals  # noqa: F401

@@ -13,3 +13,5 @@ from codebased_spark.media.headers import (  # noqa: F401
     parse_wav,
     sniff_media_format,
 )
+from codebased_spark.media.headers import make_jpeg_exif, parse_exif, parse_id3v1  # noqa: F401
+from codebased_spark.media.captions import parse_srt  # noqa: F401
