@@ -500,3 +500,40 @@ def test_id3_spark_stage(spark, tmp_path):
     assert got[0] == ("song title 0", "artist 0", 0)
     assert got[5] == ("song title 5", "artist 5", 5)
     assert got[24] == ("song title 1", "artist 2", 24)
+
+
+def test_skyline_matches_bruteforce_on_random_points(spark, tmp_path):
+    """Seeded randomized check: 40 users with random (n_events, n_days)
+    profiles; the registered window-based skyline must equal the
+    brute-force dominance filter computed in Python."""
+    import datetime as dt
+    import random
+
+    rng = random.Random(99)
+    rows, pts = [], {}
+    eid = 0
+    for uid in range(40):
+        d = rng.randint(1, 6)           # distinct active days
+        extra = rng.randint(0, 5)       # events beyond one per day
+        days = rng.sample(range(1, 25), d)
+        evs = [dt.datetime(2024, 1, day) for day in days]
+        evs += [dt.datetime(2024, 1, rng.choice(days)) for _ in range(extra)]
+        for ts in evs:
+            rows.append((eid, ts, uid, "view", 1.0, "{}"))
+            eid += 1
+        pts[uid] = (len(evs), d)
+    spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    from codebased_spark.dataops import q_skyline
+
+    got = {r.user_id for r in q_skyline(spark, str(tmp_path)).collect()}
+    expected = {
+        u for u, p in pts.items()
+        if not any(
+            q[0] >= p[0] and q[1] >= p[1] and (q[0] > p[0] or q[1] > p[1])
+            for q in pts.values()
+        )
+    }
+    assert got == expected
