@@ -9902,3 +9902,127 @@ ORACLES["mm_id3_tags"] = """
            doc_id % 80 AS genre
     FROM documents
 """
+
+
+def mm_decode_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poison-pill tolerance for the media decode stage
+    (media/decode.py::media_metadata_quarantine): real container bytes
+    with every doc_id % 13 == 0 payload corrupted to 2 junk bytes; the
+    decode must quarantine exactly those (status='error') and decode the
+    rest, per media type — one corrupt blob must never kill a 10^12-item
+    job. The oracle states the planted corruption census declaratively."""
+    from codebased_spark.media.decode import (
+        media_metadata_quarantine,
+        synthetic_real_media,
+    )
+
+    media = synthetic_real_media(_docs(spark, sf_dir)).withColumn(
+        "payload",
+        F.when(
+            F.col("doc_id") % 13 == 0, F.lit(bytes([0, 1]))
+        ).otherwise(F.col("payload")),
+    )
+    return (
+        media_metadata_quarantine(media, real=True)
+        .groupBy("media_type")
+        .agg(
+            F.sum((F.col("status") == "ok").cast("long")).alias("n_ok"),
+            F.sum((F.col("status") == "error").cast("long")).alias("n_failed"),
+        )
+    )
+
+
+def kg_rdf_patch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDF-patch emission from the snapshot delta: 'A'dd lines for
+    added/changed urls (new content-hash fact), 'D'elete lines for
+    vanished/changed urls (retracted fact) — the incremental export a
+    downstream triple store ingests instead of a full dump (composition
+    of sources/delta.py and sinks/export.py's conforming N-Triples
+    writer). Same capture fixture as kg_snapshot_delta."""
+    from codebased_spark.sinks.export import triples_to_ntriples
+    from codebased_spark.sources.delta import snapshot_delta
+    from codebased_spark.sources.recrawl import latest_captures
+
+    caps = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("https://recrawl.example.org/page/"),
+            (F.col("doc_id") % 100).cast("string"),
+        ).alias("url"),
+        F.timestamp_seconds(F.lit(1735689600) + F.col("doc_id")).alias("warc_ts"),
+        F.col("doc_id"),
+        F.sha2("text", 256).alias("content_sha"),
+    )
+    prev = latest_captures(
+        caps.where((F.col("doc_id") % 3 != 0) & (F.col("doc_id") % 10 != 3)),
+        content_col="content_sha",
+    )
+    curr = latest_captures(
+        caps.where(F.col("doc_id") % 10 != 7), content_col="content_sha"
+    )
+    delta = snapshot_delta(
+        prev.select("url", "doc_id", "content_sha"),
+        curr.select("url", "doc_id", "content_sha"),
+    )
+
+    def lines(df, sha_col, op):
+        t = df.select(
+            F.col("url").alias("subj"),
+            F.lit("hasContentHash").alias("pred"),
+            F.col(sha_col).alias("obj"),
+        )
+        return triples_to_ntriples(t).withColumn("op", F.lit(op))
+
+    adds = lines(
+        delta.where(F.col("status").isin("added", "changed")),
+        "curr_content_sha", "A",
+    )
+    dels = lines(
+        delta.where(F.col("status").isin("vanished", "changed")),
+        "prev_content_sha", "D",
+    )
+    return adds.unionByName(dels).select("op", F.col("value").alias("line"))
+
+
+QUERIES["mm_decode_quarantine"] = mm_decode_quarantine
+QUERIES["kg_rdf_patch"] = kg_rdf_patch
+
+ORACLES["mm_decode_quarantine"] = """
+    SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           sum(CASE WHEN doc_id % 13 = 0 THEN 0 ELSE 1 END) AS n_ok,
+           sum(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END) AS n_failed
+    FROM documents GROUP BY media_type
+"""
+
+ORACLES["kg_rdf_patch"] = """
+    WITH caps AS (
+      SELECT 'https://recrawl.example.org/page/' || (doc_id % 100) AS url,
+             doc_id, sha256(text) AS content_sha
+      FROM documents
+    ),
+    prev AS (
+      SELECT url, arg_max(content_sha, doc_id) AS prev_sha
+      FROM caps WHERE doc_id % 3 <> 0 AND doc_id % 10 <> 3 GROUP BY url
+    ),
+    curr AS (
+      SELECT url, arg_max(content_sha, doc_id) AS curr_sha
+      FROM caps WHERE doc_id % 10 <> 7 GROUP BY url
+    ),
+    d AS (
+      SELECT coalesce(p.url, c.url) AS url, p.prev_sha, c.curr_sha,
+             CASE WHEN p.url IS NULL THEN 'added'
+                  WHEN c.url IS NULL THEN 'vanished'
+                  WHEN p.prev_sha <> c.curr_sha THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM prev p FULL OUTER JOIN curr c ON p.url = c.url
+    )
+    SELECT 'A' AS op,
+           '<urn:kg:' || url || '> <urn:kg:hasContentHash> "' || curr_sha
+             || '" .' AS line
+    FROM d WHERE status IN ('added', 'changed')
+    UNION ALL
+    SELECT 'D',
+           '<urn:kg:' || url || '> <urn:kg:hasContentHash> "' || prev_sha
+             || '" .'
+    FROM d WHERE status IN ('vanished', 'changed')
+"""

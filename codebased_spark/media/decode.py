@@ -391,3 +391,49 @@ def id3_metadata(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(decode, schema=ID3_SCHEMA)
+
+
+QUARANTINE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("status", StringType()),
+        StructField("error", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+
+def media_metadata_quarantine(media: DataFrame, real: bool = True) -> DataFrame:
+    """Fault-TOLERANT decode: like media_metadata(real=True) but a
+    malformed payload yields a quarantine row (status='error' + the
+    exception class) instead of failing the task. At 10^12 items corrupt
+    blobs are a certainty, and one poison payload must never kill an
+    hours-long job; the quarantine table is the re-fetch worklist and
+    the corruption-rate metric. Same Arrow-batched mapInPandas shape —
+    the try/except is per item, the batch still flows."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, mt, pl in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                try:
+                    w, h, d = _DECODERS[mt](bytes(pl), real)
+                    rows.append((int(did), mt, "ok", "", w, h, d))
+                except Exception as e:  # noqa: BLE001 — quarantine ANY decode fault
+                    rows.append(
+                        (int(did), mt, "error", type(e).__name__, 0, 0, 0)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "media_type", "status", "error",
+                    "width", "height", "duration_ms",
+                ],
+            )
+
+    return media.mapInPandas(decode, schema=QUARANTINE_SCHEMA)

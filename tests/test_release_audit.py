@@ -537,3 +537,64 @@ def test_skyline_matches_bruteforce_on_random_points(spark, tmp_path):
         )
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# wave 7: decode quarantine, RDF patch
+# ---------------------------------------------------------------------------
+
+
+def test_quarantine_isolates_poison_payloads(spark, tmp_path):
+    _write_docs(spark, tmp_path,
+                [(i, "t", "en", "src0", 1) for i in range(20)])
+
+    from codebased_spark.dataops import mm_decode_quarantine
+
+    got = {r.media_type: (r.n_ok, r.n_failed)
+           for r in mm_decode_quarantine(spark, str(tmp_path)).collect()}
+    # doc 0 (image) and doc 13 (audio) are corrupted in range(20)
+    assert got["image"] == (6, 1)
+    assert got["audio"] == (6, 1)
+    assert got["video"] == (6, 0)
+
+
+def test_quarantine_rows_carry_error_class(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from codebased_spark.media.decode import (
+        media_metadata_quarantine,
+        synthetic_real_media,
+    )
+
+    _write_docs(spark, tmp_path, [(0, "t", "en", "src0", 1),
+                                  (1, "t", "en", "src0", 1)])
+    docs = spark.read.parquet(f"{tmp_path}/documents.parquet")
+    media = synthetic_real_media(docs).withColumn(
+        "payload",
+        F.when(F.col("doc_id") == 0, F.lit(bytes([9, 9]))).otherwise(
+            F.col("payload")
+        ),
+    )
+    got = {r.doc_id: r for r in media_metadata_quarantine(media).collect()}
+    assert got[0].status == "error" and got[0].error != ""
+    assert got[1].status == "ok" and got[1].duration_ms > 0
+
+
+def test_rdf_patch_changed_url_has_add_and_delete(spark, tmp_path):
+    # one url (doc_id % 100 == 1) with captures 1, 101, 201: curr latest
+    # is 201; prev excludes %3==0 (201) -> prev latest 101 with different
+    # text -> status 'changed' -> exactly one A and one D line
+    _write_docs(spark, tmp_path, [
+        (1, "body v1", "en", "src0", 7),
+        (101, "body v2", "en", "src0", 7),
+        (201, "body v3", "en", "src0", 7),
+    ])
+
+    from codebased_spark.dataops import kg_rdf_patch
+
+    rows = kg_rdf_patch(spark, str(tmp_path)).collect()
+    ops = sorted(r.op for r in rows)
+    assert ops == ["A", "D"]
+    for r in rows:
+        assert r.line.startswith("<urn:kg:https://recrawl.example.org/page/1>")
+        assert r.line.endswith('" .')
