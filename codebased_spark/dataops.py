@@ -10026,3 +10026,83 @@ ORACLES["kg_rdf_patch"] = """
              || '" .'
     FROM d WHERE status IN ('vanished', 'changed')
 """
+
+
+def tx_json_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured schema inference — the profiling pass a lakehouse
+    runs before promoting a JSON column to typed fields: per key, how
+    many rows carry it (coverage) and what JSON type its values are.
+    Fixture builds a 4-key JSON object per doc (one optional key, one
+    boolean with both spellings); Spark must discover keys with
+    json_object_keys and classify each value's type from the raw text
+    (first value character: '\"' string / t-f boolean / '[' array, else
+    number — portable to the oracle via the same strpos arithmetic).
+    One explode + one (key, vtype) count agg; coverage joins the scalar
+    doc count broadcast-style."""
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    j = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('{"id": '), F.col("doc_id").cast("string"),
+            F.lit(', "name": "doc-'), F.col("doc_id").cast("string"),
+            F.lit('"'),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(', "tags": [1, 2]'))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(', "hot": true'))
+            .otherwise(F.lit(', "hot": false')),
+            F.lit("}"),
+        ).alias("json"),
+    )
+    keyed = j.select(
+        "json", F.explode(F.json_object_keys(F.col("json"))).alias("key")
+    )
+    first = F.expr(
+        "substring(json, locate('\"' || key || '\"', json)"
+        " + length(key) + 4, 1)"
+    )
+    vtype = (
+        F.when(first == '"', F.lit("string"))
+        .when(first.isin("t", "f"), F.lit("boolean"))
+        .when(first == "[", F.lit("array"))
+        .otherwise(F.lit("number"))
+    )
+    return (
+        keyed.select("key", vtype.alias("vtype"))
+        .groupBy("key", "vtype")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .withColumn("coverage_bp", F.expr(f"n_rows * 10000 div {n}"))
+    )
+
+
+QUERIES["tx_json_schema"] = tx_json_schema
+
+ORACLES["tx_json_schema"] = """
+    WITH cnt AS (SELECT count(*) AS n FROM documents),
+    j AS (
+      SELECT '{"id": ' || doc_id || ', "name": "doc-' || doc_id || '"'
+             || CASE WHEN doc_id % 3 = 0 THEN ', "tags": [1, 2]'
+                     ELSE '' END
+             || CASE WHEN doc_id % 2 = 0 THEN ', "hot": true'
+                     ELSE ', "hot": false' END
+             || '}' AS json
+      FROM documents
+    ),
+    keyed AS (
+      SELECT json, unnest(json_keys(json::JSON)) AS key FROM j
+    ),
+    typed AS (
+      SELECT key,
+             CASE substr(json, strpos(json, '"' || key || '"')
+                           + length(key) + 4, 1)
+               WHEN '"' THEN 'string'
+               WHEN 't' THEN 'boolean'
+               WHEN 'f' THEN 'boolean'
+               WHEN '[' THEN 'array'
+               ELSE 'number' END AS vtype
+      FROM keyed
+    )
+    SELECT key, vtype, count(*) AS n_rows,
+           (count(*) * 10000) // (SELECT n FROM cnt) AS coverage_bp
+    FROM typed GROUP BY key, vtype
+"""

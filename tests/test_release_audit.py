@@ -598,3 +598,17 @@ def test_rdf_patch_changed_url_has_add_and_delete(spark, tmp_path):
     for r in rows:
         assert r.line.startswith("<urn:kg:https://recrawl.example.org/page/1>")
         assert r.line.endswith('" .')
+
+
+def test_json_schema_inference(spark, tmp_path):
+    _write_docs(spark, tmp_path,
+                [(i, "t", "en", "src0", 1) for i in range(12)])
+
+    from codebased_spark.dataops import tx_json_schema
+
+    got = {(r.key, r.vtype): (r.n_rows, r.coverage_bp)
+           for r in tx_json_schema(spark, str(tmp_path)).collect()}
+    assert got[("id", "number")] == (12, 10000)
+    assert got[("name", "string")] == (12, 10000)
+    assert got[("tags", "array")] == (4, 3333)   # doc_id % 3 == 0
+    assert got[("hot", "boolean")] == (12, 10000)
