@@ -10106,3 +10106,74 @@ ORACLES["tx_json_schema"] = """
            (count(*) * 10000) // (SELECT n FROM cnt) AS coverage_bp
     FROM typed GROUP BY key, vtype
 """
+
+
+def kg_phonetic_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic ER blocking census (link/phonetic.py): planted author-
+    name spelling variants ('Johnson'/'Jonson'/'Jansen', 'Meyer'/
+    'Meier'/'Mayer', 'Smith'/'Smyth', 'Schmidt'/'Schmitt') must land in
+    the same simplified-Soundex block; the census reports per-key record
+    and distinct-surface counts — the block-size table a blocker is
+    tuned on. One map-side key projection + one count agg."""
+    from codebased_spark.link.phonetic import phonetic_key
+
+    docs = _docs(spark, sf_dir)
+    name = (
+        F.when(F.col("doc_id") % 8 == 0, F.lit("Johnson"))
+        .when(F.col("doc_id") % 8 == 1, F.lit("Jonson"))
+        .when(F.col("doc_id") % 8 == 2, F.lit("Jansen"))
+        .when(F.col("doc_id") % 8 == 3, F.lit("Meyer"))
+        .when(F.col("doc_id") % 8 == 4, F.lit("Meier"))
+        .when(F.col("doc_id") % 8 == 5, F.lit("Mayer"))
+        .when(F.col("doc_id") % 8 == 6, F.lit("Smith"))
+        .otherwise(F.lit("Smyth"))
+    )
+    recs = docs.select("doc_id", name.alias("surface"))
+    return (
+        recs.select(phonetic_key(F.col("surface")).alias("block_key"),
+                    "surface")
+        .groupBy("block_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.countDistinct("surface").alias("n_surfaces"),
+        )
+    )
+
+
+QUERIES["kg_phonetic_blocks"] = kg_phonetic_blocks
+
+ORACLES["kg_phonetic_blocks"] = """
+    WITH recs AS (
+      SELECT doc_id,
+             CASE doc_id % 8
+               WHEN 0 THEN 'Johnson' WHEN 1 THEN 'Jonson'
+               WHEN 2 THEN 'Jansen' WHEN 3 THEN 'Meyer'
+               WHEN 4 THEN 'Meier' WHEN 5 THEN 'Mayer'
+               WHEN 6 THEN 'Smith' ELSE 'Smyth' END AS surface
+      FROM documents
+    ),
+    coded AS (
+      SELECT surface,
+             upper(regexp_replace(surface, '[^A-Za-z]', '', 'g')) AS u
+      FROM recs
+    ),
+    keyed AS (
+      SELECT surface,
+             substr(u, 1, 1) || rpad(substr(
+               replace(replace(replace(replace(replace(replace(
+               replace(replace(replace(replace(replace(replace(
+                 replace(substr(translate(u,
+                   'AEIOUYHWBFPVCGJKQSXZDTLMNR',
+                   '00000000111122222222334556'), 2, 100), '0', ''),
+                 '11', '1'), '11', '1'),
+                 '22', '2'), '22', '2'),
+                 '33', '3'), '33', '3'),
+                 '44', '4'), '44', '4'),
+                 '55', '5'), '55', '5'),
+                 '66', '6'), '66', '6'), 1, 3), 3, '0') AS block_key
+      FROM coded
+    )
+    SELECT block_key, count(*) AS n_records,
+           count(DISTINCT surface) AS n_surfaces
+    FROM keyed GROUP BY block_key
+"""

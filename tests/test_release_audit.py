@@ -612,3 +612,23 @@ def test_json_schema_inference(spark, tmp_path):
     assert got[("name", "string")] == (12, 10000)
     assert got[("tags", "array")] == (4, 3333)   # doc_id % 3 == 0
     assert got[("hot", "boolean")] == (12, 10000)
+
+
+def test_phonetic_key_groups_spelling_variants(spark):
+    from pyspark.sql import functions as F
+
+    from codebased_spark.link.phonetic import phonetic_key
+
+    names = ["Johnson", "Jonson", "Jansen", "Meyer", "Meier", "Mayer",
+             "Smith", "Smyth", "Robert", "Rupert", "", "42"]
+    df = spark.createDataFrame([(n,) for n in names], ["surface"])
+    got = dict(
+        (r.surface, r.k)
+        for r in df.select("surface", phonetic_key(F.col("surface")).alias("k")).collect()
+    )
+    assert got["Johnson"] == got["Jonson"] == got["Jansen"] == "J525"
+    assert got["Meyer"] == got["Meier"] == got["Mayer"] == "M600"
+    assert got["Smith"] == got["Smyth"] == "S530"
+    # the classic Soundex demo pair
+    assert got["Robert"] == got["Rupert"] == "R163"
+    assert got[""] == "" and got["42"] == ""
