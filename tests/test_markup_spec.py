@@ -145,3 +145,58 @@ def test_robots_match_stdlib_reference_on_random_policies(spark):
             assert got[url] == int(rp.can_fetch("*", url)), (
                 f"{url}\n--- policy ---\n{body}"
             )
+
+
+# --------------------------------------------------------------------------
+# charset cascade vs an independent Python reference
+# --------------------------------------------------------------------------
+
+
+def _ref_charset(header: str, html: str):
+    """Reference resolution: stdlib-regex reimplementation of the WHATWG
+    precedence, written independently of the Spark expressions."""
+    import re as _re
+
+    if html.startswith("﻿"):
+        return "utf-8", "bom"
+    m = _re.search(r"charset=([A-Za-z0-9_\-]+)", header, _re.I)
+    if m:
+        return m.group(1).lower(), "header"
+    m = _re.search(r"<meta[^>]*charset\s*=\s*[\"']?([A-Za-z0-9_\-]+)",
+                   html, _re.I | _re.S)
+    if m:
+        return m.group(1).lower(), "meta"
+    return "utf-8", "default"
+
+
+def test_charset_cascade_matches_reference_on_random_pages(spark):
+    import random
+
+    from codebased_spark.extract.charset import charset_cascade
+
+    rng = random.Random(4242)
+    charsets = ["UTF-8", "ISO-8859-1", "Shift_JIS", "koi8-r", "WINDOWS-1252"]
+    quotes = ['"', "'", ""]
+    rows = []
+    for i in range(120):
+        header = rng.choice([
+            "text/html",
+            f"text/html; charset={rng.choice(charsets)}",
+            f"Text/HTML;Charset={rng.choice(charsets)}",
+            "application/json",
+        ])
+        q = rng.choice(quotes)
+        meta = rng.choice([
+            "",
+            f"<meta charset={q}{rng.choice(charsets)}{q}>",
+            f"<META http-equiv=x CHARSET={q}{rng.choice(charsets)}{q}/>",
+        ])
+        bom = "﻿" if rng.random() < 0.2 else ""
+        html = f"{bom}<html><head>{meta}</head><body>p{i}</body></html>"
+        rows.append((i, html, header))
+
+    df = spark.createDataFrame(rows, ["doc_id", "html_text", "content_type"])
+    got = {r.doc_id: (r.charset, r.charset_source)
+           for r in charset_cascade(df).collect()}
+    for i, html, header in rows:
+        assert got[i] == _ref_charset(header, html), (i, header, html)
