@@ -10177,3 +10177,46 @@ ORACLES["kg_phonetic_blocks"] = """
            count(DISTINCT surface) AS n_surfaces
     FROM keyed GROUP BY block_key
 """
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 16-bucket histogram of the events value column — the
+    column statistic a cost-based optimizer keeps (Spark ANALYZE TABLE
+    histograms, Iceberg column bounds + ndv sketches). Min/max come from
+    one tiny aggregate broadcast back; bucket assignment is pure IEEE
+    arithmetic ((v-min)*16/(max-min), floor, clamp) which both engines
+    round identically per operation, so the gate stays exact without a
+    rounding fence. Two aggregates total, both map-side combinable."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("value").isNotNull()
+    )
+    mm = ev.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    bucket = F.least(
+        F.lit(15),
+        F.floor(
+            (F.col("value") - F.col("lo")) * 16 / (F.col("hi") - F.col("lo"))
+        ),
+    ).cast("long")
+    return (
+        ev.crossJoin(F.broadcast(mm))
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+QUERIES["q_value_histogram"] = q_value_histogram
+
+ORACLES["q_value_histogram"] = """
+    WITH mm AS (
+      SELECT min(value) AS lo, max(value) AS hi
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT least(15, floor((value - lo) * 16 / (hi - lo)))::BIGINT
+             AS bucket,
+           count(*) AS n_rows
+    FROM events, mm WHERE value IS NOT NULL
+    GROUP BY bucket
+"""

@@ -632,3 +632,21 @@ def test_phonetic_key_groups_spelling_variants(spark):
     # the classic Soundex demo pair
     assert got["Robert"] == got["Rupert"] == "R163"
     assert got[""] == "" and got["42"] == ""
+
+
+def test_value_histogram_equiwidth(spark, tmp_path):
+    import datetime as dt
+
+    rows = [(i, dt.datetime(2024, 1, 1), 1, "view", float(v), "{}")
+            for i, v in enumerate([0.0, 1.0, 2.0, 15.9, 16.0])]
+    # lo=0 hi=16: buckets 0,1,2,15,15 (max value clamps into 15)
+    spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    from codebased_spark.dataops import q_value_histogram
+
+    got = {r.bucket: r.n_rows
+           for r in q_value_histogram(spark, str(tmp_path)).collect()}
+    assert got == {0: 1, 1: 1, 2: 1, 15: 2}
+    assert sum(got.values()) == 5  # histogram loses no rows
