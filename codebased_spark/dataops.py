@@ -10220,3 +10220,51 @@ ORACLES["q_value_histogram"] = """
     FROM events, mm WHERE value IS NOT NULL
     GROUP BY bucket
 """
+
+
+def kg_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization census (extract/urlops.py::
+    canonicalize_url_col): messy planted urls (uppercase scheme/host,
+    default :443 port, unsorted query params, utm_/gclid tracking
+    params, fragments) must all collapse to their canonical form; every
+    7th url is planted already-canonical and must pass through
+    UNCHANGED (the no-false-rewrite guard). Map-only; the oracle states
+    the canonical string declaratively."""
+    from codebased_spark.extract.urlops import canonicalize_url_col
+
+    docs = _docs(spark, sf_dir)
+    messy = F.concat(
+        F.lit("HTTPS://WWW."), F.upper(F.col("source")),
+        F.lit(".EXAMPLE.ORG:443/Docs/"), F.col("doc_id").cast("string"),
+        F.lit("?b=2&utm_source=feed&a=1"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    clean = F.concat(
+        F.lit("https://"), F.col("source"),
+        F.lit(".example.org/p/"), F.col("doc_id").cast("string"),
+        F.lit("?a=1"),
+    )
+    urls = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, clean).otherwise(messy).alias("url"),
+    )
+    return urls.select(
+        "doc_id",
+        canonicalize_url_col(F.col("url")).alias("url_norm"),
+        (canonicalize_url_col(F.col("url")) != F.col("url")).cast("int")
+        .alias("was_rewritten"),
+    )
+
+
+QUERIES["kg_url_normalize"] = kg_url_normalize
+
+ORACLES["kg_url_normalize"] = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0
+                THEN 'https://' || source || '.example.org/p/' || doc_id
+                     || '?a=1'
+                ELSE 'https://www.' || source || '.example.org/Docs/'
+                     || doc_id || '?a=1&b=2' END AS url_norm,
+           CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END AS was_rewritten
+    FROM documents
+"""

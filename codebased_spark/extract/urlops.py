@@ -191,3 +191,31 @@ def resolved_link_edges(pages: DataFrame, html_col: str = "html") -> DataFrame:
         # otherwise pollute the domain graph / PageRank inputs
         .where(F.col("target").rlike("(?i)^https?://"))
     )
+
+
+# tracking parameters every crawler strips before url-keyed dedup
+# (public convention: Google's utm_* campaign family + the common
+# click-id params)
+TRACKING_PARAM_RE = "^(utm_[a-z]+|gclid|fbclid|msclkid|ref)="
+
+
+def canonicalize_url_col(url: Column) -> Column:
+    """Full url canonicalizer for url-keyed dedup/frontier seen-sets:
+    normalize_url_col (scheme/host case, default ports, fragment) PLUS
+    query canonicalization — tracking params dropped, remaining params
+    sorted so param ORDER no longer splits identical resources into
+    distinct keys. Complements the LEARNED per-host strip rules
+    (sources/dust.py): this is the fixed, host-independent pass that
+    runs first. Pure JVM split/filter/sort/join — map-only."""
+    base = normalize_url_col(url)
+    path = F.regexp_replace(base, "\\?.*$", "")
+    qs = F.regexp_extract(base, "\\?(.*)$", 1)
+    kept = F.array_sort(
+        F.filter(
+            F.split(qs, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    return F.when(
+        (qs == "") | (F.size(kept) == 0), path
+    ).otherwise(F.concat(path, F.lit("?"), F.array_join(kept, "&")))

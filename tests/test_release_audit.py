@@ -650,3 +650,30 @@ def test_value_histogram_equiwidth(spark, tmp_path):
            for r in q_value_histogram(spark, str(tmp_path)).collect()}
     assert got == {0: 1, 1: 1, 2: 1, 15: 2}
     assert sum(got.values()) == 5  # histogram loses no rows
+
+
+def test_url_canonicalizer_rules(spark):
+    from pyspark.sql import functions as F
+
+    from codebased_spark.extract.urlops import canonicalize_url_col
+
+    cases = {
+        # param sort + tracking strip + fragment + port + case
+        "HTTPS://WWW.Ex.ORG:443/A/b?z=1&utm_campaign=x&a=2#top":
+            "https://www.ex.org/A/b?a=2&z=1",
+        # all params tracking -> query dropped entirely
+        "https://ex.org/p?utm_source=a&gclid=xyz": "https://ex.org/p",
+        # already canonical -> identity
+        "https://ex.org/p?a=1&b=2": "https://ex.org/p?a=1&b=2",
+        # bare host gains the trailing slash; http default port stripped
+        "HTTP://EX.ORG:80": "http://ex.org/",
+        # non-default port survives
+        "https://ex.org:8443/x": "https://ex.org:8443/x",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], ["url"])
+    got = dict(
+        (r.url, r.n)
+        for r in df.select("url", canonicalize_url_col(F.col("url")).alias("n")).collect()
+    )
+    for raw, want in cases.items():
+        assert got[raw] == want, (raw, got[raw], want)
