@@ -10268,3 +10268,36 @@ ORACLES["kg_url_normalize"] = """
            CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END AS was_rewritten
     FROM documents
 """
+
+
+def kg_heading_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heading outline extraction (extract/headings.py): planted
+    adversarial-markup section trees (uppercase H1, attribute-bearing
+    tags, inline markup inside titles) resolved to (level, title,
+    parent) rows — the section structure behind section-aware chunking.
+    The oracle states the planted tree declaratively."""
+    from codebased_spark.extract.headings import heading_outline
+
+    docs = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit("<H1 class=t>Title "), F.col("doc_id").cast("string"),
+        F.lit("</H1><p>intro</p><h2>Sec <em>A</em></h2>"
+              "<h3>Sub A1</h3><h2 id=b>Sec B</h2>"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("<h3>Sub B1</h3>"))
+        .otherwise(F.lit("")),
+    )
+    return heading_outline(docs.select("doc_id", html.alias("html_text")))
+
+
+QUERIES["kg_heading_outline"] = kg_heading_outline
+
+ORACLES["kg_heading_outline"] = """
+    SELECT doc_id, 1 AS heading_idx, 1 AS level,
+           'Title ' || doc_id AS title, NULL::BIGINT AS parent_idx
+    FROM documents
+    UNION ALL SELECT doc_id, 2, 2, 'Sec A', 1 FROM documents
+    UNION ALL SELECT doc_id, 3, 3, 'Sub A1', 2 FROM documents
+    UNION ALL SELECT doc_id, 4, 2, 'Sec B', 1 FROM documents
+    UNION ALL SELECT doc_id, 5, 3, 'Sub B1', 4
+    FROM documents WHERE doc_id % 4 = 0
+"""

@@ -677,3 +677,22 @@ def test_url_canonicalizer_rules(spark):
     )
     for raw, want in cases.items():
         assert got[raw] == want, (raw, got[raw], want)
+
+
+def test_heading_outline_parent_resolution(spark):
+    from codebased_spark.extract.headings import heading_outline
+
+    # h1 -> h3 (skipping h2): parent is still the h1; second h1 resets
+    # scope; trailing h2 parents to the SECOND h1
+    html = ("<h1>One</h1><h3>Deep</h3><h1>Two</h1><h2>Under Two</h2>"
+            "<h6>Deepest</h6>")
+    docs = spark.createDataFrame([(1, html)], ["doc_id", "html_text"])
+    got = {r.heading_idx: (r.level, r.title, r.parent_idx)
+           for r in heading_outline(docs).collect()}
+    assert got == {
+        1: (1, "One", None),
+        2: (3, "Deep", 1),
+        3: (1, "Two", None),
+        4: (2, "Under Two", 3),
+        5: (6, "Deepest", 4),
+    }
