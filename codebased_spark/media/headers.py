@@ -53,6 +53,8 @@ def sniff_media_format(b: bytes) -> str | None:
         return "bmp"
     if b.startswith(PPM_MAGIC):
         return "ppm"
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 
@@ -475,3 +477,31 @@ def parse_id3v1(b: bytes) -> tuple[str, str, int]:
     title = t[3:33].rstrip(b"\x00").decode("ascii", "ignore")
     artist = t[33:63].rstrip(b"\x00").decode("ascii", "ignore")
     return title, artist, t[127]
+
+
+# ---------------------------------------------------------------------------
+# GIF
+# ---------------------------------------------------------------------------
+
+GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+def make_gif(width: int, height: int, animated: bool = False) -> bytes:
+    """Minimal structurally valid GIF: header + logical screen
+    descriptor (+ a NETSCAPE2.0 loop extension when animated) +
+    trailer."""
+    lsd = struct.pack("<HH", width, height) + b"\x00\x00\x00"
+    loop = (
+        b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00" if animated else b""
+    )
+    return b"GIF89a" + lsd + loop + b"\x3b"
+
+
+def parse_gif(b: bytes) -> tuple[int, int, bool]:
+    """(width, height, is_animated) — dimensions from the logical screen
+    descriptor (little-endian, unlike the network-order formats above);
+    animation detected by the NETSCAPE loop application extension."""
+    if b[:6] not in GIF_MAGICS:
+        raise ValueError("not a GIF")
+    w, h = struct.unpack("<HH", b[6:10])
+    return w, h, b"NETSCAPE2.0" in b

@@ -135,3 +135,20 @@ def test_sample_stats_end_to_end(spark):
             assert (r.n_samples, r.sample_sum, r.sample_peak) == (
                 w * h, 255 * h * (w // 2), 255
             )
+
+
+def test_gif_roundtrip_and_sniff():
+    from codebased_spark.media.headers import (
+        make_gif,
+        parse_gif,
+        sniff_media_format,
+    )
+
+    b = make_gif(320, 200)
+    assert sniff_media_format(b) == "gif"
+    assert parse_gif(b) == (320, 200, False)
+    assert parse_gif(make_gif(16, 16, animated=True)) == (16, 16, True)
+    import pytest
+
+    with pytest.raises(ValueError):
+        parse_gif(b"NOTAGIF")
