@@ -115,7 +115,7 @@ _RECEIPT_PRIORITY = [
     "tx_stratified_sample", "tx_code_fences", "mm_srt_captions",
     "tx_term_zipf", "mm_id3_tags", "mm_decode_quarantine", "kg_rdf_patch",
     "tx_json_schema", "kg_phonetic_blocks", "q_value_histogram",
-    "kg_url_normalize", "kg_heading_outline",
+    "kg_url_normalize", "kg_heading_outline", "g_fastrp",
     # new in the r4 eighth continuation session
     "mm_phash_dups", "kg_rule_mining", "mm_audio_fingerprint",
     "q_event_funnel", "tx_length_quantiles", "q_retention_cohorts",

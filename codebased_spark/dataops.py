@@ -10301,3 +10301,71 @@ ORACLES["kg_heading_outline"] = """
     UNION ALL SELECT doc_id, 5, 3, 'Sub B1', 4
     FROM documents WHERE doc_id % 4 = 0
 """
+
+
+def g_fastrp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FastRP-style node embeddings (Chen et al. 2019, public; Neo4j GDS
+    ships it): each node gets a deterministic ±1 random projection
+    vector (md5-seeded, 8 dims), and the k-hop embedding is the
+    neighbor-sum of the (k-1)-hop one — here k = 1 and 2, kept as EXACT
+    INTEGER sums so the cross-engine gate is bit-exact (production
+    would L2-normalize at the end; that is a map-only epilogue).
+
+    Scale shape: one edges⋈R join + (node, dim) agg per hop — the same
+    cost as one PageRank round per hop; the projection table is
+    (N x dims) narrow longs, built map-side from the portable hash, and
+    dims ride in a single explode."""
+    e = _doc_edges(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id")
+    from codebased_spark.dedup.simhash import md5_hash60
+
+    dims = F.explode(F.sequence(F.lit(0), F.lit(7))).alias("dim")
+    r = docs.select(F.col("doc_id").alias("node"), dims).withColumn(
+        "r",
+        (
+            md5_hash60(
+                F.concat_ws(":", F.col("node").cast("string"),
+                            F.col("dim").cast("string"), F.lit("rp"))
+            ) % 2
+        ) * 2 - 1,
+    )
+    e1 = (
+        e.join(r, e.dst == r.node)
+        .groupBy(F.col("src").alias("node"), "dim")
+        .agg(F.sum("r").alias("e1"))
+    )
+    e2 = (
+        e.join(e1.withColumnRenamed("node", "mid"), e.dst == F.col("mid"))
+        .groupBy(F.col("src").alias("node"), "dim")
+        .agg(F.sum("e1").alias("e2"))
+    )
+    return (
+        e1.join(e2, ["node", "dim"], "left")
+        .select("node", "dim", "e1", F.coalesce("e2", F.lit(0)).alias("e2"))
+    )
+
+
+QUERIES["g_fastrp"] = g_fastrp
+
+ORACLES["g_fastrp"] = f"""
+    WITH {_EDGES_SQL.strip()},
+    dims AS (SELECT unnest(generate_series(0, 7)) AS dim),
+    r AS (
+      SELECT doc_id AS node, dim,
+             (('0x' || substr(md5(doc_id || ':' || dim || ':rp'), 1, 15))
+                ::BIGINT % 2) * 2 - 1 AS r
+      FROM documents, dims
+    ),
+    e1 AS (
+      SELECT e.src AS node, r.dim, sum(r.r) AS e1
+      FROM edges e JOIN r ON e.dst = r.node
+      GROUP BY e.src, r.dim
+    ),
+    e2 AS (
+      SELECT e.src AS node, x.dim, sum(x.e1) AS e2
+      FROM edges e JOIN e1 x ON e.dst = x.node
+      GROUP BY e.src, x.dim
+    )
+    SELECT a.node, a.dim, a.e1, coalesce(b.e2, 0) AS e2
+    FROM e1 a LEFT JOIN e2 b ON a.node = b.node AND a.dim = b.dim
+"""
