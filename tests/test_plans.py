@@ -363,3 +363,22 @@ def test_tech_census_detection_before_shuffle(spark):
     ex = [ln for ln in p.splitlines() if "Exchange hashpartitioning" in ln]
     assert len(ex) == 1 and "html" not in ex[0]
     assert "partial_count" in p
+
+
+def test_fastrp_hops_are_keyed_joins(spark):
+    from codebased_spark.dataops import g_fastrp
+
+    p = plan(g_fastrp(spark, SF))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    # hop aggregates keep map-side partials
+    assert "partial_sum" in p
+
+
+def test_heading_outline_window_is_doc_keyed(spark):
+    from codebased_spark.dataops import kg_heading_outline
+
+    p = plan(kg_heading_outline(spark, SF))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # the parent-resolution window partitions by doc, never globally
+    assert "Window" in p and "hashpartitioning(doc_id" in p
