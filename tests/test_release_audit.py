@@ -727,3 +727,56 @@ def test_fastrp_sums_are_exact_neighbor_sums(spark, tmp_path):
                 for u in nbrs if u in adj
             )
             assert got[(node, dim)] == (e1, e2), (node, dim)
+
+
+def test_url_canonicalizer_fuzz_vs_reference(spark):
+    """Seeded 300-case battery: the Spark canonicalizer must agree with
+    an independently-written Python reference of the same documented
+    rules (normalize scheme/host case, strip default ports + fragments,
+    drop tracking params, sort the rest)."""
+    import random
+    import re
+
+    from pyspark.sql import functions as F
+
+    from codebased_spark.extract.urlops import canonicalize_url_col
+
+    def ref(url):
+        url = re.sub(r"#.*$", "", url)
+        m = re.match(r"^([a-zA-Z]+://[^/]*)(.*)$", url)
+        head, tail = (m.group(1).lower(), m.group(2)) if m else (url, "")
+        u = head + tail
+        u = re.sub(r"^(https://[^/:]+):443(?=/|$)", r"\1", u)
+        u = re.sub(r"^(http://[^/:]+):80(?=/|$)", r"\1", u)
+        if re.match(r"^[a-z]+://[^/]+$", u):
+            u += "/"
+        if "?" in u:
+            path, qs = u.split("?", 1)
+            kept = sorted(
+                p for p in qs.split("&")
+                if p and not re.match(
+                    r"^(utm_[a-z]+|gclid|fbclid|msclkid|ref)=", p)
+            )
+            u = path + ("?" + "&".join(kept) if kept else "")
+        return u
+
+    rng = random.Random(321)
+    schemes = ["http", "HTTP", "https", "HTTPS"]
+    hosts = ["ex.org", "EX.ORG", "www.Ex.Org", "a.b.example.com"]
+    ports = ["", ":443", ":80", ":8080"]
+    paths = ["", "/", "/A/b", "/p/1"]
+    params = ["a=1", "b=2", "z=9", "utm_source=x", "gclid=1", "ref=h", ""]
+    frags = ["", "#x", "#frag"]
+    urls = []
+    for _ in range(300):
+        q = "&".join(rng.sample(params, rng.randint(0, 4)))
+        urls.append(
+            rng.choice(schemes) + "://" + rng.choice(hosts)
+            + rng.choice(ports) + rng.choice(paths)
+            + ("?" + q if q else "") + rng.choice(frags)
+        )
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    got = {r.url: r.n for r in df.select(
+        "url", canonicalize_url_col(F.col("url")).alias("n")).collect()}
+    for u in urls:
+        assert got[u] == ref(u), (u, got[u], ref(u))
