@@ -34,6 +34,12 @@ def corrupt_tails(
     through a dictionary first (the standard embedding-training step).
     """
     if n_entities < 2:
+        if n_entities == 0 and edges.isEmpty():
+            # empty graph (an empty incremental delta): nothing to
+            # corrupt is a valid answer, not a misconfiguration
+            return edges.sparkSession.createDataFrame(
+                [], "src long, dst long, neg_idx int, neg_dst long"
+            )
         raise ValueError("need at least 2 entities to corrupt against")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     ks = e.select(

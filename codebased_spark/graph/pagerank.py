@@ -42,6 +42,13 @@ def _pagerank_driver_side(
     (the link/cc.py adaptive rationale applied to the iterative ops)."""
     vs = [r[0] for r in node_rows]
     n = len(vs)
+    if n == 0:  # empty graph (an empty incremental delta is routine input)
+        from pyspark.sql import types as T
+
+        return spark.createDataFrame(
+            [], T.StructType([T.StructField(node_col, id_type),
+                              T.StructField("pr", T.DoubleType())])
+        )
     deg: dict = {}
     for a, _ in edge_rows:
         deg[a] = deg.get(a, 0) + 1
@@ -106,6 +113,15 @@ def pagerank(
                     nodes.schema[node_col].dataType,
                 )
     n = nodes.count()
+    if n == 0:  # distributed path reached with driver_threshold=0 in tests
+        from pyspark.sql import types as T
+
+        return nodes.sparkSession.createDataFrame(
+            [], T.StructType([
+                T.StructField(node_col, nodes.schema[node_col].dataType),
+                T.StructField("pr", T.DoubleType()),
+            ])
+        )
     deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("_deg"))
     e = edges.join(deg, src)
     # dangling set probed once; empty on sink-free graphs -> lazy fast path
@@ -180,6 +196,13 @@ def _ppr_driver_side(
     """Driver-side PPR twin — identical formula/arithmetic to the
     distributed loop (the _pagerank_driver_side adaptive rationale)."""
     vs = [r[0] for r in node_rows]
+    if not vs:  # empty graph: empty result, not a seed-config error
+        from pyspark.sql import types as T
+
+        return spark.createDataFrame(
+            [], T.StructType([T.StructField(node_col, id_type),
+                              T.StructField("ppr", T.DoubleType())])
+        )
     seeds = [v for v in vs if v in seed_set]
     ns = len(seeds)
     if ns == 0:
@@ -256,6 +279,15 @@ def personalized_pagerank(
                     nodes.schema[node_col].dataType,
                 )
     sd = seeds.select(F.col(seeds.columns[0]).alias("v")).distinct()
+    if nodes.isEmpty():  # empty graph: empty result, not a config error
+        from pyspark.sql import types as T
+
+        return nodes.sparkSession.createDataFrame(
+            [], T.StructType([
+                T.StructField(node_col, nodes.schema[node_col].dataType),
+                T.StructField("ppr", T.DoubleType()),
+            ])
+        )
     ns = nodes.select(F.col(node_col).alias("v")).join(sd, "v", "left_semi").count()
     if ns == 0:
         raise ValueError("personalized_pagerank: no seed overlaps the node set")

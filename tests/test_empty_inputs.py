@@ -43,6 +43,9 @@ def test_flagship_pipeline_on_empty_corpus(spark, empty_sf):
         "tx_word_cooc", "tx_lm_perplexity", "tx_qa_pairs", "mm_exif",
         "tx_term_zipf", "kg_csr_layout", "g_degree_histogram",
         "tx_stratified_sample", "mm_srt_captions", "kg_charset_cascade",
+        "g_pagerank", "g_pagerank_dangling", "g_domain_pagerank",
+        "g_trustrank", "g_ppr", "kg_negatives", "g_fastrp",
+        "kg_heading_outline", "kg_rdf_patch", "mm_decode_quarantine",
     ],
 )
 def test_registry_ops_tolerate_empty_tables(spark, empty_sf, name):
