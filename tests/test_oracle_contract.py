@@ -50,3 +50,15 @@ def test_every_query_has_matching_oracle_columns(spark, entry_mod):
     # min-reachable-id CTE; ann_ivf_kmeans via the portable fixed-
     # iteration Lloyd's unroll)
     assert missing_oracle == []
+
+
+def test_receipt_priority_names_are_real_and_unique(entry_mod):
+    """Every _RECEIPT_PRIORITY name must exist in queries() (a typo would
+    silently drop the entry from the driver-checked prefix) and appear
+    once; priority entries must also lead the actual dict order."""
+    qs = entry_mod.queries()
+    prio = entry_mod._RECEIPT_PRIORITY
+    assert [n for n in prio if n not in qs] == []
+    assert len(prio) == len(set(prio))
+    head = list(qs)[: len(prio)]
+    assert head == prio
