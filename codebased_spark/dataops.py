@@ -10369,3 +10369,144 @@ ORACLES["g_fastrp"] = f"""
     SELECT a.node, a.dim, a.e1, coalesce(b.e2, 0) AS e2
     FROM e1 a LEFT JOIN e2 b ON a.node = b.node AND a.dim = b.dim
 """
+
+
+def kg_capture_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl churn MAGNITUDE: edit distance between each url's latest
+    and previous capture (kg_snapshot_delta tells you THAT a page
+    changed; re-extraction scheduling wants HOW MUCH — template tweaks
+    vs rewrites). Levenshtein is a built-in on both engines with
+    identical integer semantics; inputs are capped to the first 400
+    chars (documented: edit distance is O(n*m), and the cap is what a
+    production churn probe does before escalating to a full diff).
+    One url-keyed window pass to pair consecutive captures; text moves
+    once into the (url, prev, curr) pair rows."""
+    caps = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("https://recrawl.example.org/page/"),
+            (F.col("doc_id") % 10).cast("string"),
+        ).alias("url"),
+        "doc_id",
+        F.substring("text", 1, 400).alias("t"),
+    )
+    w = Window.partitionBy("url").orderBy("doc_id")
+    paired = (
+        caps.withColumn("prev_t", F.lag("t").over(w))
+        .withColumn("prev_id", F.lag("doc_id").over(w))
+        .where(F.col("prev_t").isNotNull())
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("url").orderBy(F.desc("doc_id"))))
+        .where(F.col("rn") == 1)
+    )
+    dist = F.levenshtein("t", "prev_t")
+    return paired.select(
+        "url",
+        F.col("prev_id").alias("prev_doc_id"),
+        F.col("doc_id").alias("curr_doc_id"),
+        dist.alias("edit_distance"),
+        F.expr(
+            "levenshtein(t, prev_t) * 10000"
+            " div greatest(length(t), length(prev_t), 1)"
+        ).alias("churn_bp"),
+    )
+
+
+def kg_fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy record linkage — the classic two-stage pipeline:
+    phonetic blocking (link/phonetic.py) generates candidates, edit
+    distance <= 2 verifies. Same planted spelling-variant families as
+    kg_phonetic_blocks; 'Johnson'~'Jonson' (distance 1) must match
+    while 'Johnson'~'Jansen' (same block, distance 3) must NOT — the
+    census that shows blocking recall and verification precision are
+    different dials. Pair generation joins distinct (block, surface)
+    vocabularies, never record x record."""
+    from codebased_spark.link.phonetic import phonetic_key
+
+    docs = _docs(spark, sf_dir)
+    name = (
+        F.when(F.col("doc_id") % 8 == 0, F.lit("Johnson"))
+        .when(F.col("doc_id") % 8 == 1, F.lit("Jonson"))
+        .when(F.col("doc_id") % 8 == 2, F.lit("Jansen"))
+        .when(F.col("doc_id") % 8 == 3, F.lit("Meyer"))
+        .when(F.col("doc_id") % 8 == 4, F.lit("Meier"))
+        .when(F.col("doc_id") % 8 == 5, F.lit("Mayer"))
+        .when(F.col("doc_id") % 8 == 6, F.lit("Smith"))
+        .otherwise(F.lit("Smyth"))
+    )
+    vocab = (
+        docs.select(name.alias("surface"))
+        .groupBy("surface")
+        .agg(F.count(F.lit(1)).alias("n_records"))
+        .withColumn("block_key", phonetic_key(F.col("surface")))
+    )
+    a = vocab.select(
+        "block_key", F.col("surface").alias("a"),
+        F.col("n_records").alias("n_a"),
+    )
+    b = vocab.select(
+        "block_key", F.col("surface").alias("b"),
+        F.col("n_records").alias("n_b"),
+    )
+    return (
+        a.join(b, "block_key")
+        .where(F.col("a") < F.col("b"))
+        .select(
+            "block_key", "a", "b",
+            F.levenshtein("a", "b").alias("edit_distance"),
+            (F.levenshtein("a", "b") <= 2).cast("int").alias("is_match"),
+            (F.col("n_a") * F.col("n_b")).alias("n_record_pairs"),
+        )
+    )
+
+
+QUERIES["kg_capture_edit_distance"] = kg_capture_edit_distance
+QUERIES["kg_fuzzy_name_matches"] = kg_fuzzy_name_matches
+
+ORACLES["kg_capture_edit_distance"] = """
+    WITH caps AS (
+      SELECT 'https://recrawl.example.org/page/' || (doc_id % 10) AS url,
+             doc_id, substr(text, 1, 400) AS t
+      FROM documents
+    ),
+    paired AS (
+      SELECT url, doc_id, t,
+             lag(t) OVER (PARTITION BY url ORDER BY doc_id) AS prev_t,
+             lag(doc_id) OVER (PARTITION BY url ORDER BY doc_id)
+               AS prev_id,
+             row_number() OVER (PARTITION BY url ORDER BY doc_id DESC)
+               AS rn
+      FROM caps
+    )
+    SELECT url, prev_id AS prev_doc_id, doc_id AS curr_doc_id,
+           levenshtein(t, prev_t) AS edit_distance,
+           (levenshtein(t, prev_t) * 10000)
+             // greatest(length(t), length(prev_t), 1) AS churn_bp
+    FROM paired WHERE rn = 1 AND prev_t IS NOT NULL
+"""
+
+ORACLES["kg_fuzzy_name_matches"] = """
+    WITH recs AS (
+      SELECT CASE doc_id % 8
+               WHEN 0 THEN 'Johnson' WHEN 1 THEN 'Jonson'
+               WHEN 2 THEN 'Jansen' WHEN 3 THEN 'Meyer'
+               WHEN 4 THEN 'Meier' WHEN 5 THEN 'Mayer'
+               WHEN 6 THEN 'Smith' ELSE 'Smyth' END AS surface
+      FROM documents
+    ),
+    vocab AS (
+      SELECT surface, count(*) AS n_records,
+             CASE surface
+               WHEN 'Johnson' THEN 'J525' WHEN 'Jonson' THEN 'J525'
+               WHEN 'Jansen' THEN 'J525' WHEN 'Meyer' THEN 'M600'
+               WHEN 'Meier' THEN 'M600' WHEN 'Mayer' THEN 'M600'
+               WHEN 'Smith' THEN 'S530' ELSE 'S530' END AS block_key
+      FROM recs GROUP BY surface
+    )
+    SELECT a.block_key, a.surface AS a, b.surface AS b,
+           levenshtein(a.surface, b.surface) AS edit_distance,
+           CASE WHEN levenshtein(a.surface, b.surface) <= 2
+                THEN 1 ELSE 0 END AS is_match,
+           a.n_records * b.n_records AS n_record_pairs
+    FROM vocab a JOIN vocab b
+      ON a.block_key = b.block_key AND a.surface < b.surface
+"""

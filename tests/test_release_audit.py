@@ -780,3 +780,34 @@ def test_url_canonicalizer_fuzz_vs_reference(spark):
         "url", canonicalize_url_col(F.col("url")).alias("n")).collect()}
     for u in urls:
         assert got[u] == ref(u), (u, got[u], ref(u))
+
+
+def test_capture_edit_distance_churn(spark, tmp_path):
+    # url 0: "aaaa" -> "aaab" (distance 1 over len 4 = 2500bp);
+    # url 1: identical recrawl -> distance 0
+    _write_docs(spark, tmp_path, [
+        (0, "aaaa", "en", "src0", 4), (10, "aaab", "en", "src0", 4),
+        (1, "same text", "en", "src0", 9), (11, "same text", "en", "src0", 9),
+    ])
+
+    from codebased_spark.dataops import kg_capture_edit_distance
+
+    got = {r.url[-1]: (r.edit_distance, r.churn_bp)
+           for r in kg_capture_edit_distance(spark, str(tmp_path)).collect()}
+    assert got["0"] == (1, 2500)
+    assert got["1"] == (0, 0)
+
+
+def test_fuzzy_name_matching_precision_inside_blocks(spark, tmp_path):
+    _write_docs(spark, tmp_path,
+                [(i, "t", "en", "src0", 1) for i in range(16)])
+
+    from codebased_spark.dataops import kg_fuzzy_name_matches
+
+    got = {(r.a, r.b): (r.edit_distance, r.is_match)
+           for r in kg_fuzzy_name_matches(spark, str(tmp_path)).collect()}
+    assert got[("Johnson", "Jonson")] == (1, 1)     # true variant
+    assert got[("Jansen", "Johnson")][1] == 0       # same block, no match
+    assert got[("Smith", "Smyth")] == (1, 1)
+    # cross-block pairs never even become candidates
+    assert ("Meyer", "Smith") not in got and ("Smith", "Meyer") not in got
