@@ -10510,3 +10510,84 @@ ORACLES["kg_fuzzy_name_matches"] = """
     FROM vocab a JOIN vocab b
       ON a.block_key = b.block_key AND a.surface < b.surface
 """
+
+
+def kg_soft404(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-404 detection: pages that return HTTP 200 but SAY they are
+    missing ('page not found', '404', 'no longer exists') — a standard
+    crawl-corpus pollutant (the serving host misconfigures error pages),
+    filtered by phrase evidence + thin-content corroboration. Fixture
+    plants error phrasing on every 11th page and a thin variant on every
+    13th; detection is one codegen regex + length rule, census per host.
+    Output: per-host page counts and soft-404 rate in basis points."""
+    docs = _docs(spark, sf_dir)
+    body = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.lit("Error 404 - the page you requested was not found."),
+    ).when(
+        F.col("doc_id") % 13 == 0, F.lit("Sorry, this page no longer exists.")
+    ).otherwise(F.col("text"))
+    pages = docs.select(
+        F.concat(F.col("source"), F.lit(".example.org")).alias("host"),
+        body.alias("body"),
+    )
+    is_404 = (
+        pages.body.rlike(
+            r"(?i)\b(404|page not found|no longer exists|"
+            r"page you requested was not found)\b"
+        )
+        & (F.length("body") < 200)
+    ).cast("long")
+    return (
+        pages.select("host", is_404.alias("is_soft404"))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum("is_soft404").alias("n_soft404"),
+        )
+        .withColumn("rate_bp", F.expr("n_soft404 * 10000 div n_pages"))
+    )
+
+
+def kg_page_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-density page typing — the index-vs-article split every
+    boilerplate/readability system starts from (public heuristic:
+    navigation pages are mostly anchor text, articles mostly prose).
+    Fixture builds pages whose anchor count and prose length are doc_id
+    arithmetic; the rule is exact-integer: anchors*40 >= n_chars ->
+    'index', n_chars < 120 -> 'stub', else 'article'. Map-only census
+    by (type, lang)."""
+    docs = _docs(spark, sf_dir)
+    n_anchors = F.col("doc_id") % 12  # planted per-page anchor count
+    page_type = (
+        F.when(n_anchors * 40 >= F.col("n_chars"), F.lit("index"))
+        .when(F.col("n_chars") < 120, F.lit("stub"))
+        .otherwise(F.lit("article"))
+    )
+    return (
+        docs.select("lang", page_type.alias("page_type"))
+        .groupBy("lang", "page_type")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+    )
+
+
+QUERIES["kg_soft404"] = kg_soft404
+QUERIES["kg_page_type"] = kg_page_type
+
+ORACLES["kg_soft404"] = """
+    SELECT source || '.example.org' AS host, count(*) AS n_pages,
+           sum(CASE WHEN doc_id % 11 = 0 OR doc_id % 13 = 0
+                    THEN 1 ELSE 0 END) AS n_soft404,
+           (sum(CASE WHEN doc_id % 11 = 0 OR doc_id % 13 = 0
+                     THEN 1 ELSE 0 END) * 10000) // count(*) AS rate_bp
+    FROM documents GROUP BY host
+"""
+
+ORACLES["kg_page_type"] = """
+    SELECT lang,
+           CASE WHEN (doc_id % 12) * 40 >= n_chars THEN 'index'
+                WHEN n_chars < 120 THEN 'stub'
+                ELSE 'article' END AS page_type,
+           count(*) AS n_pages
+    FROM documents GROUP BY lang, page_type
+"""

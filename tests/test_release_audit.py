@@ -811,3 +811,32 @@ def test_fuzzy_name_matching_precision_inside_blocks(spark, tmp_path):
     assert got[("Smith", "Smyth")] == (1, 1)
     # cross-block pairs never even become candidates
     assert ("Meyer", "Smith") not in got and ("Smith", "Meyer") not in got
+
+
+def test_soft404_needs_phrase_and_thinness(spark, tmp_path):
+    long_err = ("this article discusses the 404 error in depth " * 10)
+    _write_docs(spark, tmp_path, [
+        (11, "placeholder", "en", "src0", 11),   # %11 -> planted error page
+        (1, "normal article body text here", "en", "src0", 29),
+        # long page MENTIONING 404 is NOT a soft-404 (thinness rule)
+        (2, long_err, "en", "src0", len(long_err)),
+    ])
+
+    from codebased_spark.dataops import kg_soft404
+
+    [r] = kg_soft404(spark, str(tmp_path)).collect()
+    assert (r.n_pages, r.n_soft404) == (3, 1)
+
+
+def test_page_type_rules(spark, tmp_path):
+    _write_docs(spark, tmp_path, [
+        (11, "x" * 100, "en", "src0", 100),   # 11 anchors * 40 >= 100 -> index
+        (1, "y" * 80, "en", "src0", 80),      # 1*40 < 80, < 120 -> stub
+        (1201, "z" * 500, "en", "src0", 500), # 1201%12=1 -> 40 < 500 -> article
+    ])
+
+    from codebased_spark.dataops import kg_page_type
+
+    got = {r.page_type: r.n_pages
+           for r in kg_page_type(spark, str(tmp_path)).collect()}
+    assert got == {"index": 1, "stub": 1, "article": 1}
