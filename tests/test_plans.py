@@ -382,3 +382,22 @@ def test_heading_outline_window_is_doc_keyed(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     # the parent-resolution window partitions by doc, never globally
     assert "Window" in p and "hashpartitioning(doc_id" in p
+
+
+def test_fuzzy_matching_joins_vocab_not_records(spark):
+    from codebased_spark.dataops import kg_fuzzy_name_matches
+
+    p = plan(kg_fuzzy_name_matches(spark, SF))
+    # candidates come from the distinct-surface vocabulary blocked join —
+    # never a record-x-record cartesian
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_soft404_and_page_type_map_side_census(spark):
+    from codebased_spark.dataops import kg_page_type, kg_soft404
+
+    for q in (kg_soft404, kg_page_type):
+        p = plan(q(spark, SF))
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+        assert "partial_count" in p or "partial_sum" in p  # map-side combine
