@@ -10591,3 +10591,75 @@ ORACLES["kg_page_type"] = """
            count(*) AS n_pages
     FROM documents GROUP BY lang, page_type
 """
+
+
+def mm_caption_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AV-text training-pair alignment: sample a 250ms frame grid per
+    media item and RANGE-join each frame to its active SRT caption
+    (start_ms <= frame < end_ms) — the composition that turns parsed
+    captions (mm_srt_captions) and a frame work-list (the
+    mm_frame_sampling pattern) into (frame, caption) supervision pairs.
+    The join is doc-keyed with the range as a residual predicate —
+    never a cartesian; each 500ms cue covers exactly two grid frames,
+    which the declarative oracle states from the planted arithmetic."""
+    from codebased_spark.media.captions import parse_srt
+
+    docs = _docs(spark, sf_dir)
+
+    def cue(i: int):
+        s = (F.col("doc_id") % 10 + (i - 1) * 20).cast("long")
+        ms = ((F.col("doc_id") * 37 + i) % 500).cast("long")
+        t0 = F.concat(
+            F.lit("00:00:"), F.lpad(s.cast("string"), 2, "0"),
+            F.lit(","), F.lpad(ms.cast("string"), 3, "0"),
+        )
+        t1 = F.concat(
+            F.lit("00:00:"), F.lpad(s.cast("string"), 2, "0"),
+            F.lit(","), (ms + 500).cast("string"),
+        )
+        return F.concat(
+            F.lit(f"{i}\n"), t0, F.lit(" --> "), t1,
+            F.lit("\ncaption "), F.col("doc_id").cast("string"),
+            F.lit(f" cue {i}"),
+        )
+
+    cues = parse_srt(
+        docs.select("doc_id", F.concat(cue(1), F.lit("\n\n"), cue(2)).alias("srt"))
+    )
+    frames = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(29750), F.lit(250))).alias(
+            "frame_ms"
+        ),
+    )
+    return frames.join(
+        cues,
+        (frames.doc_id == cues.doc_id)
+        & (frames.frame_ms >= cues.start_ms)
+        & (frames.frame_ms < cues.end_ms),
+    ).select(frames.doc_id, "frame_ms", "cue_idx", "caption")
+
+
+QUERIES["mm_caption_align"] = mm_caption_align
+
+ORACLES["mm_caption_align"] = """
+    WITH cues AS (
+      SELECT doc_id, 1 AS cue_idx,
+             (doc_id % 10) * 1000 + (doc_id * 37 + 1) % 500 AS start_ms,
+             'caption ' || doc_id || ' cue 1' AS caption
+      FROM documents
+      UNION ALL
+      SELECT doc_id, 2,
+             (doc_id % 10 + 20) * 1000 + (doc_id * 37 + 2) % 500,
+             'caption ' || doc_id || ' cue 2'
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, cue_idx, caption,
+             ((start_ms + 249) // 250) * 250 AS f1
+      FROM cues
+    )
+    SELECT doc_id, f1 AS frame_ms, cue_idx, caption FROM f
+    UNION ALL
+    SELECT doc_id, f1 + 250, cue_idx, caption FROM f
+"""

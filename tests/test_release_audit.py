@@ -840,3 +840,20 @@ def test_page_type_rules(spark, tmp_path):
     got = {r.page_type: r.n_pages
            for r in kg_page_type(spark, str(tmp_path)).collect()}
     assert got == {"index": 1, "stub": 1, "article": 1}
+
+
+def test_caption_align_covers_each_cue_twice(spark, tmp_path):
+    _write_docs(spark, tmp_path,
+                [(i, "t", "en", "src0", 1) for i in (0, 3, 7)])
+
+    from codebased_spark.dataops import mm_caption_align
+
+    rows = mm_caption_align(spark, str(tmp_path)).collect()
+    # every (doc, cue) pair aligns exactly 2 grid frames, all in-range
+    from collections import Counter
+
+    per_cue = Counter((r.doc_id, r.cue_idx) for r in rows)
+    assert set(per_cue.values()) == {2} and len(per_cue) == 6
+    for r in rows:
+        assert r.frame_ms % 250 == 0
+        assert r.caption == f"caption {r.doc_id} cue {r.cue_idx}"
