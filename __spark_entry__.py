@@ -117,7 +117,7 @@ _RECEIPT_PRIORITY = [
     "tx_json_schema", "kg_phonetic_blocks", "q_value_histogram",
     "kg_url_normalize", "kg_heading_outline", "g_fastrp",
     "kg_capture_edit_distance", "kg_fuzzy_name_matches", "kg_soft404",
-    "kg_page_type", "mm_caption_align",
+    "kg_page_type", "mm_caption_align", "tx_paragraph_chunks",
     # new in the r4 eighth continuation session
     "mm_phash_dups", "kg_rule_mining", "mm_audio_fingerprint",
     "q_event_funnel", "tx_length_quantiles", "q_retention_cohorts",

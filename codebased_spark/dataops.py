@@ -10663,3 +10663,64 @@ ORACLES["mm_caption_align"] = """
     UNION ALL
     SELECT doc_id, f1 + 250, cue_idx, caption FROM f
 """
+
+
+def tx_paragraph_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structure-preserving chunk packing: paragraphs are never split
+    (the property token-window chunking tx_chunk gives up); each
+    paragraph joins the chunk its cumulative token offset falls in —
+    chunk_id = (tokens before it) div target. This is the deterministic
+    offset-packing variant of greedy packing (documented delta: a
+    paragraph straddling a boundary joins the EARLIER chunk, so chunks
+    can exceed target by one paragraph's tail — exactly what sequence
+    packers pad/truncate for). One doc-keyed window over per-doc
+    paragraph rows; the oracle mirrors the pipeline with the identical
+    window."""
+    docs = _docs(spark, sf_dir)
+    paras = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[
+                F.concat(
+                    F.lit(f"para {i}: "),
+                    F.substring("text", 1 + 10 * i, 40),
+                )
+                for i in range(6)
+            ])
+        ).alias("para_idx", "para"),
+    )
+    tok = F.size(F.filter(F.split(F.col("para"), " "), lambda w: w != ""))
+    w = Window.partitionBy("doc_id").orderBy("para_idx")
+    chunked = paras.select(
+        "doc_id", "para_idx", tok.alias("n_tok"),
+        ((F.sum(tok).over(w) - tok) / 12).cast("long").alias("chunk_id"),
+    )
+    return chunked.groupBy("doc_id", "chunk_id").agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum("n_tok").alias("n_tokens"),
+    )
+
+
+QUERIES["tx_paragraph_chunks"] = tx_paragraph_chunks
+
+ORACLES["tx_paragraph_chunks"] = """
+    WITH paras AS (
+      SELECT doc_id, i AS para_idx,
+             'para ' || i || ': ' || substr(text, 1 + 10 * i, 40) AS para
+      FROM documents, unnest(generate_series(0, 5)) AS g(i)
+    ),
+    toks AS (
+      SELECT doc_id, para_idx,
+             len(list_filter(string_split(para, ' '), x -> x <> ''))
+               AS n_tok
+      FROM paras
+    ),
+    chunked AS (
+      SELECT doc_id, para_idx, n_tok,
+             (sum(n_tok) OVER (PARTITION BY doc_id ORDER BY para_idx)
+              - n_tok) // 12 AS chunk_id
+      FROM toks
+    )
+    SELECT doc_id, chunk_id, count(*) AS n_paras, sum(n_tok) AS n_tokens
+    FROM chunked GROUP BY doc_id, chunk_id
+"""

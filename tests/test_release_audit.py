@@ -857,3 +857,20 @@ def test_caption_align_covers_each_cue_twice(spark, tmp_path):
     for r in rows:
         assert r.frame_ms % 250 == 0
         assert r.caption == f"caption {r.doc_id} cue {r.cue_idx}"
+
+
+def test_paragraph_chunks_never_split_paragraphs(spark, tmp_path):
+    # text of 60+ chars so all 6 planted paragraph slices are non-empty
+    _write_docs(spark, tmp_path,
+                [(1, "one two three four five six seven eight nine ten "
+                     "eleven twelve thirteen", "en", "src0", 73)])
+
+    from codebased_spark.dataops import tx_paragraph_chunks
+
+    rows = sorted(tx_paragraph_chunks(spark, str(tmp_path)).collect(),
+                  key=lambda r: r.chunk_id)
+    # every paragraph is in exactly one chunk: totals add up
+    assert sum(r.n_paras for r in rows) == 6
+    # chunk ids are contiguous from 0
+    ids = [r.chunk_id for r in rows]
+    assert ids == list(range(len(ids)))
