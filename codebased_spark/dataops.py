@@ -10724,3 +10724,28 @@ ORACLES["tx_paragraph_chunks"] = """
     SELECT doc_id, chunk_id, count(*) AS n_paras, sum(n_tok) AS n_tokens
     FROM chunked GROUP BY doc_id, chunk_id
 """
+
+
+def g_component_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weak-component size distribution in log2 buckets — with the
+    degree histogram, the second standard web-graph macro statistic
+    (does a giant component exist; how heavy is the small-component
+    tail). Composition over the value-checked CC sizes; one tiny
+    histogram agg on top."""
+    sizes = g_components(spark, sf_dir)
+    return sizes.groupBy(
+        F.length(F.bin(F.col("n_nodes"))).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_components"),
+        F.sum("n_nodes").alias("n_nodes_total"),
+    )
+
+
+QUERIES["g_component_size_histogram"] = g_component_size_histogram
+
+ORACLES["g_component_size_histogram"] = f"""
+    WITH base AS ({ORACLES["g_components"]})
+    SELECT length(bin(n_nodes)) AS bucket,
+           count(*) AS n_components, sum(n_nodes) AS n_nodes_total
+    FROM base GROUP BY bucket
+"""

@@ -874,3 +874,15 @@ def test_paragraph_chunks_never_split_paragraphs(spark, tmp_path):
     # chunk ids are contiguous from 0
     ids = [r.chunk_id for r in rows]
     assert ids == list(range(len(ids)))
+
+
+def test_component_size_histogram_conserves_nodes(spark, tmp_path):
+    _write_docs(spark, tmp_path,
+                [(i, "t", "en", "src0", 100 + i) for i in range(24)])
+
+    from codebased_spark.dataops import g_component_size_histogram
+
+    rows = g_component_size_histogram(spark, str(tmp_path)).collect()
+    # every node is in exactly one component of one bucket
+    assert sum(r.n_nodes_total for r in rows) == 24
+    assert all(r.bucket >= 1 and r.n_components >= 1 for r in rows)
