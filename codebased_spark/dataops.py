@@ -10749,3 +10749,112 @@ ORACLES["g_component_size_histogram"] = f"""
            count(*) AS n_components, sum(n_nodes) AS n_nodes_total
     FROM base GROUP BY bucket
 """
+
+
+def kg_table_column_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebTables column-type detection — the step between cell extraction
+    (kg_html_tables) and triple lifting: classify each column numeric vs
+    text by majority over DATA rows (header row excluded), carrying the
+    header label. Real extraction over the planted tables (incl. the
+    adversarial uppercase form); one (url, table, col) aggregate."""
+    from codebased_spark.extract.tables import html_table_cells
+    from codebased_spark.synth.pages import pages_with_tables_spark
+
+    cells = html_table_cells(pages_with_tables_spark(_docs(spark, sf_dir)))
+    headers = cells.where(F.col("row_idx") == 0).select(
+        "url", "table_idx", "col_idx", F.col("cell").alias("header")
+    )
+    is_num = F.col("cell").rlike(r"^-?[0-9]+([.,][0-9]+)?$").cast("long")
+    data = (
+        cells.where(F.col("row_idx") > 0)
+        .groupBy("url", "table_idx", "col_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum(is_num).alias("n_numeric"),
+        )
+    )
+    return data.join(headers, ["url", "table_idx", "col_idx"]).select(
+        "url", "col_idx", "header", "n_cells", "n_numeric",
+        F.when(F.col("n_numeric") * 2 > F.col("n_cells"), F.lit("numeric"))
+        .otherwise(F.lit("text"))
+        .alias("col_type"),
+    )
+
+
+def dd_survivor_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup survivor-policy comparison: keep-FIRST (min id — the
+    reproducible default, dd_clusters) vs keep-LONGEST (max n_chars,
+    tie min id — what quality-first pipelines prefer: the fullest
+    capture survives). Same planted cross-host template groups as
+    tx_split_leakage; the audit reports where the two policies disagree
+    — the rows a policy change would flip. One content-hash exchange
+    serves the window max and the final aggregate."""
+    docs = _docs(spark, sf_dir)
+    keyed = docs.select(
+        "doc_id", "n_chars",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit("boilerplate-template-"),
+                         (F.col("doc_id") % 3).cast("string")),
+            ).otherwise(F.col("text"))
+        ).alias("content_md5"),
+    )
+    w = Window.partitionBy("content_md5")
+    marked = keyed.withColumn("max_len", F.max("n_chars").over(w))
+    return (
+        marked.groupBy("content_md5")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.min("doc_id").alias("keep_first"),
+            F.min(
+                F.when(F.col("n_chars") == F.col("max_len"), F.col("doc_id"))
+            ).alias("keep_longest"),
+        )
+        .where(F.col("group_size") > 1)
+        .withColumn(
+            "policies_differ",
+            (F.col("keep_first") != F.col("keep_longest")).cast("int"),
+        )
+    )
+
+
+QUERIES["kg_table_column_types"] = kg_table_column_types
+QUERIES["dd_survivor_policy"] = dd_survivor_policy
+
+ORACLES["kg_table_column_types"] = """
+    WITH pages AS (
+      SELECT 'https://' || source || '.example.org/' || lang || '/doc/'
+               || doc_id AS url
+      FROM documents
+    )
+    SELECT url, 0 AS col_idx, 'name' AS header, 2 AS n_cells,
+           0 AS n_numeric, 'text' AS col_type FROM pages
+    UNION ALL
+    SELECT url, 1, 'lang', 2, 0, 'text' FROM pages
+    UNION ALL
+    SELECT url, 2, 'chars', 2, 2, 'numeric' FROM pages
+"""
+
+ORACLES["dd_survivor_policy"] = """
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             md5(CASE WHEN doc_id % 5 = 0
+                      THEN 'boilerplate-template-' || (doc_id % 3)
+                      ELSE text END) AS content_md5
+      FROM documents
+    ),
+    marked AS (
+      SELECT *, max(n_chars) OVER (PARTITION BY content_md5) AS max_len
+      FROM keyed
+    )
+    SELECT content_md5, count(*) AS group_size,
+           min(doc_id) AS keep_first,
+           min(CASE WHEN n_chars = max_len THEN doc_id END)
+             AS keep_longest,
+           CASE WHEN min(doc_id) <> min(CASE WHEN n_chars = max_len
+                                             THEN doc_id END)
+                THEN 1 ELSE 0 END AS policies_differ
+    FROM marked GROUP BY content_md5
+    HAVING count(*) > 1
+"""

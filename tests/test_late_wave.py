@@ -1,0 +1,36 @@
+"""Post-closing wave: table column typing, survivor policies."""
+
+
+def _write_docs(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+
+def test_column_types_majority_rule(spark, tmp_path):
+    _write_docs(spark, tmp_path, [(6, "body", "en", "src0", 44)])
+
+    from codebased_spark.dataops import kg_table_column_types
+
+    got = {r.col_idx: (r.header, r.n_numeric, r.col_type)
+           for r in kg_table_column_types(spark, str(tmp_path)).collect()}
+    assert got[0] == ("name", 0, "text")
+    assert got[1] == ("lang", 0, "text")
+    assert got[2] == ("chars", 2, "numeric")
+
+
+def test_survivor_policies_disagree_on_longest(spark, tmp_path):
+    # one template group: ids 0,5,10 (all %5==0, template 0); doc 5 is
+    # longest -> keep_first=0, keep_longest=5
+    _write_docs(spark, tmp_path, [
+        (0, "x", "en", "src0", 10),
+        (5, "y", "en", "src1", 99),
+        (10, "z", "en", "src2", 50),
+        (1, "unique", "en", "src0", 6),
+    ])
+
+    from codebased_spark.dataops import dd_survivor_policy
+
+    [r] = dd_survivor_policy(spark, str(tmp_path)).collect()
+    assert (r.group_size, r.keep_first, r.keep_longest,
+            r.policies_differ) == (3, 0, 5, 1)
