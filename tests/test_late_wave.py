@@ -20,12 +20,12 @@ def test_column_types_majority_rule(spark, tmp_path):
 
 
 def test_survivor_policies_disagree_on_longest(spark, tmp_path):
-    # one template group: ids 0,5,10 (all %5==0, template 0); doc 5 is
-    # longest -> keep_first=0, keep_longest=5
+    # one template group: ids 0,15,30 (all %5==0 AND %3==0 -> template
+    # 0); doc 15 is longest -> keep_first=0, keep_longest=15
     _write_docs(spark, tmp_path, [
         (0, "x", "en", "src0", 10),
-        (5, "y", "en", "src1", 99),
-        (10, "z", "en", "src2", 50),
+        (15, "y", "en", "src1", 99),
+        (30, "z", "en", "src2", 50),
         (1, "unique", "en", "src0", 6),
     ])
 
@@ -33,4 +33,4 @@ def test_survivor_policies_disagree_on_longest(spark, tmp_path):
 
     [r] = dd_survivor_policy(spark, str(tmp_path)).collect()
     assert (r.group_size, r.keep_first, r.keep_longest,
-            r.policies_differ) == (3, 0, 5, 1)
+            r.policies_differ) == (3, 0, 15, 1)
