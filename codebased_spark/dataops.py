@@ -10858,3 +10858,85 @@ ORACLES["dd_survivor_policy"] = """
     FROM marked GROUP BY content_md5
     HAVING count(*) > 1
 """
+
+
+def tx_title_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Title-body coherence — the clickbait/SEO-stuffing signal: share
+    of distinct title tokens that actually occur in the body (a title
+    promising content the body never mentions scores low). Titles come
+    from the page-meta fixture ('{source} doc {doc_id}'); the match is
+    REAL token-set intersection computed identically on both engines
+    (distinct title tokens left-semi joined to distinct body tokens per
+    doc). Integer counts + basis points; two map-side distinct explodes
+    and one doc-keyed join."""
+    docs = _docs(spark, sf_dir)
+    title_toks = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array(F.col("source"), F.lit("doc"),
+                        F.col("doc_id").cast("string"))
+            ).alias("tok"),
+        )
+        .distinct()
+    )
+    body_toks = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+            ).alias("tok"),
+        )
+        .distinct()
+    )
+    n_title = title_toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_title_toks")
+    )
+    n_hit = (
+        title_toks.join(body_toks, ["doc_id", "tok"], "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_in_body"))
+    )
+    return (
+        n_title.join(n_hit, "doc_id", "left")
+        .select(
+            "doc_id", "n_title_toks",
+            F.coalesce("n_in_body", F.lit(0)).alias("n_in_body"),
+        )
+        .withColumn(
+            "coherence_bp", F.expr("n_in_body * 10000 div n_title_toks")
+        )
+    )
+
+
+QUERIES["tx_title_coherence"] = tx_title_coherence
+
+ORACLES["tx_title_coherence"] = """
+    WITH title_toks AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id, unnest([source, 'doc', doc_id::VARCHAR]) AS tok
+        FROM documents
+      )
+    ),
+    body_toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS tok
+      FROM documents
+    ),
+    n_title AS (
+      SELECT doc_id, count(*) AS n_title_toks
+      FROM title_toks GROUP BY doc_id
+    ),
+    n_hit AS (
+      SELECT t.doc_id, count(*) AS n_in_body
+      FROM title_toks t JOIN body_toks b
+        ON t.doc_id = b.doc_id AND t.tok = b.tok
+      GROUP BY t.doc_id
+    )
+    SELECT a.doc_id, a.n_title_toks,
+           coalesce(h.n_in_body, 0) AS n_in_body,
+           (coalesce(h.n_in_body, 0) * 10000) // a.n_title_toks
+             AS coherence_bp
+    FROM n_title a LEFT JOIN n_hit h ON a.doc_id = h.doc_id
+"""

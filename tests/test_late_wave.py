@@ -34,3 +34,18 @@ def test_survivor_policies_disagree_on_longest(spark, tmp_path):
     [r] = dd_survivor_policy(spark, str(tmp_path)).collect()
     assert (r.group_size, r.keep_first, r.keep_longest,
             r.policies_differ) == (3, 0, 15, 1)
+
+
+def test_title_coherence_counts(spark, tmp_path):
+    # title tokens: {src0, doc, 1}; body has "doc" and "src0" but not "1"
+    _write_docs(spark, tmp_path, [
+        (1, "the doc about src0 things", "en", "src0", 25),
+        (2, "nothing relevant here", "en", "src9", 21),  # title {src9,doc,2}: 0 hits
+    ])
+
+    from codebased_spark.dataops import tx_title_coherence
+
+    got = {r.doc_id: (r.n_title_toks, r.n_in_body, r.coherence_bp)
+           for r in tx_title_coherence(spark, str(tmp_path)).collect()}
+    assert got[1] == (3, 2, 6666)
+    assert got[2] == (3, 0, 0)
