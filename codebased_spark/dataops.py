@@ -10940,3 +10940,87 @@ ORACLES["tx_title_coherence"] = """
              AS coherence_bp
     FROM n_title a LEFT JOIN n_hit h ON a.doc_id = h.doc_id
 """
+
+
+def q_interevent_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event time distribution in log2 buckets — the cadence
+    statistic behind sessionization-gap and watermark choices
+    (q_user_sessions' 30-minute gap and the streaming watermark are
+    justified by exactly this curve). Per-user consecutive deltas in
+    integer seconds via one keyed lag window, then a tiny
+    bit_length-bucket census."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    deltas = (
+        ev.select(
+            "user_id",
+            (F.unix_timestamp("ts")
+             - F.unix_timestamp(F.lag("ts").over(w))).alias("gap_s"),
+        )
+        .where(F.col("gap_s").isNotNull())
+    )
+    bucket = F.when(F.col("gap_s") <= 0, F.lit(0)).otherwise(
+        F.length(F.bin(F.col("gap_s")))
+    )
+    return deltas.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_gaps")
+    )
+
+
+def kg_url_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL path-depth census per host — the crawl-shape statistic
+    frontier prioritization uses (deep archipelagos of /a/b/c/d pages
+    are usually calendars/facets — crawler traps kg_url_templates hunts
+    by pattern, this measures by depth). Depth = non-empty path
+    segments; planted deep paths on every 9th doc exercise the tail."""
+    docs = _docs(spark, sf_dir)
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.org/"),
+        F.col("lang"), F.lit("/doc/"),
+        F.when(
+            F.col("doc_id") % 9 == 0,
+            F.concat(F.lit("archive/"),
+                     (F.col("doc_id") % 4).cast("string"), F.lit("/page/")),
+        ).otherwise(F.lit("")),
+        F.col("doc_id").cast("string"),
+    )
+    depth = F.size(
+        F.filter(
+            F.split(F.regexp_replace(url, "^https://[^/]+", ""), "/"),
+            lambda p: p != "",
+        )
+    )
+    return (
+        docs.select(
+            F.concat(F.col("source"), F.lit(".example.org")).alias("host"),
+            depth.alias("depth"),
+        )
+        .groupBy("host", "depth")
+        .agg(F.count(F.lit(1)).alias("n_urls"))
+    )
+
+
+QUERIES["q_interevent_cadence"] = q_interevent_cadence
+QUERIES["kg_url_depth"] = kg_url_depth
+
+ORACLES["q_interevent_cadence"] = """
+    WITH deltas AS (
+      SELECT user_id,
+             (epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id)))
+               ::BIGINT AS gap_s
+      FROM events
+    )
+    SELECT CASE WHEN gap_s <= 0 THEN 0
+                ELSE length(bin(gap_s)) END AS bucket,
+           count(*) AS n_gaps
+    FROM deltas WHERE gap_s IS NOT NULL
+    GROUP BY bucket
+"""
+
+ORACLES["kg_url_depth"] = """
+    SELECT source || '.example.org' AS host,
+           CASE WHEN doc_id % 9 = 0 THEN 6 ELSE 3 END AS depth,
+           count(*) AS n_urls
+    FROM documents GROUP BY host, depth
+"""

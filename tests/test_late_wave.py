@@ -49,3 +49,39 @@ def test_title_coherence_counts(spark, tmp_path):
            for r in tx_title_coherence(spark, str(tmp_path)).collect()}
     assert got[1] == (3, 2, 6666)
     assert got[2] == (3, 0, 0)
+
+
+def test_interevent_cadence_buckets(spark, tmp_path):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    # user 1 gaps: 1s (bucket 1), 5s (bucket 3), 0s (bucket 0)
+    rows = [
+        (0, base, 1, "view", 1.0, "{}"),
+        (1, base + dt.timedelta(seconds=1), 1, "view", 1.0, "{}"),
+        (2, base + dt.timedelta(seconds=6), 1, "view", 1.0, "{}"),
+        (3, base + dt.timedelta(seconds=6), 1, "view", 1.0, "{}"),
+        (9, base, 2, "view", 1.0, "{}"),  # single event: no gap row
+    ]
+    spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    from codebased_spark.dataops import q_interevent_cadence
+
+    got = {r.bucket: r.n_gaps
+           for r in q_interevent_cadence(spark, str(tmp_path)).collect()}
+    assert got == {1: 1, 3: 1, 0: 1}
+
+
+def test_url_depth_census(spark, tmp_path):
+    _write_docs(spark, tmp_path, [
+        (9, "t", "en", "src0", 1),   # planted deep path -> depth 6
+        (1, "t", "en", "src0", 1),   # /en/doc/1 -> depth 3
+    ])
+
+    from codebased_spark.dataops import kg_url_depth
+
+    got = {(r.host, r.depth): r.n_urls
+           for r in kg_url_depth(spark, str(tmp_path)).collect()}
+    assert got == {("src0.example.org", 6): 1, ("src0.example.org", 3): 1}
