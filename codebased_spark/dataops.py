@@ -11024,3 +11024,55 @@ ORACLES["kg_url_depth"] = """
            count(*) AS n_urls
     FROM documents GROUP BY host, depth
 """
+
+
+def tx_caps_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shouting/caps-lock quality signal (a standard C4/Gopher-family
+    rule beside tx_quality's ratios): uppercase share of letters and
+    ALL-CAPS share of tokens, exact basis points. Fixture plants an
+    ALL-CAPS variant on every 8th doc so both tails are exercised.
+    Map-only codegen: two regexp counts + a token filter."""
+    docs = _docs(spark, sf_dir)
+    body = F.when(
+        F.col("doc_id") % 8 == 0, F.upper(F.col("text"))
+    ).otherwise(F.col("text"))
+    n_upper = F.regexp_count(body, F.lit("[A-Z]"))
+    n_letter = F.regexp_count(body, F.lit("[A-Za-z]"))
+    toks = F.filter(F.split(body, " "), lambda w: w != "")
+    caps_toks = F.size(
+        F.filter(toks, lambda w: w.rlike("^[A-Z]{2,}$"))
+    )
+    return docs.select(
+        "doc_id",
+        n_upper.alias("n_upper"),
+        n_letter.alias("n_letters"),
+        F.expr(
+            "regexp_count(CASE WHEN doc_id % 8 = 0 THEN upper(text)"
+            " ELSE text END, '[A-Z]') * 10000"
+            " div greatest(regexp_count(CASE WHEN doc_id % 8 = 0 THEN"
+            " upper(text) ELSE text END, '[A-Za-z]'), 1)"
+        ).alias("upper_bp"),
+        caps_toks.alias("n_caps_tokens"),
+    )
+
+
+QUERIES["tx_caps_ratio"] = tx_caps_ratio
+
+ORACLES["tx_caps_ratio"] = """
+    WITH b AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 8 = 0 THEN upper(text) ELSE text END
+               AS body
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(body, '[A-Z]')) AS n_upper,
+           len(regexp_extract_all(body, '[A-Za-z]')) AS n_letters,
+           (len(regexp_extract_all(body, '[A-Z]')) * 10000)
+             // greatest(len(regexp_extract_all(body, '[A-Za-z]')), 1)
+             AS upper_bp,
+           len(list_filter(
+                 list_filter(string_split(body, ' '), x -> x <> ''),
+                 x -> regexp_matches(x, '^[A-Z]{2,}$'))) AS n_caps_tokens
+    FROM b
+"""

@@ -85,3 +85,18 @@ def test_url_depth_census(spark, tmp_path):
     got = {(r.host, r.depth): r.n_urls
            for r in kg_url_depth(spark, str(tmp_path)).collect()}
     assert got == {("src0.example.org", 6): 1, ("src0.example.org", 3): 1}
+
+
+def test_caps_ratio_flags_shouting(spark, tmp_path):
+    _write_docs(spark, tmp_path, [
+        (8, "hello world ok", "en", "src0", 14),  # %8==0 -> fully uppercased
+        (1, "Normal Text with ONE SHOUT", "en", "src0", 26),
+    ])
+
+    from codebased_spark.dataops import tx_caps_ratio
+
+    got = {r.doc_id: (r.upper_bp, r.n_caps_tokens)
+           for r in tx_caps_ratio(spark, str(tmp_path)).collect()}
+    assert got[8] == (10000, 3)   # HELLO WORLD OK
+    # doc 1: uppercase letters N,T,O,N,E,S,H,O,U,T = 10 of 22 letters
+    assert got[1] == (10 * 10000 // 22, 2)  # ONE, SHOUT
