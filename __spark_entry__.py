@@ -120,7 +120,8 @@ _RECEIPT_PRIORITY = [
     "kg_page_type", "mm_caption_align", "tx_paragraph_chunks",
     "g_component_size_histogram", "kg_table_column_types",
     "dd_survivor_policy", "tx_title_coherence", "q_interevent_cadence",
-    "kg_url_depth", "tx_caps_ratio",
+    "kg_url_depth", "tx_caps_ratio", "kg_description_dupes",
+    "q_hour_of_week", "dd_shingle_df_profile",
     # new in the r4 eighth continuation session
     "mm_phash_dups", "kg_rule_mining", "mm_audio_fingerprint",
     "q_event_funnel", "tx_length_quantiles", "q_retention_cohorts",

@@ -11076,3 +11076,133 @@ ORACLES["tx_caps_ratio"] = """
                  x -> regexp_matches(x, '^[A-Z]{2,}$'))) AS n_caps_tokens
     FROM b
 """
+
+
+def kg_description_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated meta-description audit per host — the template/SEO
+    smell: when many pages of a host share one boilerplate description,
+    the description carries no per-page signal and snippet extraction
+    must fall back to body text. Fixture plants a host-default
+    description on every 6th page (others get a per-page one); REAL
+    extraction with the house-rules tolerant regex, then a
+    (host, description) census rolled up per host."""
+    docs = _docs(spark, sf_dir)
+    desc_tag = F.when(
+        F.col("doc_id") % 6 == 0,
+        F.concat(F.lit('<META NAME="Description" CONTENT="Welcome to '),
+                 F.col("source"), F.lit('">')),
+    ).otherwise(
+        F.concat(F.lit("<meta name='description' content='About doc "),
+                 F.col("doc_id").cast("string"), F.lit("'/>")),
+    )
+    pages = docs.select(
+        F.concat(F.col("source"), F.lit(".example.org")).alias("host"),
+        F.concat(F.lit("<html><head>"), desc_tag,
+                 F.lit("</head><body/></html>")).alias("html_text"),
+    )
+    desc = F.regexp_extract(
+        F.col("html_text"),
+        r"(?is)<meta(?=[^>]*name\s*=\s*[\"']?description)"
+        r"[^>]*content\s*=\s*[\"']([^\"']+)",
+        1,
+    )
+    per_desc = (
+        pages.select("host", desc.alias("description"))
+        .groupBy("host", "description")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+    )
+    return per_desc.groupBy("host").agg(
+        F.sum("n_pages").alias("n_pages"),
+        F.count(F.lit(1)).alias("n_distinct_desc"),
+        F.max(F.when(F.col("n_pages") > 1, F.col("n_pages")))
+        .alias("max_dup_count"),
+    ).withColumn(
+        "max_dup_count", F.coalesce("max_dup_count", F.lit(1))
+    )
+
+
+def q_hour_of_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-week seasonality census — the weekly activity fingerprint
+    capacity planning and anomaly baselines use (q_hourly_anomalies'
+    trailing window assumes one; this measures it). Slot = (ISO weekday
+    - 1) * 24 + hour, one map-side expression + census."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    slot = (F.dayofweek("ts") - 1) * 24 + F.hour("ts")
+    return ev.groupBy(slot.alias("how_slot")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+def dd_shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stop-shingle document-frequency profile — the measurement BEHIND
+    the AllPairs prefix filter (dedup/ngram.py): the counting join costs
+    sum(df^2) over shingles, so the df distribution's head decides
+    whether the prefix split is mandatory. Distinct 3-shingles per doc,
+    df per shingle, bit_length-bucket census with the sum(df^2) mass
+    per bucket — exact integers."""
+    from codebased_spark.dedup.shingles import shingles_col, tokens_col
+
+    docs = _docs(spark, sf_dir)
+    sh = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(shingles_col(tokens_col(F.col("text")), 3))
+            ).alias("sh"),
+        )
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    return sh.groupBy(
+        F.length(F.bin(F.col("df"))).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum("df").alias("df_mass"),
+        F.sum(F.col("df") * F.col("df")).alias("df2_mass"),
+    )
+
+
+QUERIES["kg_description_dupes"] = kg_description_dupes
+QUERIES["q_hour_of_week"] = q_hour_of_week
+QUERIES["dd_shingle_df_profile"] = dd_shingle_df_profile
+
+ORACLES["kg_description_dupes"] = """
+    WITH pages AS (
+      SELECT source || '.example.org' AS host,
+             CASE WHEN doc_id % 6 = 0 THEN 'Welcome to ' || source
+                  ELSE 'About doc ' || doc_id END AS description
+      FROM documents
+    ),
+    per_desc AS (
+      SELECT host, description, count(*) AS n_pages
+      FROM pages GROUP BY host, description
+    )
+    SELECT host, sum(n_pages) AS n_pages,
+           count(*) AS n_distinct_desc,
+           coalesce(max(CASE WHEN n_pages > 1 THEN n_pages END), 1)
+             AS max_dup_count
+    FROM per_desc GROUP BY host
+"""
+
+ORACLES["q_hour_of_week"] = """
+    SELECT (dayofweek(ts)) * 24 + hour(ts) AS how_slot,
+           count(*) AS n_events
+    FROM events GROUP BY how_slot
+"""
+
+ORACLES["dd_shingle_df_profile"] = """
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS l
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             l[i] || ' ' || l[i + 1] || ' ' || l[i + 2] AS sh
+      FROM d, unnest(generate_series(1, len(l) - 2)) AS g(i)
+    ),
+    dfs AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh)
+    SELECT length(bin(df)) AS bucket, count(*) AS n_shingles,
+           sum(df) AS df_mass, sum(df * df) AS df2_mass
+    FROM dfs GROUP BY bucket
+"""

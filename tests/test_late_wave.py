@@ -100,3 +100,48 @@ def test_caps_ratio_flags_shouting(spark, tmp_path):
     assert got[8] == (10000, 3)   # HELLO WORLD OK
     # doc 1: uppercase letters N,T,O,N,E,S,H,O,U,T = 10 of 22 letters
     assert got[1] == (10 * 10000 // 22, 2)  # ONE, SHOUT
+
+
+def test_description_dupes_census(spark, tmp_path):
+    # ids 0,6,12 share the host default; 1,2 get per-page descriptions
+    _write_docs(spark, tmp_path,
+                [(i, "t", "en", "src0", 1) for i in (0, 6, 12, 1, 2)])
+
+    from codebased_spark.dataops import kg_description_dupes
+
+    [r] = kg_description_dupes(spark, str(tmp_path)).collect()
+    assert (r.n_pages, r.n_distinct_desc, r.max_dup_count) == (5, 3, 3)
+
+
+def test_hour_of_week_slots(spark, tmp_path):
+    import datetime as dt
+
+    rows = [
+        (0, dt.datetime(2024, 1, 1, 9), 1, "view", 1.0, "{}"),   # Mon 9am
+        (1, dt.datetime(2024, 1, 1, 9, 30), 1, "view", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 7, 23), 1, "view", 1.0, "{}"),  # Sun 11pm
+    ]
+    spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    from codebased_spark.dataops import q_hour_of_week
+
+    got = {r.how_slot: r.n_events
+           for r in q_hour_of_week(spark, str(tmp_path)).collect()}
+    # Spark dayofweek: Sun=1..Sat=7 -> Monday slot (2-1)*24+9 = 33
+    assert got == {33: 2, 23: 1}
+
+
+def test_shingle_df_profile_mass_conservation(spark, tmp_path):
+    _write_docs(spark, tmp_path, [
+        (1, "a b c d", "en", "src0", 7),   # shingles: abc, bcd
+        (2, "a b c e", "en", "src0", 7),   # shingles: abc, bce
+    ])
+
+    from codebased_spark.dataops import dd_shingle_df_profile
+
+    rows = dd_shingle_df_profile(spark, str(tmp_path)).collect()
+    got = {r.bucket: (r.n_shingles, r.df_mass, r.df2_mass) for r in rows}
+    # 'a b c' df=2 (bucket 2); 'b c d','b c e' df=1 (bucket 1)
+    assert got == {2: (1, 2, 4), 1: (2, 2, 2)}
