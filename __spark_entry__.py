@@ -121,7 +121,7 @@ _RECEIPT_PRIORITY = [
     "g_component_size_histogram", "kg_table_column_types",
     "dd_survivor_policy", "tx_title_coherence", "q_interevent_cadence",
     "kg_url_depth", "tx_caps_ratio", "kg_description_dupes",
-    "q_hour_of_week", "dd_shingle_df_profile",
+    "q_hour_of_week", "dd_shingle_df_profile", "kg_frontier_growth",
     # new in the r4 eighth continuation session
     "mm_phash_dups", "kg_rule_mining", "mm_audio_fingerprint",
     "q_event_funnel", "tx_length_quantiles", "q_retention_cohorts",

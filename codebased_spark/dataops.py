@@ -11206,3 +11206,64 @@ ORACLES["dd_shingle_df_profile"] = """
            sum(df) AS df_mass, sum(df * df) AS df2_mass
     FROM dfs GROUP BY bucket
 """
+
+
+def kg_frontier_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier growth curve: per crawl batch (100 captures each), how
+    many fetches were NEW urls vs recrawls, with the cumulative distinct
+    url count — the discovery-vs-refresh balance a crawl operator
+    watches (a flattening curve means the frontier is exhausted; an
+    all-new curve means refresh debt). First-occurrence idiom
+    (tx_vocab_growth): min batch per url (one keyed agg), per-batch
+    census, cumulative window over the TINY batch table."""
+    docs = _docs(spark, sf_dir)
+    caps = docs.select(
+        (F.col("doc_id") % 97).alias("url_id"),
+        F.expr("doc_id div 100").alias("batch"),
+    )
+    firsts = caps.groupBy("url_id").agg(F.min("batch").alias("first_batch"))
+    per_batch = (
+        caps.groupBy("batch")
+        .agg(F.count(F.lit(1)).alias("n_fetches"))
+        .join(
+            firsts.groupBy(F.col("first_batch").alias("batch")).agg(
+                F.count(F.lit(1)).alias("n_new")
+            ),
+            "batch",
+            "left",
+        )
+        .withColumn("n_new", F.coalesce("n_new", F.lit(0)))
+    )
+    w = Window.orderBy("batch").rowsBetween(Window.unboundedPreceding, 0)
+    return per_batch.select(
+        "batch", "n_fetches", "n_new",
+        F.sum("n_new").over(w).alias("distinct_urls_seen"),
+        (F.col("n_fetches") - F.col("n_new")).alias("n_recrawls"),
+    )
+
+
+QUERIES["kg_frontier_growth"] = kg_frontier_growth
+
+ORACLES["kg_frontier_growth"] = """
+    WITH caps AS (
+      SELECT doc_id % 97 AS url_id, doc_id // 100 AS batch
+      FROM documents
+    ),
+    firsts AS (
+      SELECT url_id, min(batch) AS first_batch FROM caps GROUP BY url_id
+    ),
+    per_batch AS (
+      SELECT c.batch, count(*) AS n_fetches
+      FROM caps c GROUP BY c.batch
+    ),
+    news AS (
+      SELECT first_batch AS batch, count(*) AS n_new
+      FROM firsts GROUP BY first_batch
+    )
+    SELECT p.batch, p.n_fetches, coalesce(n.n_new, 0) AS n_new,
+           sum(coalesce(n.n_new, 0)) OVER (ORDER BY p.batch
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS distinct_urls_seen,
+           p.n_fetches - coalesce(n.n_new, 0) AS n_recrawls
+    FROM per_batch p LEFT JOIN news n ON p.batch = n.batch
+"""

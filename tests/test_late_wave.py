@@ -145,3 +145,20 @@ def test_shingle_df_profile_mass_conservation(spark, tmp_path):
     got = {r.bucket: (r.n_shingles, r.df_mass, r.df2_mass) for r in rows}
     # 'a b c' df=2 (bucket 2); 'b c d','b c e' df=1 (bucket 1)
     assert got == {2: (1, 2, 4), 1: (2, 2, 2)}
+
+
+def test_frontier_growth_conservation(spark, tmp_path):
+    # 300 captures -> 3 batches; 97 distinct urls all first seen in
+    # batches 0 (100 new) ... but url space is 97 so batch 0 has 97 new
+    # + 3 recrawls, batches 1-2 are pure recrawl
+    _write_docs(spark, tmp_path,
+                [(i, "t", "en", "src0", 1) for i in range(300)])
+
+    from codebased_spark.dataops import kg_frontier_growth
+
+    rows = sorted(kg_frontier_growth(spark, str(tmp_path)).collect(),
+                  key=lambda r: r.batch)
+    assert [r.n_new for r in rows] == [97, 0, 0]
+    assert [r.n_recrawls for r in rows] == [3, 100, 100]
+    assert rows[-1].distinct_urls_seen == 97
+    assert all(r.n_fetches == r.n_new + r.n_recrawls for r in rows)
