@@ -4332,7 +4332,7 @@ ORACLES = {
         ),
         f AS (SELECT g, min(doc_id) AS first_doc FROM b GROUP BY 1)
         SELECT b.doc_id, count(*) AS n_grams,
-               sum(CASE WHEN f.first_doc = b.doc_id THEN 1 ELSE 0 END) AS n_novel,
+               CAST(sum(CASE WHEN f.first_doc = b.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
                sum(CASE WHEN f.first_doc = b.doc_id THEN 1 ELSE 0 END)::DOUBLE
                  / count(*) AS novelty
         FROM b JOIN f USING (g) GROUP BY b.doc_id
@@ -4350,7 +4350,7 @@ ORACLES = {
                          for i in generate_series(1, len(ch) - 1)]) AS pair
           FROM c
         )
-        SELECT pair, sum(freq) AS cnt FROM p
+        SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM p
         GROUP BY 1 ORDER BY cnt DESC, pair ASC LIMIT 20
     """,
     # identical md5-bucket bigram occurrences, target/raw bucket counts,
@@ -4373,8 +4373,8 @@ ORACLES = {
         ),
         rc AS (SELECT bucket, count(*) AS cr FROM o GROUP BY 1)
         SELECT o.doc_id, count(*) AS n_feats,
-               sum(coalesce(ct, 0) + 1) AS target_mass,
-               sum(cr + 1) AS raw_mass,
+               CAST(sum(coalesce(ct, 0) + 1) AS BIGINT) AS target_mass,
+               CAST(sum(cr + 1) AS BIGINT) AS raw_mass,
                sum(coalesce(ct, 0) + 1)::DOUBLE / sum(cr + 1) AS score
         FROM o LEFT JOIN tc USING (bucket) JOIN rc USING (bucket)
         GROUP BY o.doc_id
@@ -4638,7 +4638,7 @@ ORACLES = {
         ),
         cand AS (
           SELECT a, b, count(*) AS n_common,
-                 sum(10000 // dc) AS ra_scaled
+                 CAST(sum(10000 // dc) AS BIGINT) AS ra_scaled
           FROM wedges GROUP BY a, b
         ),
         nw AS (
@@ -4681,7 +4681,7 @@ ORACLES = {
             PARTITION BY term ORDER BY doc_id ASC) AS rn
           FROM per_doc
         )
-        SELECT term, count(*) AS df, sum(tf) AS tf_total,
+        SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS tf_total,
                string_agg(CASE WHEN rn <= 5 THEN CAST(doc_id AS VARCHAR)
                           END, ',' ORDER BY doc_id) AS champions
         FROM ranked GROUP BY term
@@ -4695,11 +4695,11 @@ ORACLES = {
                  sum(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) AS n_page
           FROM documents GROUP BY 1
         )
-        SELECT host, 'utm' AS param, n_all AS n_pairs, n_all AS n_equal,
+        SELECT host, 'utm' AS param, CAST(n_all AS BIGINT) AS n_pairs, n_all AS n_equal,
                'strip' AS verdict
         FROM h
         UNION ALL
-        SELECT host, 'page', n_page, 0, 'keep' FROM h WHERE n_page > 0
+        SELECT host, 'page', CAST(n_page AS BIGINT), 0, 'keep' FROM h WHERE n_page > 0
     """,
     "dd_mirrors": """
         WITH caps AS (
@@ -5002,8 +5002,8 @@ ORACLES = {
                    AS cum_bytes
           FROM files
         )
-        SELECT (cum_bytes - f_bytes) // 20000 AS group_id,
-               count(*) AS n_files, sum(f_bytes) AS group_bytes,
+        SELECT CAST((cum_bytes - f_bytes) // 20000 AS BIGINT) AS group_id,
+               count(*) AS n_files, CAST(sum(f_bytes) AS BIGINT) AS group_bytes,
                min(source) AS first_source, max(source) AS last_source
         FROM planned GROUP BY group_id
     """,
@@ -5076,7 +5076,7 @@ ORACLES = {
           FROM events
         )
         SELECT event_type, count(*) AS n_events,
-               sum(CASE WHEN behind_us > 600000000 THEN 1 ELSE 0 END) AS n_late,
+               CAST(sum(CASE WHEN behind_us > 600000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
                max(behind_us) AS max_behind_us
         FROM lateness GROUP BY event_type
     """,
@@ -5111,7 +5111,7 @@ ORACLES = {
                (CAST(json_extract_string(props, '$.k') AS BIGINT) % 10)
                  AS k_bucket,
                count(*) AS n_events,
-               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         FROM events
         GROUP BY event_type, k_bucket
     """,
@@ -5127,11 +5127,11 @@ ORACLES = {
     """,
     "q_pivot_lang_source": """
         SELECT lang,
-               sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS src0,
-               sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS src1,
-               sum(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS src2,
-               sum(CASE WHEN source = 'src3' THEN 1 ELSE 0 END) AS src3,
-               sum(CASE WHEN source = 'src4' THEN 1 ELSE 0 END) AS src4
+               CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS src0,
+               CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS src1,
+               CAST(sum(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS BIGINT) AS src2,
+               CAST(sum(CASE WHEN source = 'src3' THEN 1 ELSE 0 END) AS BIGINT) AS src3,
+               CAST(sum(CASE WHEN source = 'src4' THEN 1 ELSE 0 END) AS BIGINT) AS src4
         FROM documents
         GROUP BY lang
     """,
@@ -5176,10 +5176,10 @@ ORACLES = {
         cols(column_name) AS (VALUES ('doc_id'), ('text'), ('lang'),
                                      ('source'), ('n_chars'))
         SELECT column_name, n_rows,
-               CASE column_name WHEN 'doc_id' THEN doc_id__nulls
+               CAST(CASE column_name WHEN 'doc_id' THEN doc_id__nulls
                  WHEN 'text' THEN text__nulls WHEN 'lang' THEN lang__nulls
                  WHEN 'source' THEN source__nulls ELSE n_chars__nulls
-               END AS n_nulls,
+               END AS BIGINT) AS n_nulls,
                CASE column_name WHEN 'doc_id' THEN doc_id__distinct
                  WHEN 'text' THEN text__distinct WHEN 'lang' THEN lang__distinct
                  WHEN 'source' THEN source__distinct ELSE n_chars__distinct
@@ -5202,7 +5202,7 @@ ORACLES = {
         ),
         t AS (
           SELECT event_type, hour_ts, n_events,
-                 coalesce(sum(n_events) OVER w, 0) AS trailing_sum,
+                 CAST(coalesce(sum(n_events) OVER w, 0) AS BIGINT) AS trailing_sum,
                  count(n_events) OVER w AS n_trailing
           FROM hourly
           WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts
@@ -5385,7 +5385,7 @@ ORACLES = {
         ),
         t AS (
           SELECT *,
-                 sum(n_refs) OVER (PARTITION BY anchor_text) AS n_surface_total,
+                 CAST(sum(n_refs) OVER (PARTITION BY anchor_text) AS BIGINT) AS n_surface_total,
                  row_number() OVER (PARTITION BY anchor_text
                      ORDER BY n_refs DESC, target) AS rnk
           FROM c
@@ -5862,7 +5862,7 @@ ORACLES = {
           GROUP BY prev_type, next_type
         )
         SELECT prev_type, next_type, n,
-               (n * 10000) // sum(n) OVER (PARTITION BY prev_type) AS share_bp
+               CAST((n * 10000) // sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS share_bp
         FROM counts
     """,
     "tx_k_anonymity": """
@@ -5908,8 +5908,8 @@ ORACLES = {
           FROM first, cnt GROUP BY bucket
         )
         SELECT bucket * 10 AS pct_docs, new_terms,
-               sum(new_terms) OVER (ORDER BY bucket
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               CAST(sum(new_terms) OVER (ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
                  AS vocab_size
         FROM bucketed
     """,
@@ -6856,7 +6856,7 @@ ORACLES["kg_context_disambig"] = f"""
       GROUP BY 1, 2, 3
     ),
     best AS (
-      SELECT doc_id, surface_form, max(score) AS best_score
+      SELECT doc_id, surface_form, CAST(max(score) AS BIGINT) AS best_score
       FROM scored GROUP BY 1, 2
     )
     SELECT s.doc_id, s.surface_form, min(s.canonical_id) AS best_id,
@@ -7538,7 +7538,7 @@ ORACLES["kg_fact_fusion"] = """
     ph AS (SELECT DISTINCT subj, pred, obj, host FROM obs)
     SELECT ph.subj, ph.pred, ph.obj,
            count(*) AS n_hosts,
-           sum(coalesce(hw.weight, 1)) AS weighted_support
+           CAST(sum(coalesce(hw.weight, 1)) AS BIGINT) AS weighted_support
     FROM ph LEFT JOIN hw ON hw.host = ph.host
     GROUP BY ph.subj, ph.pred, ph.obj
 """
@@ -7753,7 +7753,7 @@ ORACLES["tx_nb_classifier"] = """
                                 ORDER BY score DESC, label ASC) AS rn
       FROM scored
     )
-    SELECT doc_id, label AS pred_label, score AS best_score
+    SELECT doc_id, label AS pred_label, CAST(score AS BIGINT) AS best_score
     FROM ranked WHERE rn = 1
 """
 
@@ -8087,9 +8087,9 @@ ORACLES["g_assortativity"] = f"""
     ),
     s AS (
       SELECT 2 * count(*) AS m_ordered,
-             2 * sum(ja * jb) AS sum_jk,
-             sum(ja + jb) AS sum_j,
-             sum(ja * ja + jb * jb) AS sum_j2
+             CAST(2 * sum(ja * jb) AS BIGINT) AS sum_jk,
+             CAST(sum(ja + jb) AS BIGINT) AS sum_j,
+             CAST(sum(ja * ja + jb * jb) AS BIGINT) AS sum_j2
       FROM pe
     )
     SELECT m_ordered, sum_jk, sum_j, sum_j2,
@@ -8146,9 +8146,9 @@ ORACLES["g_triad_census"] = f"""
     )
     SELECT nn.n_nodes AS n_nodes,
            (SELECT count(*) FROM e) AS n_edges,
-           dy.n_mutual AS n_mutual_dyads,
-           dy.n_asym AS n_asym_dyads,
-           nn.n_nodes * (nn.n_nodes - 1) // 2 - dy.n_mutual - dy.n_asym
+           CAST(dy.n_mutual AS BIGINT) AS n_mutual_dyads,
+           CAST(dy.n_asym AS BIGINT) AS n_asym_dyads,
+           CAST(nn.n_nodes * (nn.n_nodes - 1) // 2 - dy.n_mutual - dy.n_asym AS BIGINT)
              AS n_null_dyads,
            cyc.n_cyc AS n_cycle_triples,
            tra.n_tra AS n_transitive_triples,
@@ -8289,8 +8289,8 @@ ORACLES["kg_trending_entities"] = f"""
     ),
     mx AS (SELECT max(bucket) AS maxb FROM counts)
     SELECT entity_id,
-           sum(CASE WHEN bucket = maxb THEN n ELSE 0 END) AS cur_n,
-           sum(CASE WHEN bucket = maxb - 1 THEN n ELSE 0 END) AS prev_n,
+           CAST(sum(CASE WHEN bucket = maxb THEN n ELSE 0 END) AS BIGINT) AS cur_n,
+           CAST(sum(CASE WHEN bucket = maxb - 1 THEN n ELSE 0 END) AS BIGINT) AS prev_n,
            CASE
              WHEN sum(CASE WHEN bucket = maxb - 1 THEN n ELSE 0 END) = 0
                THEN 'new'
@@ -8526,9 +8526,9 @@ ORACLES["tx_dedup_savings"] = f"""
     )
     SELECT lang,
            count(*) AS n_docs,
-           sum(CASE WHEN is_survivor = 0 THEN 1 ELSE 0 END) AS n_dropped,
-           sum(nt) AS tokens_total,
-           sum(CASE WHEN is_survivor = 0 THEN nt ELSE 0 END) AS tokens_dropped
+           CAST(sum(CASE WHEN is_survivor = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(sum(nt) AS BIGINT) AS tokens_total,
+           CAST(sum(CASE WHEN is_survivor = 0 THEN nt ELSE 0 END) AS BIGINT) AS tokens_dropped
     FROM t JOIN c USING (doc_id)
     GROUP BY lang
 """
@@ -9328,7 +9328,7 @@ ORACLES["kg_zone_maps"] = """
     )
     SELECT file_id, count(*) AS n_rows,
            min(n_chars) AS min_chars, max(n_chars) AS max_chars,
-           sum(CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END) AS n_match,
+           CAST(sum(CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
            CASE WHEN max(n_chars) < 400 THEN 1 ELSE 0 END AS can_skip
     FROM filed GROUP BY file_id
 """
@@ -9345,9 +9345,9 @@ ORACLES["kg_vacuum_plan"] = """
       FROM caps
     )
     SELECT url, max(doc_id) AS kept_doc_id, count(*) AS n_captures,
-           sum(CASE WHEN doc_id < max_id - 25 THEN 1 ELSE 0 END)
+           CAST(sum(CASE WHEN doc_id < max_id - 25 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_deletable,
-           sum(CASE WHEN doc_id < max_id - 25 THEN n_bytes ELSE 0 END)
+           CAST(sum(CASE WHEN doc_id < max_id - 25 THEN n_bytes ELSE 0 END) AS BIGINT)
              AS bytes_reclaimed
     FROM marked GROUP BY url
 """
@@ -9371,8 +9371,8 @@ ORACLES["tx_split_leakage"] = """
       FROM documents
     )
     SELECT content_md5,
-           sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_train,
-           sum(CASE WHEN split = 'eval' THEN 1 ELSE 0 END) AS n_eval
+           CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+           CAST(sum(CASE WHEN split = 'eval' THEN 1 ELSE 0 END) AS BIGINT) AS n_eval
     FROM keyed GROUP BY content_md5
     HAVING n_train > 0 AND n_eval > 0
 """
@@ -9519,8 +9519,8 @@ ORACLES["tx_lm_perplexity"] = """
              length(bin(u_cnt)) - length(bin(b_cnt)) AS c
       FROM t JOIN cb USING (bg) JOIN cu USING (w1)
     )
-    SELECT doc_id, count(*) AS n_bigrams, sum(c) AS nlp_q2,
-           (sum(c) * 10000) // count(*) AS avg_nlp_bp
+    SELECT doc_id, count(*) AS n_bigrams, CAST(sum(c) AS BIGINT) AS nlp_q2,
+           CAST((sum(c) * 10000) // count(*) AS BIGINT) AS avg_nlp_bp
     FROM j GROUP BY doc_id
 """
 
@@ -9722,8 +9722,8 @@ ORACLES["kg_csr_layout"] = f"""
       FROM edges GROUP BY src
     )
     SELECT node, degree,
-           coalesce(sum(degree) OVER (ORDER BY node
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           CAST(coalesce(sum(degree) OVER (ORDER BY node
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
              AS csr_offset,
            neighbors
     FROM adj
@@ -9891,7 +9891,7 @@ ORACLES["tx_term_zipf"] = """
     ),
     counts AS (SELECT term, count(*) AS freq FROM toks GROUP BY term)
     SELECT length(bin(freq)) AS bucket, count(*) AS n_terms,
-           sum(freq) AS n_instances
+           CAST(sum(freq) AS BIGINT) AS n_instances
     FROM counts GROUP BY bucket
 """
 
@@ -9989,8 +9989,8 @@ QUERIES["kg_rdf_patch"] = kg_rdf_patch
 ORACLES["mm_decode_quarantine"] = """
     SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                 ELSE 'video' END AS media_type,
-           sum(CASE WHEN doc_id % 13 = 0 THEN 0 ELSE 1 END) AS n_ok,
-           sum(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END) AS n_failed
+           CAST(sum(CASE WHEN doc_id % 13 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_ok,
+           CAST(sum(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_failed
     FROM documents GROUP BY media_type
 """
 
@@ -10357,7 +10357,7 @@ ORACLES["g_fastrp"] = f"""
       FROM documents, dims
     ),
     e1 AS (
-      SELECT e.src AS node, r.dim, sum(r.r) AS e1
+      SELECT e.src AS node, r.dim, CAST(sum(r.r) AS BIGINT) AS e1
       FROM edges e JOIN r ON e.dst = r.node
       GROUP BY e.src, r.dim
     ),
@@ -10366,7 +10366,7 @@ ORACLES["g_fastrp"] = f"""
       FROM edges e JOIN e1 x ON e.dst = x.node
       GROUP BY e.src, x.dim
     )
-    SELECT a.node, a.dim, a.e1, coalesce(b.e2, 0) AS e2
+    SELECT a.node, a.dim, a.e1, CAST(coalesce(b.e2, 0) AS BIGINT) AS e2
     FROM e1 a LEFT JOIN e2 b ON a.node = b.node AND a.dim = b.dim
 """
 
@@ -10576,10 +10576,10 @@ QUERIES["kg_page_type"] = kg_page_type
 
 ORACLES["kg_soft404"] = """
     SELECT source || '.example.org' AS host, count(*) AS n_pages,
-           sum(CASE WHEN doc_id % 11 = 0 OR doc_id % 13 = 0
-                    THEN 1 ELSE 0 END) AS n_soft404,
-           (sum(CASE WHEN doc_id % 11 = 0 OR doc_id % 13 = 0
-                     THEN 1 ELSE 0 END) * 10000) // count(*) AS rate_bp
+           CAST(sum(CASE WHEN doc_id % 11 = 0 OR doc_id % 13 = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_soft404,
+           CAST((sum(CASE WHEN doc_id % 11 = 0 OR doc_id % 13 = 0
+                     THEN 1 ELSE 0 END) * 10000) // count(*) AS BIGINT) AS rate_bp
     FROM documents GROUP BY host
 """
 
@@ -10717,11 +10717,11 @@ ORACLES["tx_paragraph_chunks"] = """
     ),
     chunked AS (
       SELECT doc_id, para_idx, n_tok,
-             (sum(n_tok) OVER (PARTITION BY doc_id ORDER BY para_idx)
-              - n_tok) // 12 AS chunk_id
+             CAST((sum(n_tok) OVER (PARTITION BY doc_id ORDER BY para_idx)
+              - n_tok) // 12 AS BIGINT) AS chunk_id
       FROM toks
     )
-    SELECT doc_id, chunk_id, count(*) AS n_paras, sum(n_tok) AS n_tokens
+    SELECT doc_id, chunk_id, count(*) AS n_paras, CAST(sum(n_tok) AS BIGINT) AS n_tokens
     FROM chunked GROUP BY doc_id, chunk_id
 """
 
@@ -10746,7 +10746,7 @@ QUERIES["g_component_size_histogram"] = g_component_size_histogram
 ORACLES["g_component_size_histogram"] = f"""
     WITH base AS ({ORACLES["g_components"]})
     SELECT length(bin(n_nodes)) AS bucket,
-           count(*) AS n_components, sum(n_nodes) AS n_nodes_total
+           count(*) AS n_components, CAST(sum(n_nodes) AS BIGINT) AS n_nodes_total
     FROM base GROUP BY bucket
 """
 
@@ -11177,7 +11177,7 @@ ORACLES["kg_description_dupes"] = """
       SELECT host, description, count(*) AS n_pages
       FROM pages GROUP BY host, description
     )
-    SELECT host, sum(n_pages) AS n_pages,
+    SELECT host, CAST(sum(n_pages) AS BIGINT) AS n_pages,
            count(*) AS n_distinct_desc,
            coalesce(max(CASE WHEN n_pages > 1 THEN n_pages END), 1)
              AS max_dup_count
@@ -11203,7 +11203,7 @@ ORACLES["dd_shingle_df_profile"] = """
     ),
     dfs AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh)
     SELECT length(bin(df)) AS bucket, count(*) AS n_shingles,
-           sum(df) AS df_mass, sum(df * df) AS df2_mass
+           CAST(sum(df) AS BIGINT) AS df_mass, CAST(sum(df * df) AS BIGINT) AS df2_mass
     FROM dfs GROUP BY bucket
 """
 
@@ -11261,8 +11261,8 @@ ORACLES["kg_frontier_growth"] = """
       FROM firsts GROUP BY first_batch
     )
     SELECT p.batch, p.n_fetches, coalesce(n.n_new, 0) AS n_new,
-           sum(coalesce(n.n_new, 0)) OVER (ORDER BY p.batch
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           CAST(sum(coalesce(n.n_new, 0)) OVER (ORDER BY p.batch
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
              AS distinct_urls_seen,
            p.n_fetches - coalesce(n.n_new, 0) AS n_recrawls
     FROM per_batch p LEFT JOIN news n ON p.batch = n.batch

@@ -24,7 +24,7 @@ deliberate part of the audit rather than a hidden detail.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from codebased_spark.link.cc import connected_components
@@ -39,6 +39,18 @@ def _summary(edges: DataFrame, scenario: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_components"),
         F.max("n").alias("largest"),
     ).select(F.lit(scenario).alias("scenario"), "n_nodes", "n_components", "largest")
+
+
+def top_hubs(sym_edges: DataFrame, k: int) -> DataFrame:
+    """The k highest-degree nodes of an already-symmetrized edge set,
+    ties broken by min node id. orderBy().limit(k) compiles to
+    TakeOrderedAndProject — per-partition heap + driver merge of k rows —
+    instead of a global row_number window, which would funnel the whole
+    node vocabulary through one partition's sort at 10^9 nodes."""
+    deg = sym_edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    return deg.orderBy(F.desc("d"), F.asc("node")).limit(k).select("node")
 
 
 def hub_ablation(
@@ -58,15 +70,7 @@ def hub_ablation(
     sym = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
-    deg = sym.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("d")
-    )
-    w = Window.orderBy(F.desc("d"), F.asc("node"))
-    hubs = (
-        deg.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
-        .select("node")
-    )
+    hubs = top_hubs(sym, k)
     ablated = sym.join(
         F.broadcast(hubs.withColumnRenamed("node", "src")), "src", "left_anti"
     ).join(

@@ -40,14 +40,22 @@ def parse_srt(
 ) -> DataFrame:
     """(id, cue_idx, start_ms, end_ms, dur_ms, caption) per cue. Blocks
     that do not carry a timestamp line are dropped (a resilient parser
-    skips malformed cues rather than failing the file)."""
+    skips malformed cues rather than failing the file). CRLF/CR line
+    endings are normalized before splitting, and multi-line captions
+    keep every line from the third onward (joined with '\\n') — real SRT
+    routinely wraps a cue across two or three lines."""
     block = F.col("block")
+    norm = F.regexp_replace(F.col(srt_col), r"\r\n?", "\n")
     cues = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(srt_col), "\n\n")).alias("pos", "block"),
+        F.posexplode(F.split(norm, r"\n{2,}")).alias("pos", "block"),
     )
     start = _ms(block, 1)
     end = _ms(block, 5)
+    lines = F.split(F.regexp_replace(block, r"^\n+|\n+$", ""), "\n")
+    caption = F.array_join(
+        F.slice(lines, 3, F.greatest(F.size(lines) - 2, F.lit(0))), "\n"
+    )
     return (
         cues.where(block.rlike(_CUE_TS_RE))
         .select(
@@ -56,6 +64,6 @@ def parse_srt(
             start.alias("start_ms"),
             end.alias("end_ms"),
             (end - start).alias("dur_ms"),
-            F.element_at(F.split(block, "\n"), 3).alias("caption"),
+            caption.alias("caption"),
         )
     )

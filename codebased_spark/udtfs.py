@@ -52,14 +52,15 @@ class SrtCues:
             r"^(\d+)\n" + self._TS + r" --> " + self._TS + r"\n(.*)",
             re.S,
         )
-        for block in srt.split("\n\n"):
-            m = pat.match(block)
+        # normalize CRLF/CR and keep every caption line (matches parse_srt)
+        for block in re.split(r"\n{2,}", re.sub(r"\r\n?", "\n", srt)):
+            m = pat.match(block.strip("\n"))
             if not m:
                 continue
             g = [int(x) for x in m.groups()[1:9]]
             start = ((g[0] * 3600 + g[1] * 60 + g[2]) * 1000) + g[3]
             end = ((g[4] * 3600 + g[5] * 60 + g[6]) * 1000) + g[7]
-            yield int(m.group(1)), start, end, m.group(10).split("\n")[0]
+            yield int(m.group(1)), start, end, m.group(10)
 
 
 def register_udtfs(spark) -> None:

@@ -52,6 +52,37 @@ def test_every_query_has_matching_oracle_columns(spark, entry_mod):
     assert missing_oracle == []
 
 
+def test_no_oracle_emits_type_divergent_columns(entry_mod):
+    """Driver-parity type contract: the driver's value hash is TYPE-sensitive
+    (it canonicalizes through Arrow), so a DuckDB result column whose type
+    has no exact Spark twin hash-mismatches even when every value is equal.
+    The r4 instance: DuckDB promotes sum(BIGINT/INT) to HUGEINT while the
+    Spark side emits int64 — 14 exactly-correct queries failed the driver's
+    hash on this alone. House rule, now enforced: every aggregate-derived
+    oracle column must state its type (CAST ... AS BIGINT / DOUBLE), so no
+    oracle may emit HUGEINT (no Spark twin) or DECIMAL (Spark side is
+    double; Decimal-vs-double hashes differently)."""
+    oracles = entry_mod.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    offenders = {}
+    for name, sql in oracles.items():
+        rel = con.sql(f"SELECT * FROM ({sql}) LIMIT 0")
+        bad = {
+            c: str(ty)
+            for c, ty in zip(rel.columns, rel.types)
+            if "HUGEINT" in str(ty) or "DECIMAL" in str(ty)
+        }
+        if bad:
+            offenders[name] = bad
+    assert offenders == {}, (
+        f"oracles emitting driver-hash-divergent types (wrap in CAST): {offenders}"
+    )
+
+
 def test_receipt_priority_names_are_real_and_unique(entry_mod):
     """Every _RECEIPT_PRIORITY name must exist in queries() (a typo would
     silently drop the entry from the driver-checked prefix) and appear

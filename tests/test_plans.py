@@ -401,3 +401,24 @@ def test_soft404_and_page_type_map_side_census(spark):
         p = plan(q(spark, SF))
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
         assert "partial_count" in p or "partial_sum" in p  # map-side combine
+
+
+def test_hub_ablation_topk_no_global_window(spark):
+    from codebased_spark.dataops import _doc_edges
+    from codebased_spark.graph.ablation import top_hubs
+    from pyspark.sql import functions as F
+
+    e = _doc_edges(spark, SF).select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    )
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    p = plan(top_hubs(sym, 5))
+    # the k-hub pick must be TakeOrderedAndProject (per-partition heap +
+    # driver merge of k rows), never a row_number window whose Exchange
+    # funnels the whole node vocabulary through one partition's sort
+    assert "TakeOrderedAndProject" in p
+    assert "row_number" not in p
+    assert "Exchange SinglePartition" not in p

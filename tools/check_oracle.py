@@ -76,6 +76,21 @@ def main():
         try:
             rel = con.sql(oracles[name])
             dcols = sorted(rel.columns)
+            # Driver-parity type gate: the driver's hash is type-sensitive
+            # (Arrow canonicalization), so HUGEINT/DECIMAL oracle columns fail
+            # its hash even when every value equals the Spark int64/double.
+            # This local replica stringifies through Python ints and cannot
+            # see that difference — so reject the types outright.
+            bad_types = {
+                c: str(ty)
+                for c, ty in zip(rel.columns, rel.types)
+                if "HUGEINT" in str(ty) or "DECIMAL" in str(ty)
+            }
+            if bad_types:
+                print(f"FAIL  {name}: driver-divergent oracle types {bad_types}"
+                      " (CAST to BIGINT/DOUBLE)")
+                failures += 1
+                continue
             drows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error {type(e).__name__}: {e}")
