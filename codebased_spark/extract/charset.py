@@ -55,8 +55,15 @@ def charset_cascade(
         )
         .withColumn(
             "charset_conflict",
-            (
-                (header_cs != "") & (meta_cs != "") & (header_cs != meta_cs)
-            ).cast("int"),
+            # coalesce: a NULL content_type/html_text makes (NULL != '')
+            # propagate NULL through the AND, and downstream sums/filters
+            # would silently drop those rows — absent evidence is "no
+            # conflict" (0), never NULL
+            F.coalesce(
+                (
+                    (header_cs != "") & (meta_cs != "") & (header_cs != meta_cs)
+                ).cast("int"),
+                F.lit(0),
+            ),
         )
     )

@@ -68,9 +68,11 @@ def write_table(
     Iceberg mode: `target` is a catalog table name — `writeTo(...)
     .createOrReplace()` (one snapshot commit; time travel for free).
     Fallback: `target` is a directory — write to a staging dir then
-    atomically rename into place, so readers never see a partial table
-    (the manifest-last rule; an Iceberg commit is the same swap done on
-    a metadata pointer). Returns the path/name written."""
+    rename into place, so readers never see a PARTIAL table (the
+    manifest-last rule; an Iceberg commit is the same swap done on a
+    metadata pointer). Overwriting an existing dir takes two renames and
+    a concurrent reader in that instant gets FileNotFound rather than
+    partial data — see the inline note. Returns the path/name written."""
     if iceberg_available(spark) and "/" not in target:
         w = df.writeTo(target)
         if mode == "overwrite":
@@ -85,13 +87,24 @@ def write_table(
     staging = f"{target}.__staging_{uuid.uuid4().hex[:8]}"
     df.write.mode("overwrite").parquet(staging)
     if os.path.exists(target):
-        # swap: move the live dir aside (one rename), promote staging
-        # (one rename), then delete the old generation — readers see
-        # either the old or the new complete table, never a partial one
+        # Swap: move the live dir aside (one rename), promote staging (one
+        # rename), then delete the old generation. Readers see either the
+        # old or the new COMPLETE table — never a partial one — but POSIX
+        # has no atomic directory exchange, so between the two renames
+        # there is a brief window where `target` does not exist and a
+        # concurrent open gets FileNotFound (an Iceberg catalog closes
+        # this window by swapping a metadata pointer instead; that is the
+        # mode used whenever a runtime is present). If the second rename
+        # fails, the old generation is restored so a crash can never leave
+        # the table missing with data stranded in .__old_*.
         old = f"{target}.__old_{uuid.uuid4().hex[:8]}"
         os.rename(target, old)
-        os.rename(staging, target)
-        shutil.rmtree(old)
+        try:
+            os.rename(staging, target)
+        except BaseException:
+            os.rename(old, target)
+            raise
+        shutil.rmtree(old, ignore_errors=True)
     else:
         os.rename(staging, target)
     return target

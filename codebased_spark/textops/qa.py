@@ -5,13 +5,14 @@ centers, and StackExchange-style markup (public recipe: Dolma / OpenAssistant
 data notes); the extractor is the same closed-class pattern family as
 `extract/patterns.py` (reference E14 analog, SURVEY.md §2.2: several typed
 extractor families over the same document), retargeted from entity spans to
-question/answer span PAIRS, which must be re-aligned positionally after
-extraction.
+question/answer span PAIRS, matched as single adjacent Q-then-A spans so
+alignment is structural, not positional.
 
-Shape at 100 TB: two `regexp_extract_all` passes + `arrays_zip` +
-`posexplode` — all JVM whole-stage codegen, zero Python, map-only (no
-shuffle until the caller aggregates). Per-doc output is bounded by the
-number of "Q:" markers, so the explode fans out linearly in corpus size.
+Shape at 100 TB: one `regexp_extract_all` pass + `posexplode` + two
+per-span `regexp_extract`s — all JVM whole-stage codegen, zero Python,
+map-only (no shuffle until the caller aggregates). Per-doc output is
+bounded by the number of "Q:" markers, so the explode fans out linearly
+in corpus size.
 """
 
 from __future__ import annotations
@@ -24,6 +25,12 @@ from pyspark.sql import functions as F
 # renders to once tags are stripped
 Q_PATTERN = r"Q: ([^?]*\?)"
 A_PATTERN = r"A: ([^.]*\.)"
+# one match per ADJACENT question/answer: the answer must appear after its
+# question with no other "Q: " marker in between (tempered dot), so an
+# unanswered question mid-document is skipped instead of shifting every
+# later answer onto the wrong question (the failure mode of zipping two
+# independently-extracted lists)
+PAIR_PATTERN = r"(?s)Q: [^?]*\?(?:(?!Q: ).)*?A: [^.]*\."
 
 
 def qa_pairs(
@@ -31,22 +38,22 @@ def qa_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """(id, pair_idx, question, answer, a_chars) — positionally aligned
-    Q/A pairs per document. Docs with unequal Q/A marker counts keep only
-    the aligned prefix (arrays_zip pads with NULL; the filter drops the
-    orphans) — a truncated FAQ page yields its complete pairs, never a
-    misaligned one."""
-    qs = F.regexp_extract_all(F.col(text_col), F.lit(Q_PATTERN), F.lit(1))
-    ans = F.regexp_extract_all(F.col(text_col), F.lit(A_PATTERN), F.lit(1))
-    zipped = F.arrays_zip(qs.alias("q"), ans.alias("a"))
+    """(id, pair_idx, question, answer, a_chars) — aligned Q/A pairs per
+    document. Each pair comes from ONE regex match anchoring the answer
+    after its question (PAIR_PATTERN), so an unanswered question or
+    orphan answer mid-document drops that cue only — it can never
+    misalign the pairs that follow it."""
+    pairs = F.regexp_extract_all(
+        F.col(text_col), F.lit(PAIR_PATTERN), F.lit(0)
+    )
+    span = F.col("span")
     return (
-        docs.select(F.col(id_col), F.posexplode(zipped).alias("pos", "pair"))
-        .where(F.col("pair.q").isNotNull() & F.col("pair.a").isNotNull())
+        docs.select(F.col(id_col), F.posexplode(pairs).alias("pos", "span"))
         .select(
             id_col,
             (F.col("pos") + 1).alias("pair_idx"),
-            F.col("pair.q").alias("question"),
-            F.col("pair.a").alias("answer"),
-            F.length("pair.a").alias("a_chars"),
+            F.regexp_extract(span, Q_PATTERN, 1).alias("question"),
+            F.regexp_extract(span, A_PATTERN, 1).alias("answer"),
         )
+        .withColumn("a_chars", F.length("answer"))
     )

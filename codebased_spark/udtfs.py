@@ -30,10 +30,14 @@ class QAPairs:
 
         if text is None:
             return
-        qs = re.findall(r"Q: ([^?]*\?)", text)
-        ans = re.findall(r"A: ([^.]*\.)", text)
-        for i, (q, a) in enumerate(zip(qs, ans), start=1):
-            yield i, q, a
+        from codebased_spark.textops.qa import A_PATTERN, PAIR_PATTERN, Q_PATTERN
+
+        # one match per adjacent Q-then-A span (matches qa_pairs: an
+        # unanswered question can never shift later answers)
+        for i, m in enumerate(re.finditer(PAIR_PATTERN, text), start=1):
+            span = m.group(0)
+            yield (i, re.search(Q_PATTERN, span).group(1),
+                   re.search(A_PATTERN, span).group(1))
 
 
 @udtf(returnType="cue_idx bigint, start_ms bigint, end_ms bigint, caption string")

@@ -17,7 +17,10 @@ Composes the engine's maintenance operators over a pages table:
     integrity check         order-independent Merkle bucket digests of the
                             retained rows BEFORE and AFTER the rewrite must
                             match bucket-for-bucket: maintenance must never
-                            change table CONTENT, only layout
+                            change table CONTENT, only layout. The digest
+                            gate runs on the staged rewrite; maintained/ is
+                            only swapped in when digests are equal, so a
+                            mismatch leaves the live table untouched
 
 Outputs under --out:
     maintained/   compacted, clustered pages parquet
@@ -106,9 +109,11 @@ def main(argv: list[str] | None = None) -> None:
               for r in _content_digests(retained, "text").collect()}
 
     # 2) length-clustered staging write (zone maps get selective), then
-    # 3) compaction into the final directory (manifest-last: maintained/
-    #    appears only after a complete write)
+    # 3) compaction into a SECOND staging dir. maintained/ is only renamed
+    #    into place after the digest check passes (manifest-last: a digest
+    #    mismatch must leave the live path untouched, not already swapped)
     staging = os.path.join(args.out, "_staging")
+    compacted = os.path.join(args.out, "_compacted")
     final = os.path.join(args.out, "maintained")
     (
         retained.withColumn("_len", F.length("text"))
@@ -119,27 +124,47 @@ def main(argv: list[str] | None = None) -> None:
         .parquet(staging)
     )
     stats = compact_parquet(
-        spark, staging, final, target_bytes=args.target_mb << 20
+        spark, staging, compacted, target_bytes=args.target_mb << 20
     )
 
-    maintained = spark.read.parquet(final)
+    candidate = spark.read.parquet(compacted)
     after = {r.bucket: r.digest
-             for r in _content_digests(maintained, "text").collect()}
+             for r in _content_digests(candidate, "text").collect()}
     digests_equal = before == after
 
-    # 4) zone-map sidecar over the ACTUAL output files
-    zonemap = (
-        maintained.select(
-            F.input_file_name().alias("file_name"), F.length("text").alias("len")
+    if digests_equal:
+        # promote: candidate becomes maintained/ (restore-guarded swap if a
+        # previous generation exists — same discipline as sources/iceberg)
+        import shutil
+        import uuid
+
+        if os.path.exists(final):
+            old = f"{final}.__old_{uuid.uuid4().hex[:8]}"
+            os.rename(final, old)
+            try:
+                os.rename(compacted, final)
+            except BaseException:
+                os.rename(old, final)
+                raise
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            os.rename(compacted, final)
+
+        maintained = spark.read.parquet(final)
+        # 4) zone-map sidecar over the ACTUAL output files
+        zonemap = (
+            maintained.select(
+                F.input_file_name().alias("file_name"),
+                F.length("text").alias("len"),
+            )
+            .groupBy("file_name")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min("len").alias("min_len"),
+                F.max("len").alias("max_len"),
+            )
         )
-        .groupBy("file_name")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.min("len").alias("min_len"),
-            F.max("len").alias("max_len"),
-        )
-    )
-    zonemap.write.mode("overwrite").parquet(os.path.join(args.out, "zonemap"))
+        zonemap.write.mode("overwrite").parquet(os.path.join(args.out, "zonemap"))
 
     report = {
         "n_input": n_input,

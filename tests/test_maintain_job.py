@@ -88,3 +88,45 @@ def test_maintain_job_retention_zero_keeps_only_latest(spark, tmp_path):
         [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
     )
     assert report["n_retained"] == 3 and report["n_vacuumed"] == 6
+
+
+def test_maintain_job_digest_mismatch_never_swaps(spark, tmp_path, monkeypatch):
+    """ADVICE r4: the Merkle gate must run BEFORE the swap — on mismatch the
+    rewritten data stays in the staging dir and maintained/ is never
+    created (a pre-existing generation would stay live untouched)."""
+    import importlib
+
+    mt = importlib.import_module("jobs.maintain_table")
+
+    base = datetime.datetime(2025, 6, 1)
+    rows = [
+        (f"https://s.example.org/{u}", base, f"body {u}") for u in range(4)
+    ]
+    pages_path = str(tmp_path / "p3")
+    out = str(tmp_path / "o3")
+    spark.createDataFrame(rows, ["url", "warc_ts", "text"]).write.parquet(
+        pages_path
+    )
+
+    real = mt._content_digests
+    calls = {"n": 0}
+
+    def corrupting(df, text_col, n_buckets=64):
+        calls["n"] += 1
+        d = real(df, text_col, n_buckets)
+        if calls["n"] >= 2:  # the AFTER pass — poison every digest
+            from pyspark.sql import functions as F
+
+            d = d.withColumn("digest", F.lit("corrupt"))
+        return d
+
+    monkeypatch.setattr(mt, "_content_digests", corrupting)
+    try:
+        mt.main(["--pages", pages_path, "--out", out, "--retention", "0",
+                 "--cpus", "4"])
+        raised = False
+    except SystemExit as e:
+        raised = "aborting swap" in str(e)
+    assert raised
+    assert not os.path.exists(f"{out}/maintained")
+    assert os.path.exists(f"{out}/_compacted")  # staged, inspectable

@@ -165,6 +165,40 @@ def test_qa_pairs_keeps_aligned_prefix(spark):
     ]
 
 
+def test_qa_pairs_mid_document_orphan_never_misaligns(spark):
+    """ADVICE r4: an unanswered question (or orphan answer) MID-document
+    must drop only that cue — positional zipping of independent Q/A lists
+    would pair every later answer with the wrong question."""
+    from codebased_spark.textops.qa import qa_pairs
+    from codebased_spark.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    docs = spark.createDataFrame(
+        [
+            (1, "Q: One? A: First. Q: Orphan, skipped? Q: Three? A: Third."),
+            (2, "A: Stray answer first. Q: Real? A: Yes."),
+        ],
+        ["doc_id", "text"],
+    )
+    got = sorted(
+        (r.doc_id, r.pair_idx, r.question, r.answer)
+        for r in qa_pairs(docs).collect()
+    )
+    assert got == [
+        (1, 1, "One?", "First."),
+        (1, 2, "Three?", "Third."),
+        (2, 1, "Real?", "Yes."),
+    ]
+    docs.createOrReplaceTempView("qa_orphan_docs")
+    via_sql = sorted(
+        (r.doc_id, r.pair_idx, r.question, r.answer)
+        for r in spark.sql(
+            "SELECT d.doc_id, q.* FROM qa_orphan_docs d, LATERAL qa_pairs(d.text) q"
+        ).collect()
+    )
+    assert via_sql == got
+
+
 # ---------------------------------------------------------------------------
 # EXIF
 # ---------------------------------------------------------------------------
