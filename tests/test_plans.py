@@ -422,3 +422,49 @@ def test_hub_ablation_topk_no_global_window(spark):
     assert "TakeOrderedAndProject" in p
     assert "row_number" not in p
     assert "Exchange SinglePartition" not in p
+
+
+def _unaggregated_global_windows(df):
+    """Walk the optimized logical plan; return (stringified) Window nodes
+    that have an EMPTY partitionSpec (global ordering) and at least one
+    path to a leaf relation that does not pass through an Aggregate —
+    i.e. a global sort over raw rows instead of over a histogram."""
+    def children(node):
+        cs = node.children()
+        return [cs.apply(i) for i in range(cs.size())]
+
+    def agg_on_every_path(node):
+        if node.nodeName() == "Aggregate":
+            return True
+        cs = children(node)
+        if not cs:
+            return False
+        return all(agg_on_every_path(c) for c in cs)
+
+    bad = []
+
+    def walk(node):
+        if node.nodeName() == "Window" and node.partitionSpec().isEmpty():
+            if not all(agg_on_every_path(c) for c in children(node)):
+                bad.append(node.toString().splitlines()[0][:160])
+        for c in children(node):
+            walk(c)
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return bad
+
+
+@pytest.mark.parametrize("qname", [
+    # the domain-histogram window idiom (distinct-value histogram -> tiny
+    # window -> broadcast back): the window input must be the histogram
+    # relation, never the corpus — a regression here is a single-partition
+    # sort over every row at 10^12 docs
+    "q_skyline", "kg_zone_maps", "tx_length_quantiles", "q_late_events",
+    "kg_host_skew", "tx_vocab_growth", "g_component_size_histogram",
+    "kg_frontier_growth", "tx_term_zipf",
+])
+def test_global_windows_rank_histograms_not_corpus(spark, qname):
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()[qname](spark, SF)
+    assert _unaggregated_global_windows(df) == []
