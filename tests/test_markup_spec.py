@@ -200,3 +200,30 @@ def test_charset_cascade_matches_reference_on_random_pages(spark):
            for r in charset_cascade(df).collect()}
     for i, html, header in rows:
         assert got[i] == _ref_charset(header, html), (i, header, html)
+
+
+def test_charset_conflict_null_inputs_yield_zero_not_null(spark):
+    """ADVICE r4: (NULL != '') propagates through the AND, so a NULL
+    content_type or html_text made charset_conflict NULL and downstream
+    sums/filters silently dropped those rows — absent evidence is 0."""
+    from codebased_spark.extract.charset import charset_cascade
+
+    rows = [
+        (1, None, "<meta charset=utf-8>x"),
+        (2, "text/html; charset=utf-8", None),
+        (3, None, None),
+        (4, "text/html; charset=utf-8", "<meta charset=latin-1>x"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "content_type", "html_text"])
+    got = {r.doc_id: (r.charset_conflict, r.charset, r.charset_source)
+           for r in charset_cascade(df).collect()}
+    assert got[1] == (0, "utf-8", "meta")
+    assert got[2] == (0, "utf-8", "header")
+    assert got[3] == (0, "utf-8", "default")
+    assert got[4][0] == 1
+    # the audit sum counts every row — no NULL-swallowed rows
+    from pyspark.sql import functions as F
+
+    assert charset_cascade(df).agg(
+        F.sum("charset_conflict")
+    ).collect()[0][0] == 1
