@@ -178,13 +178,15 @@ def skew_report(
         F.sum("m").alias("n_keys"),
         F.sum(F.col("cnt") * F.col("m")).alias("total_rows"),
         F.max("cnt").alias("max_rows"),
+        # m*(m-1) is always even, so integer DIV keeps the whole rank sum
+        # in BIGINT — `/` would route through DOUBLE and round above 2^53
         F.sum(
             F.col("cnt")
             * (
                 F.col("m") * F.col("r")
-                + F.col("m") * (F.col("m") - 1) / F.lit(2)
+                + F.expr("m * (m - 1) DIV 2")
             )
-        ).cast("long").alias("s_icnt"),
+        ).alias("s_icnt"),
     ).select(
         "n_keys",
         "total_rows",
