@@ -128,6 +128,24 @@ def main() -> None:
     synth_sec = sorted(runs)[1]
     timings["kg_throughput_200k"] = round(synth_sec, 3)
 
+    # golden-set P/R + byte-identical text (the BASELINE.json correctness
+    # criteria), measured on the known-truth fixture corpus so the round
+    # artifact carries the numbers, not just a pytest pass/fail
+    from codebased_spark.synth.pages import gen_pages
+
+    corpus = gen_pages(n_docs=200)
+    g_res = extract_triples(
+        spark,
+        spark.createDataFrame(corpus.pages),
+        spark.createDataFrame(corpus.gazetteer),
+    )
+    pred = set(tuple(r) for r in g_res.triples.collect())
+    gold = set(map(tuple, corpus.golden_triples.itertuples(index=False)))
+    tp = len(pred & gold)
+    golden_precision = round(tp / max(len(pred), 1), 4)
+    golden_recall = round(tp / max(len(gold), 1), 4)
+    g_res.release()
+
     total = round(sum(v for v in timings.values() if v > 0), 3)
     out = {
         "metric": "kg_pipeline_e2e_sec",
@@ -145,6 +163,8 @@ def main() -> None:
         "triples_per_sec": round(n_synth_triples / synth_sec, 1),
         "docs_per_sec": round(synth_docs / synth_sec, 1),
         "throughput_runs_sec": [round(x, 3) for x in runs],
+        "golden_precision": golden_precision,
+        "golden_recall": golden_recall,
         "cpus": CPUS,
     }
     print(json.dumps(out))
