@@ -18,8 +18,13 @@ EOF
 )
 MASTER="${SPARK_MASTER:-local[8]}"
 export SPARK_MASTER="$MASTER"  # get_spark() inside the job honors this
+# spark-submit's driver JVM defaults to 1g, which GC-thrashes local-mode
+# runs above ~500k synth docs (in local mode the "driver" heap IS the
+# executor heap); session-level spark.driver.memory cannot raise it after
+# launch, so it must be set here
 exec spark-submit \
   --master "$MASTER" \
+  --driver-memory "${SPARK_DRIVER_MEMORY:-8g}" \
   --py-files "$ZIP" \
   --conf spark.sql.shuffle.partitions="${SPARK_SHUFFLE_PARTITIONS:-32}" \
   "$REPO/jobs/run_pipeline.py" "$@"
